@@ -1,0 +1,34 @@
+"""min_flink_spark — a PySpark-native analytics/streaming engine.
+
+A from-scratch engine with the query and data-processing capabilities of
+the reference stream processor (weifuziang/min-flink, a teaching trim of
+Apache Flink 1.11), re-expressed Spark-first:
+
+- the reference's fluent API surface (map/flat_map/filter/key_by/reduce/
+  sum/min/max/min_by/max_by/print, cf. reference
+  flink-streaming-java/.../api/datastream/DataStream.java:42-314) is a
+  thin facade over DataFrame ops so Catalyst/Tungsten own planning and
+  execution;
+- everything the trim removed but "Flink capability parity" implies
+  (event-time windows, watermarks, joins, set ops, sort/limit/top-k,
+  stateful process functions) is exposed directly on DataFrames;
+- plus large-scale training-data pipeline operators: dedup (exact,
+  MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity
+  search, text analysis, multimodal column plumbing.
+
+Everything here is batch/streaming dual: bounded pipelines run as plain
+DataFrame jobs; unbounded ones ride Structured Streaming.
+"""
+
+from min_flink_spark.core.env import StreamExecutionEnvironment
+from min_flink_spark.core.stream import KeyedStream, Stream
+from min_flink_spark.session import get_spark
+
+__all__ = [
+    "KeyedStream",
+    "Stream",
+    "StreamExecutionEnvironment",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

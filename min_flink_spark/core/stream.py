@@ -1,0 +1,205 @@
+"""Stream / KeyedStream — the fluent facade over Spark DataFrames.
+
+Mirrors the reference API surface (reference
+``flink-streaming-java/.../api/datastream/DataStream.java:42-314`` — map,
+flatMap, filter, keyBy, reduce, sum/min/max/minBy/maxBy, print, addSink;
+``KeyedStream.java:42-209``) but every method is a thin declarative
+rewrite onto DataFrame operations, so Catalyst plans and Tungsten
+executes. Nothing here materializes data on the driver; a Stream is a
+logical plan until a sink/collect is called.
+
+Two styles per transform:
+
+- **expression form** (preferred, JVM-side, whole-stage-codegen):
+  ``map(expr...)``, ``flat_map(array_expr)``, ``filter(cond)``;
+- **row-function form** (the reference's opaque-lambda UDF path,
+  reference ``FC/api/common/functions/MapFunction.java``): ``map_rows``/
+  ``flat_map_rows``/``filter_rows`` run an Arrow-batched function via
+  ``mapInPandas`` — the documented slow path, for logic column
+  expressions cannot express.
+
+Keyed aggregate semantics follow the reference exactly (see
+``min_flink_spark/functions/aggregations.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from min_flink_spark.functions.aggregations import (
+    keyed_agg_first_record,
+    keyed_extremal_record,
+    running_reduce_plan,
+)
+
+ColumnOrName = Column | str
+
+
+def _to_cols(cols: Iterable[ColumnOrName]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+class Stream:
+    """A (possibly unbounded) record stream; wraps a DataFrame plan."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # ---- projections / per-record transforms (reference §2.2) ----
+
+    def map(self, *exprs: ColumnOrName) -> "Stream":
+        """1→1 transform as column expressions (StreamMap.java:28-42)."""
+        return Stream(self.df.select(*_to_cols(exprs)))
+
+    def with_column(self, name: str, expr: Column) -> "Stream":
+        return Stream(self.df.withColumn(name, expr))
+
+    def map_rows(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: Any) -> "Stream":
+        """Opaque 1→1/1→N mapper over Arrow batches (MapFunction path)."""
+
+        def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = fn(pdf)
+                if out is not None and len(out):
+                    yield out
+
+        return Stream(self.df.mapInPandas(_run, schema=schema))
+
+    def flat_map(self, expr: ColumnOrName, alias: str = "value", keep: list[str] | None = None) -> "Stream":
+        """1→N via an array expression + explode (StreamFlatMap.java:28-51)."""
+        cols = _to_cols(keep or [])
+        e = expr if isinstance(expr, Column) else F.col(expr)
+        return Stream(self.df.select(*cols, F.explode(e).alias(alias)))
+
+    def flat_map_rows(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: Any) -> "Stream":
+        return self.map_rows(fn, schema)
+
+    def filter(self, cond: Column | str) -> "Stream":
+        """Predicate filter (StreamFilter.java:28-42); pushdown-friendly."""
+        return Stream(self.df.filter(cond))
+
+    where = filter
+
+    # ---- partitioning (reference §2.3) ----
+
+    def key_by(self, *keys: ColumnOrName) -> "KeyedStream":
+        """Hash-partition by key (KeyedStream.java:42-107). In Spark the
+        exchange is planned lazily by the downstream keyed operation."""
+        return KeyedStream(self.df, [c if isinstance(c, str) else c for c in keys])
+
+    def rebalance(self, n: int | None = None) -> "Stream":
+        """Round-robin redistribution (RebalancePartitioner.java)."""
+        return Stream(self.df.repartition(n) if n else self.df.repartition())
+
+    shuffle = rebalance  # ShufflePartitioner.java — same effect in Spark
+
+    def set_parallelism(self, n: int) -> "Stream":
+        return Stream(self.df.repartition(n))
+
+    # ---- multi-stream (generalized surface, SURVEY §2.5/§7.3-4) ----
+
+    def union(self, *others: "Stream") -> "Stream":
+        out = self.df
+        for o in others:
+            out = out.unionByName(o.df)
+        return Stream(out)
+
+    # ---- sinks (reference §2.7) ----
+
+    def print(self, n: int = 20, truncate: bool = False) -> None:
+        """PrintSinkFunction.java:40-85 analog."""
+        self.df.show(n=n, truncate=truncate)
+
+    def collect(self) -> list:
+        return self.df.collect()
+
+    def sink_parquet(self, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def add_sink(self, fn: Callable[[DataFrame], None]) -> None:
+        """Custom sink (SinkFunction.java): fn receives the DataFrame."""
+        fn(self.df)
+
+
+class KeyedStream(Stream):
+    """Stream with key columns attached; keyed aggregates live here.
+
+    Aggregate semantics match the reference's running-reduce family
+    (StreamGroupedReduce.java:11-54, SumAggregator.java:28-76,
+    ComparableAggregator.java:30-95): ``sum/min/max`` replace only the
+    aggregated field and take every other field from the FIRST-seen
+    record per key; ``min_by/max_by`` return the whole extremal record
+    with ties broken toward the first (or last) arrival. "Arrival order"
+    is an explicit total-order column (``order_by``) because a scalable
+    engine cannot depend on physical row order.
+    """
+
+    def __init__(self, df: DataFrame, keys: list[ColumnOrName]):
+        super().__init__(df)
+        self.keys = keys
+
+    def _key_cols(self) -> list[Column]:
+        return _to_cols(self.keys)
+
+    def _key_names(self) -> list[str]:
+        out = []
+        for k in self.keys:
+            out.append(k if isinstance(k, str) else self.df.select(k).columns[0])
+        return out
+
+    # ---- direct Spark aggregation (the scalable default) ----
+
+    def agg(self, *aggs: Column) -> Stream:
+        return Stream(self.df.groupBy(*self._key_cols()).agg(*aggs))
+
+    def count(self, alias: str = "count") -> Stream:
+        return self.agg(F.count(F.lit(1)).alias(alias))
+
+    # ---- reference-semantics aggregates (final answer of the running
+    #      reduce on a bounded stream) ----
+
+    def sum(self, field: str, order_by: str = None) -> Stream:
+        return Stream(keyed_agg_first_record(self.df, self._key_names(), field, "sum", order_by))
+
+    def min(self, field: str, order_by: str = None) -> Stream:
+        return Stream(keyed_agg_first_record(self.df, self._key_names(), field, "min", order_by))
+
+    def max(self, field: str, order_by: str = None) -> Stream:
+        return Stream(keyed_agg_first_record(self.df, self._key_names(), field, "max", order_by))
+
+    def min_by(self, field: str, order_by: str = None, first: bool = True) -> Stream:
+        return Stream(keyed_extremal_record(self.df, self._key_names(), field, "min", order_by, first))
+
+    def max_by(self, field: str, order_by: str = None, first: bool = True) -> Stream:
+        return Stream(keyed_extremal_record(self.df, self._key_names(), field, "max", order_by, first))
+
+    def running_reduce(self, field: str, op: str, order_by: str, alias: str | None = None) -> Stream:
+        """Per-record emission history of the reference's continuous
+        reduce (StreamGroupedReduce.java:35-53): one output row per
+        input row, carrying the running aggregate so far for its key."""
+        return Stream(running_reduce_plan(self.df, self._key_names(), field, op, order_by, alias))
+
+    def reduce_rows(
+        self,
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        schema: Any,
+        order_by: str | None = None,
+    ) -> Stream:
+        """Arbitrary per-key fold (ReduceFunction analog) via
+        applyInPandas. ``fn`` receives one key group (sorted by
+        ``order_by`` if given) and returns its reduced row(s)."""
+
+        def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+            if order_by:
+                pdf = pdf.sort_values(order_by)
+            return fn(pdf)
+
+        return Stream(self.df.groupBy(*self._key_cols()).applyInPandas(_run, schema=schema))

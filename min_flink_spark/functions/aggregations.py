@@ -1,0 +1,131 @@
+"""Keyed aggregate plans with the reference's exact semantics.
+
+The reference's only aggregation is the keyed continuous reduce
+(reference ``FSJ/api/operators/StreamGroupedReduce.java:11-54``) plus
+prebuilt reduce functions:
+
+- ``sum``/``min``/``max`` (``SumAggregator.java:28-76``,
+  ``ComparableAggregator.java:72-94`` non-byAggregate branch): the result
+  record is the FIRST-seen record per key with ONLY the aggregated field
+  replaced by the aggregate;
+- ``minBy``/``maxBy`` (``ComparableAggregator.java:79-86``): the result
+  is the WHOLE record holding the extremal value, ties broken toward the
+  first (``first=True``) or last seen record.
+
+"Seen order" is an explicit total-order column: a distributed engine
+must not depend on physical arrival order, so determinism comes from
+data (the fixtures carry ``event_id``/``seq``). All plans below are
+single-shuffle hash aggregates (``min_by``/``max_by``/``sum`` compose in
+one ``groupBy().agg()`` with map-side partial aggregation) — no window
+sort, no second shuffle — so they scale linearly with input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_AGG = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count, "avg": F.avg}
+
+
+def _first_record_struct(cols: list[str], order_by: str | None) -> Column:
+    rec = F.struct(*[F.col(c) for c in cols])
+    if order_by is None:
+        # Cheap but nondeterministic across runs — callers that need
+        # reproducibility pass an order column (FIXTURES §3).
+        return F.first(rec)
+    return F.min_by(rec, F.col(order_by))
+
+
+def keyed_agg_first_record(
+    df: DataFrame, keys: list[str], field: str, op: str, order_by: str | None
+) -> DataFrame:
+    """groupBy(keys) → first-seen record with `field` := op(field)."""
+    others = [c for c in df.columns if c not in keys and c != field]
+    aggs = [_AGG[op](field).alias(field)]
+    if others:
+        aggs.append(_first_record_struct(others, order_by).alias("_first"))
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    sel = []
+    for c in df.columns:
+        if c in keys or c == field:
+            sel.append(F.col(c))
+        else:
+            sel.append(F.col(f"_first.{c}").alias(c))
+    return out.select(*sel)
+
+
+def keyed_extremal_record(
+    df: DataFrame,
+    keys: list[str],
+    field: str,
+    op: str,
+    order_by: str | None,
+    first: bool = True,
+) -> DataFrame:
+    """groupBy(keys) → the whole record with extremal `field`.
+
+    Tie-break toward first/last arrival encoded in the comparison
+    struct: ``min_by(rec, (field, order))`` keeps the earliest among
+    equal minima, ``min_by(rec, (field, -order))`` the latest, and
+    symmetrically for max (negation ⇒ numeric order column; the
+    fixtures' order columns are integers).
+    """
+    rec = F.struct(*[F.col(c) for c in df.columns])
+    if order_by is None:
+        cmp: Column = F.col(field)
+    else:
+        # (min, first) and (max, last) tie-break in the order column's own
+        # direction — any orderable type works. The two reversed cases need
+        # a negated order key: numeric columns negate in place; anything
+        # else (e.g. timestamps) falls back to a per-key window sort.
+        same_direction = (op == "min") == first
+        if same_direction:
+            cmp = F.struct(F.col(field), F.col(order_by))
+        else:
+            dtype = dict(df.dtypes)[order_by]
+            numeric = dtype in (
+                "tinyint", "smallint", "int", "bigint", "float", "double"
+            ) or dtype.startswith("decimal")
+            if numeric:
+                cmp = F.struct(F.col(field), -F.col(order_by))
+            else:
+                w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+                    F.col(field).asc() if op == "min" else F.col(field).desc(),
+                    F.col(order_by).desc(),
+                )
+                return (
+                    df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+    pick = F.min_by(rec, cmp) if op == "min" else F.max_by(rec, cmp)
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(pick.alias("_rec"))
+    return out.select(*[F.col(f"_rec.{c}").alias(c) for c in df.columns])
+
+
+def running_reduce_plan(
+    df: DataFrame,
+    keys: list[str],
+    field: str,
+    op: str,
+    order_by: str,
+    alias: str | None = None,
+) -> DataFrame:
+    """Emission history of the continuous keyed reduce: one output row
+    per input row with the running aggregate so far for its key
+    (``StreamGroupedReduce.java:35-53`` emits the updated partial on
+    every input). Spark plan: a single hash-partitioned window sort —
+    the scalable batch equivalent of per-key sequential state."""
+    name = alias or f"running_{op}_{field}"
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        *[F.col(k) for k in keys],
+        F.col(order_by),
+        F.col(field),
+        _AGG[op](field).over(w).alias(name),
+    )

@@ -1,0 +1,215 @@
+"""Query registry: every operator exposed to the driver's oracle gate.
+
+Each entry pairs a Spark implementation (built on the engine's
+operators) with the ANSI-SQL statement DuckDB runs on the same parquet
+tables. Column names are aliased identically on both sides — the
+driver's comparator sorts columns by name before hashing.
+
+Registration happens via the ``@query`` decorator; ``__spark_entry__``
+re-exports ``QUERIES`` / ``ORACLE``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from min_flink_spark.core.stream import Stream
+from min_flink_spark.sources import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY §2.2-2.4): map/flatMap/filter/keyBy/
+# reduce family. These are the operators min-flink actually ships.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "map_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           upper(l_returnflag) AS flag
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount >= 0.05
+    """,
+)
+def q_map_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map (StreamMap.java:28-42) + filter (StreamFilter.java:28-42) as
+    pushdown-friendly column expressions."""
+    return (
+        Stream(load_table(spark, sf_dir, "lineitem"))
+        .filter((F.col("l_quantity") > 30) & (F.col("l_discount") >= 0.05))
+        .map(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.upper("l_returnflag").alias("flag"),
+        )
+        .df
+    )
+
+
+@query(
+    "flatmap_wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+      FROM documents
+    )
+    WHERE length(word) > 0
+    GROUP BY word
+    """,
+)
+def q_flatmap_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatMap via explode (StreamFlatMap.java:28-51) — the reference's
+    WordCount acceptance pipeline over the documents table."""
+    return (
+        Stream(load_table(spark, sf_dir, "documents"))
+        .flat_map(F.split(F.lower("text"), "[^a-z0-9]+"), alias="word")
+        .filter(F.length("word") > 0)
+        .key_by("word")
+        .count(alias="cnt")
+        .df
+    )
+
+
+@query(
+    "keyed_sum_first_record",
+    oracle="""
+    SELECT min_by(event_id, event_id) AS event_id,
+           min_by(ts, event_id)       AS ts,
+           user_id,
+           min_by(event_type, event_id) AS event_type,
+           sum(value)                 AS value,
+           min_by(props, event_id)    AS props
+    FROM events GROUP BY user_id
+    """,
+)
+def q_keyed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyBy().sum() with the reference's field-replace semantics:
+    non-aggregated fields come from the first-seen record
+    (SumAggregator.java:68-76); arrival order = event_id."""
+    return (
+        Stream(load_table(spark, sf_dir, "events"))
+        .key_by("user_id")
+        .sum("value", order_by="event_id")
+        .df
+    )
+
+
+@query(
+    "keyed_min_first_record",
+    oracle="""
+    SELECT min_by(event_id, event_id) AS event_id,
+           min_by(ts, event_id)       AS ts,
+           user_id,
+           min_by(event_type, event_id) AS event_type,
+           min(value)                 AS value,
+           min_by(props, event_id)    AS props
+    FROM events GROUP BY user_id
+    """,
+)
+def q_keyed_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Stream(load_table(spark, sf_dir, "events"))
+        .key_by("user_id")
+        .min("value", order_by="event_id")
+        .df
+    )
+
+
+@query(
+    "keyed_max_by_record",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def q_keyed_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxBy: whole extremal record, tie → first arrival
+    (ComparableAggregator.java:79-86). Single hash-agg via max_by with a
+    composite comparison struct — no window sort shuffle."""
+    return (
+        Stream(load_table(spark, sf_dir, "events"))
+        .key_by("user_id")
+        .max_by("value", order_by="event_id", first=True)
+        .df
+    )
+
+
+@query(
+    "keyed_min_by_record_last",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value ASC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def q_keyed_min_by_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Stream(load_table(spark, sf_dir, "events"))
+        .key_by("user_id")
+        .min_by("value", order_by="event_id", first=False)
+        .df
+    )
+
+
+@query(
+    "running_reduce_sum",
+    oracle="""
+    SELECT user_id, event_id, value,
+           sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_sum_value
+    FROM events
+    """,
+)
+def q_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous keyed reduce emission history
+    (StreamGroupedReduce.java:35-53): one row per input with the running
+    partial for its key."""
+    return (
+        Stream(load_table(spark, sf_dir, "events"))
+        .key_by("user_id")
+        .running_reduce("value", "sum", order_by="event_id")
+        .df
+    )
+
+
+@query(
+    "union_rebalance",
+    oracle="""
+    SELECT event_type, count(*) AS cnt FROM (
+      SELECT event_type FROM events WHERE value > 50
+      UNION ALL
+      SELECT event_type FROM events WHERE value <= 50
+    ) GROUP BY event_type
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Stream(load_table(spark, sf_dir, "events"))
+    hi = ev.filter(F.col("value") > 50).map("event_type")
+    lo = ev.filter(F.col("value") <= 50).map("event_type")
+    return hi.union(lo).key_by("event_type").count(alias="cnt").df

@@ -1,0 +1,103 @@
+"""Reference keyed-aggregate semantics (SURVEY §2.4, FIXTURES §2).
+
+- sum/min/max: aggregated field replaced; OTHER fields from the
+  first-seen record per key (SumAggregator.java:68-76,
+  ComparableAggregator.java:72-94).
+- minBy/maxBy: whole extremal record; ties → first or last arrival
+  (ComparableAggregator.java:79-86).
+- running reduce: one emission per input row, monotone per key
+  (StreamGroupedReduce.java:35-53).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from min_flink_spark import Stream
+
+ROWS = [
+    # (seq, k, v, payload)
+    (1, "a", 5, "p1"),
+    (2, "b", 7, "p2"),
+    (3, "a", 3, "p3"),
+    (4, "a", 9, "p4"),
+    (5, "b", 7, "p5"),   # tie with seq=2 on v=7
+    (6, "b", 1, "p6"),
+    (7, "a", 3, "p7"),   # tie with seq=3 on v=3
+    (8, "c", 4, "p8"),
+]
+SCHEMA = "seq int, k string, v int, payload string"
+
+
+@pytest.fixture(scope="module")
+def ks(spark):
+    return Stream(spark.createDataFrame(ROWS, SCHEMA)).key_by("k")
+
+
+def by_key(rows):
+    return {r["k"]: r for r in rows}
+
+
+def test_sum_keeps_first_record_fields(ks):
+    got = by_key(ks.sum("v", order_by="seq").collect())
+    assert (got["a"]["v"], got["a"]["seq"], got["a"]["payload"]) == (20, 1, "p1")
+    assert (got["b"]["v"], got["b"]["payload"]) == (15, "p2")
+    assert (got["c"]["v"], got["c"]["payload"]) == (4, "p8")
+
+
+def test_min_max_replace_field_only(ks):
+    mn = by_key(ks.min("v", order_by="seq").collect())
+    assert (mn["a"]["v"], mn["a"]["payload"], mn["a"]["seq"]) == (3, "p1", 1)
+    mx = by_key(ks.max("v", order_by="seq").collect())
+    assert (mx["a"]["v"], mx["a"]["payload"]) == (9, "p1")
+
+
+def test_min_by_whole_record_tie_first(ks):
+    got = by_key(ks.min_by("v", order_by="seq").collect())
+    # key a: v=3 at seq 3 and 7; first wins
+    assert (got["a"]["seq"], got["a"]["payload"]) == (3, "p3")
+
+
+def test_min_by_tie_last(ks):
+    got = by_key(ks.min_by("v", order_by="seq", first=False).collect())
+    assert (got["a"]["seq"], got["a"]["payload"]) == (7, "p7")
+
+
+def test_max_by_tie_first_and_last(ks):
+    got = by_key(ks.max_by("v", order_by="seq").collect())
+    assert (got["b"]["seq"], got["b"]["payload"]) == (2, "p2")
+    got = by_key(ks.max_by("v", order_by="seq", first=False).collect())
+    assert (got["b"]["seq"], got["b"]["payload"]) == (5, "p5")
+
+
+def test_running_reduce_emission_history(ks):
+    rows = ks.running_reduce("v", "sum", order_by="seq").collect()
+    assert len(rows) == len(ROWS)  # one emission per input record
+    a = [(r["seq"], r["running_sum_v"]) for r in sorted(rows, key=lambda r: r["seq"]) if r["k"] == "a"]
+    assert a == [(1, 5), (3, 8), (4, 17), (7, 20)]
+
+
+def test_running_min(ks):
+    rows = ks.running_reduce("v", "min", order_by="seq", alias="m").collect()
+    b = [(r["seq"], r["m"]) for r in sorted(rows, key=lambda r: r["seq"]) if r["k"] == "b"]
+    assert b == [(2, 7), (5, 7), (6, 1)]
+
+
+def test_reduce_rows_fold(spark, ks):
+    def concat_payloads(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"k": [pdf["k"].iloc[0]], "joined": ["|".join(pdf["payload"])], "v": [int(pdf["v"].sum())]}
+        )
+
+    got = by_key(
+        ks.reduce_rows(concat_payloads, "k string, joined string, v long", order_by="seq").collect()
+    )
+    assert got["a"]["joined"] == "p1|p3|p4|p7"
+    assert got["a"]["v"] == 20
+
+
+def test_events_table_semantics(spark, sf_dir):
+    ev = Stream(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    out = ev.key_by("user_id").sum("value", order_by="event_id").collect()
+    assert len(out) > 0

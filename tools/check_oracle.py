@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names, and an order-insensitive canonicalized value digest (floats
+rounded to 6dp per FIXTURES §3). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from min_flink_spark.session import get_spark
+from min_flink_spark.sources import TABLES
+
+
+def canon_value(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_value(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def digest(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    qs, oracles = entry.queries(), entry.oracle_sql()
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(srows)} rows")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
+        elif digest(scols, srows) != digest(ocols, orows):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name} ({len(srows)} rows)")
+
+    print(f"\n{len(qs) - len(failures)}/{len([n for n in qs if not only or n in only])} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
