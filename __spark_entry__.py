@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import min_flink_spark.queries as _q
+from min_flink_spark import queries as _q
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

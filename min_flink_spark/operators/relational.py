@@ -1,0 +1,105 @@
+"""Relational operators beyond the reference's surface.
+
+The reference has no joins/sorts/set-ops at all (SURVEY §2.5 —
+``DataStream.java:42-314`` is the complete API), so these are the
+generalized "Flink-capability" surface, specified by ANSI-SQL semantics
+and oracle-checked. Each helper is a declarative DataFrame rewrite so
+Catalyst picks the physical strategy; the scale notes on each function
+are the design contract for the 100 TB target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: list[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Join with an explicit broadcast hint on the dimension side.
+
+    At 100 TB the fact side must never shuffle for a small-dim join;
+    ``F.broadcast`` pins the hash-build side regardless of stale stats.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def top_k(
+    df: DataFrame,
+    k: int,
+    order_by: list[Column],
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows, optionally per group.
+
+    Per-group: one hash shuffle + per-partition sort (row_number) — no
+    global sort. Global: Spark's sort-limit pushes the limit into each
+    partition (TakeOrderedAndProject), so only k rows per partition
+    reach the driver-side merge; pass a deterministic tie-break column
+    in ``order_by`` or equal-valued rows make the cut arbitrarily.
+    """
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return df.orderBy(*order_by).limit(k)
+
+
+def distinct_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) per key.
+
+    Implemented as union → single co-partitioned window sort →
+    last-non-null carry-forward, i.e. ONE shuffle on the key, linear in
+    |left|+|right|. Never a range cross-join (which explodes at scale);
+    equivalent to DuckDB's native ASOF JOIN used as the oracle.
+    """
+    lcols = left.columns
+    payload = F.struct(*[F.col(c) for c in right_values])
+    # Right rows sort before left rows at equal timestamp so that a
+    # right row at exactly left_ts is visible (non-strict semantics);
+    # strict flips the tag order.
+    right_tag, left_tag = (1, 0) if strict else (0, 1)
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_tag).alias("_side"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_ts"),
+        F.lit(left_tag).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in lcols if c not in on],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumn(
+        "_matched", F.last(F.col("_payload"), ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == left_tag).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_matched.{v}").alias(f"r_{v}") for v in right_values],
+    )
+    return out

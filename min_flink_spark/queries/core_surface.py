@@ -1,42 +1,14 @@
-"""Query registry: every operator exposed to the driver's oracle gate.
-
-Each entry pairs a Spark implementation (built on the engine's
-operators) with the ANSI-SQL statement DuckDB runs on the same parquet
-tables. Column names are aliased identically on both sides — the
-driver's comparator sorts columns by name before hashing.
-
-Registration happens via the ``@query`` decorator; ``__spark_entry__``
-re-exports ``QUERIES`` / ``ORACLE``.
-"""
+"""Reference-surface queries (SURVEY §2.2-2.4): map/flatMap/filter/
+keyBy/reduce family — the operators min-flink actually ships."""
 
 from __future__ import annotations
-
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from min_flink_spark.core.stream import Stream
+from min_flink_spark.registry import query
 from min_flink_spark.sources import load_table
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return fn
-
-    return deco
-
-
-# ---------------------------------------------------------------------------
-# Reference-surface queries (SURVEY §2.2-2.4): map/flatMap/filter/keyBy/
-# reduce family. These are the operators min-flink actually ships.
-# ---------------------------------------------------------------------------
 
 
 @query(

@@ -1,0 +1,339 @@
+"""Relational surface: joins, set ops, sort/limit/top-k, analytic
+windows, rollup, as-of join (SURVEY §2.5 — absent in the reference, so
+DuckDB-oracle SQL semantics is the spec).
+
+Scale notes: dimension joins broadcast (region/nation/customer-sized
+dims must never shuffle the fact side); top-k uses per-group row_number
+(no global sort); the as-of join is a single-shuffle union+carry-forward
+plan, not a range cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from min_flink_spark.operators.relational import asof_join, broadcast_join, top_k
+from min_flink_spark.registry import query
+from min_flink_spark.sources import load_table
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)      AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)      AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount)      AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped flagship aggregation; filter reaches the scan."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT r_name, n_name, sum(o_totalprice) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact stays put, every dim broadcast — zero fact
+    shuffles before the final aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = broadcast_join(
+        broadcast_join(
+            broadcast_join(
+                orders, customer.select("c_custkey", "c_nationkey"),
+                on=F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            nation.select("n_nationkey", "n_name", "n_regionkey"),
+            on=F.col("c_nationkey") == F.col("n_nationkey"),
+        ),
+        region,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, on=F.col("c_custkey") == F.col("o_custkey"), how="left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "anti_join_no_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, on=F.col("c_custkey") == F.col("o_custkey"), how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "left_join_order_item_stats",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(count(l_orderkey) AS BIGINT) AS n_items,
+           coalesce(sum(l_quantity), 0.0) AS total_qty
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    """,
+)
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join on the shared key; AQE handles skew at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, on=F.col("o_orderkey") == F.col("l_orderkey"), how="left")
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.coalesce(F.sum("l_quantity"), F.lit(0.0)).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "top100_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def q_top100_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (per-partition limit + merge,
+    no full sort)."""
+    return top_k(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        k=100,
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+
+
+@query(
+    "top3_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_k(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
+        k=3,
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        partition_by=["o_orderpriority"],
+    )
+
+
+@query(
+    "distinct_user_event_types",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@query(
+    "set_ops_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 120
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup' AND value > 120
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("value") > 120)).select("user_id")
+    signups = ev.filter((F.col("event_type") == "signup") & (F.col("value") > 120)).select("user_id")
+    purchases = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 180)).select("user_id")
+    return clicks.intersect(signups).exceptAll(purchases.distinct())
+
+
+@query(
+    "window_rank_lag",
+    oracle="""
+    SELECT user_id, event_id, value,
+           CAST(rank() OVER w AS BIGINT) AS value_rank,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+           avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+    """,
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: one hash shuffle on the key, sorts
+    stay partition-local."""
+    ev = load_table(spark, sf_dir, "events")
+    by_value = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    by_seq = Window.partitionBy("user_id").orderBy("event_id")
+    moving = by_seq.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.rank().over(by_value).cast("bigint").alias("value_rank"),
+        F.lag("value").over(by_seq).alias("prev_value"),
+        F.avg("value").over(moving).alias("moving_avg"),
+    )
+
+
+@query(
+    "rollup_acctbal",
+    oracle="""
+    SELECT r_name, n_name, sum(c_acctbal) AS total_bal,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = broadcast_join(
+        broadcast_join(customer, nation, on=F.col("c_nationkey") == F.col("n_nationkey")),
+        region,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum("c_acctbal").alias("total_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "asof_join_click_to_signup",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts, a.value,
+           b.ts AS r_ts, b.value AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (clicks → latest signup ≤ ts per user): single-shuffle
+    union + carry-forward plan (operators/relational.py:asof_join) vs
+    DuckDB's native ASOF JOIN as oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    return asof_join(
+        clicks, signups, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=["ts", "value"],
+    )
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter broadcast into the fact
+    join, then top-k on the aggregate."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    joined = broadcast_join(
+        orders, customer.select("c_custkey"), on=F.col("o_custkey") == F.col("c_custkey")
+    ).join(lineitem, on=F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return top_k(
+        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        k=10,
+        order_by=[F.col("revenue").desc(), F.col("l_orderkey").asc()],
+    )

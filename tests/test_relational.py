@@ -1,0 +1,75 @@
+"""Relational operator semantics + physical-plan assertions."""
+
+from pyspark.sql import functions as F
+
+from min_flink_spark.operators.relational import asof_join, broadcast_join, top_k
+
+
+def test_asof_join_semantics(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0), ("B", 3, 20.0)],
+        "sym string, t int, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 0), ("A", 5), ("A", 7), ("B", 2), ("B", 100), ("C", 1)],
+        "sym string, t int",
+    )
+    out = {
+        (r["sym"], r["t"]): r["r_px"]
+        for r in asof_join(
+            trades, quotes, on=["sym"], left_ts="t", right_ts="t", right_values=["px"]
+        ).collect()
+    }
+    assert out[("A", 0)] is None          # no quote yet
+    assert out[("A", 5)] == 11.0          # equal ts visible (non-strict)
+    assert out[("A", 7)] == 11.0
+    assert out[("B", 2)] is None
+    assert out[("B", 100)] == 20.0
+    assert out[("C", 1)] is None          # key with no right rows
+
+
+def test_asof_join_strict(spark):
+    quotes = spark.createDataFrame([("A", 5, 11.0)], "sym string, t int, px double")
+    trades = spark.createDataFrame([("A", 5)], "sym string, t int")
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_values=["px"], strict=True,
+    ).collect()
+    assert out[0]["r_px"] is None  # strict: right at equal ts NOT visible
+
+
+def test_top_k_per_group_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 5), ("g", 3, 4), ("h", 4, 1)],
+        "grp string, id int, v int",
+    )
+    rows = top_k(
+        df, k=2,
+        order_by=[F.col("v").desc(), F.col("id").asc()],
+        partition_by=["grp"],
+    ).collect()
+    got = sorted((r["grp"], r["id"]) for r in rows)
+    assert got == [("g", 1), ("g", 2), ("h", 4)]
+
+
+def test_broadcast_join_plan(spark, sf_dir):
+    """The physical plan must contain a BroadcastHashJoin — at scale the
+    fact side must not shuffle for a dimension join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plan = broadcast_join(
+        orders, customer, on=F.col("o_custkey") == F.col("c_custkey")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """PushedFilters must appear in the parquet scan node."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan

@@ -103,7 +103,8 @@ def main() -> int:
         else:
             print(f"ok    {name} ({len(srows)} rows)")
 
-    print(f"\n{len(qs) - len(failures)}/{len([n for n in qs if not only or n in only])} ok")
+    ran = [n for n in qs if not only or n in only]
+    print(f"\n{len(ran) - len(failures)}/{len(ran)} ok")
     return 1 if failures else 0
 
 
