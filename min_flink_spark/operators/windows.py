@@ -1,0 +1,65 @@
+"""Event-time windows: tumbling / sliding / session.
+
+The reference retains only the ``Time`` duration class — every window
+operator was trimmed (SURVEY §2.9: only ``FSJ/api/windowing/time/
+Time.java`` survives) — so Flink-capability parity means exposing
+Spark's native window aggregations. These helpers work identically on
+batch DataFrames and Structured Streaming inputs (add
+``with_watermark`` first for streaming late-data bounds).
+
+Scale: a window aggregation is ONE hash shuffle on (key, window);
+sliding windows replicate each row size/slide times before the shuffle
+— keep that ratio small at 100 TB (e.g. 1d/6h = 4×, not 1d/1min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _flatten(aggregated: DataFrame, struct_col: str, prefix: str) -> DataFrame:
+    rest = [c for c in aggregated.columns if c != struct_col]
+    return aggregated.select(
+        F.col(f"{struct_col}.start").alias(f"{prefix}_start"),
+        F.col(f"{struct_col}.end").alias(f"{prefix}_end"),
+        *[F.col(c) for c in rest],
+    )
+
+
+def tumble(
+    df: DataFrame, ts: str, size: str, keys: list[str] | None = None, *aggs: Column
+) -> DataFrame:
+    """Fixed, non-overlapping windows of ``size`` over event-time ``ts``."""
+    out = df.groupBy(F.window(ts, size), *(keys or [])).agg(*aggs)
+    return _flatten(out, "window", "window")
+
+
+def slide(
+    df: DataFrame,
+    ts: str,
+    size: str,
+    step: str,
+    keys: list[str] | None = None,
+    *aggs: Column,
+) -> DataFrame:
+    """Overlapping windows of ``size`` advancing every ``step``; each row
+    lands in size/step windows."""
+    out = df.groupBy(F.window(ts, size, step), *(keys or [])).agg(*aggs)
+    return _flatten(out, "window", "window")
+
+
+def session(
+    df: DataFrame, ts: str, gap: str, keys: list[str] | None = None, *aggs: Column
+) -> DataFrame:
+    """Gap-based session windows: events within ``gap`` of each other
+    merge; window end = last event + gap."""
+    out = df.groupBy(F.session_window(ts, gap), *(keys or [])).agg(*aggs)
+    return _flatten(out, "session_window", "session")
+
+
+def with_watermark(df: DataFrame, ts: str, delay: str) -> DataFrame:
+    """Watermark = event-time bound for state cleanup & late-data drop
+    (reference Watermark.java:42-50 — unreachable there; first-class
+    here). No-op on batch DataFrames."""
+    return df.withWatermark(ts, delay) if df.isStreaming else df

@@ -1,0 +1,44 @@
+"""Window semantics on hand-built micro-fixtures."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from min_flink_spark.operators.windows import session, slide, tumble
+
+
+def ts(minute):
+    return datetime(2024, 1, 1, 0, minute)
+
+
+def make(spark, minutes):
+    return spark.createDataFrame(
+        [(ts(m), 1.0) for m in minutes], "ts timestamp, v double"
+    )
+
+
+def test_tumble_bounds(spark):
+    df = make(spark, [0, 5, 10, 14, 15])
+    out = {
+        (r["window_start"].minute, r["window_end"].minute): r["n"]
+        for r in tumble(df, "ts", "15 minutes", None, F.count("*").alias("n")).collect()
+    }
+    assert out == {(0, 15): 4, (15, 30): 1}
+
+
+def test_slide_replication(spark):
+    df = make(spark, [0])  # one event, 10-min window sliding every 5
+    rows = slide(df, "ts", "10 minutes", "5 minutes", None, F.count("*").alias("n")).collect()
+    starts = sorted(r["window_start"].minute for r in rows)
+    # event at :00 belongs to windows starting :55(prev hour) and :00
+    assert starts == [0, 55]
+
+
+def test_session_gap_merge(spark):
+    df = make(spark, [0, 4, 8, 30, 33])  # gap 10min → two sessions
+    rows = session(df, "ts", "10 minutes", None, F.count("*").alias("n")).collect()
+    got = sorted(
+        (r["session_start"].minute, r["session_end"].minute, r["n"]) for r in rows
+    )
+    # session end = last event + gap
+    assert got == [(0, 18, 3), (30, 43, 2)]
