@@ -20,6 +20,19 @@ Everything here is batch/streaming dual: bounded pipelines run as plain
 DataFrame jobs; unbounded ones ride Structured Streaming.
 """
 
+import os as _os
+
+# Spark Python workers unpickle our stateful/pandas UDFs by importing
+# this package; make sure the repo root is importable in worker
+# processes regardless of the driver's cwd. Must run before the JVM
+# starts (workers inherit the driver process environment in local mode;
+# on a cluster, ship the package with --py-files instead).
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo_root not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _repo_root + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+    ).rstrip(_os.pathsep)
+
 from min_flink_spark.core.env import StreamExecutionEnvironment
 from min_flink_spark.core.stream import KeyedStream, Stream
 from min_flink_spark.session import get_spark

@@ -1,0 +1,69 @@
+"""Streaming-mode queries for the oracle gate.
+
+Each runs a real Structured Streaming query (AvailableNow trigger) over
+the testdata parquet as a file-source stream and returns the
+materialized sink. With bounded input the update-mode final state
+equals the batch answer, so the DuckDB oracle is the same SQL as the
+batch twin — this checks the STREAMING execution path end-to-end
+(shuffle → state store → sink), not just the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from min_flink_spark.registry import query
+from min_flink_spark.streaming.runner import run_to_completion, stream_parquet
+from min_flink_spark.streaming.stateful import RunningReduceFunction, process_keyed
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+@query(
+    "streaming_wordcount",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+          FROM documents)
+    WHERE length(word) > 0
+    GROUP BY word
+    """,
+)
+def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference acceptance program on the real streaming path:
+    readStream → flatMap → filter → keyBy → update-mode count."""
+    s = stream_parquet(spark, f"{sf_dir}/documents.parquet", DOCS_SCHEMA)
+    counts = (
+        s.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_to_completion(counts, output_mode="update")
+
+
+@query(
+    "streaming_running_reduce",
+    oracle="""
+    SELECT user_id, event_id, value,
+           sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running
+    FROM events
+    """,
+)
+def q_streaming_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous keyed reduce on the streaming stateful path
+    (applyInPandasWithState): per-record emission of running partials
+    (StreamGroupedReduce.java:35-53), checked against the batch
+    window-cumsum oracle."""
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    fn = RunningReduceFunction("user_id", "event_id", "value", "sum")
+    return run_to_completion(
+        process_keyed(s, ["user_id"], fn, output_mode="update"), output_mode="update"
+    )

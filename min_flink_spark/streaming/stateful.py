@@ -1,0 +1,130 @@
+"""Keyed stateful processing — the reference's hardest-to-map feature.
+
+The reference's contract (SURVEY §2.8): per-key ``ValueState`` (the only
+state kind, ``FC/api/common/state/KeyedStateStore.java:74``), a
+continuously-emitting keyed reduce (``StreamGroupedReduce.java:11-54``),
+and a vestigial ``KeyedProcessFunction`` (``FSJ/api/functions/
+KeyedProcessFunction.java`` — processElement + onTimer, never wired to
+the API). Spark-side this is ``applyInPandasWithState``: per-key
+GroupState + processing-time timeouts, Arrow-batched.
+
+``KeyedProcessFunction`` here is the user-facing class; ``process_keyed``
+wires it into a streaming plan. State is a single Row matching
+``state_schema`` (= ValueState semantics); ``on_timeout`` ≈ the
+reference's timer callback (processing-time only — exactly the trim's
+capability, ``StreamSourceContexts.java:41-47``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+class KeyedProcessFunction:
+    """Subclass and override. Rows arrive as pandas DataFrames per key;
+    ``state`` is a tuple (or None on first call) matching state_schema."""
+
+    #: Spark DDL schema strings
+    state_schema: str = ""
+    output_schema: str = ""
+
+    def process_element(
+        self, key: tuple, rows: pd.DataFrame, state: tuple | None
+    ) -> tuple[pd.DataFrame | None, tuple | None]:
+        """Return (output rows or None, new state or None-to-clear)."""
+        raise NotImplementedError
+
+    def on_timeout(self, key: tuple, state: tuple | None) -> tuple[pd.DataFrame | None, tuple | None]:
+        return None, None
+
+
+def process_keyed(
+    df: DataFrame,
+    keys: list[str],
+    fn: KeyedProcessFunction,
+    output_mode: str = "update",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Wire a KeyedProcessFunction into a (streaming) grouped plan.
+
+    One shuffle on the key; state lives in the executor-side state store
+    partitioned identically, so a key's records and state are always
+    co-located — the same layout the reference builds with key-group
+    hash partitioning (KeyGroupStreamPartitioner.java:32-56).
+    """
+
+    def _handle(key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        current: tuple | None = tuple(state.get) if state.exists else None
+        if state.hasTimedOut:
+            out, new_state = fn.on_timeout(key, current)
+            if new_state is None:
+                state.remove()
+            else:
+                state.update(new_state)
+            if out is not None and len(out):
+                yield out
+            return
+        for pdf in pdf_iter:
+            out, current = fn.process_element(key, pdf, current)
+            if out is not None and len(out):
+                yield out
+        if current is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(current)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(*keys).applyInPandasWithState(
+        _handle,
+        outputStructType=fn.output_schema,
+        stateStructType=fn.state_schema,
+        outputMode=output_mode,
+        timeoutConf=timeout_conf,
+    )
+
+
+class RunningReduceFunction(KeyedProcessFunction):
+    """The reference's continuous keyed reduce, exactly: per input
+    record, state ← reduce(state, value) and the updated partial is
+    emitted (StreamGroupedReduce.java:35-53; first record emitted
+    as-is). Order within a batch = ``order_col``.
+    """
+
+    def __init__(self, key_col: str, order_col: str, value_col: str, op: str = "sum"):
+        self.key_col, self.order_col, self.value_col, self.op = key_col, order_col, value_col, op
+        self.state_schema = f"acc double"
+        self.output_schema = (
+            f"{key_col} bigint, {order_col} bigint, {value_col} double, running double"
+        )
+
+    def process_element(self, key, rows, state):
+        acc = state[0] if state else None
+        rows = rows.sort_values(self.order_col)
+        out = []
+        for _, r in rows.iterrows():
+            v = float(r[self.value_col])
+            if acc is None:
+                acc = v
+            elif self.op == "sum":
+                acc = acc + v
+            elif self.op == "min":
+                acc = min(acc, v)
+            elif self.op == "max":
+                acc = max(acc, v)
+            out.append((key[0], int(r[self.order_col]), v, acc))
+        return (
+            pd.DataFrame(out, columns=[self.key_col, self.order_col, self.value_col, "running"]),
+            (acc,),
+        )

@@ -1,0 +1,117 @@
+"""Structured Streaming parity tests: update-mode reduce, stateful
+per-record emission, watermark late-data handling."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from min_flink_spark.operators.windows import tumble, with_watermark
+from min_flink_spark.streaming.runner import (
+    run_foreach_batch,
+    run_to_completion,
+    stream_parquet,
+)
+from min_flink_spark.streaming.stateful import RunningReduceFunction, process_keyed
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_streaming_update_mode_sum_matches_batch(spark, sf_dir, events_stream_dir):
+    s = stream_parquet(spark, events_stream_dir, EVENTS_SCHEMA)
+    agg = s.groupBy("user_id").agg(F.sum("value").alias("total"))
+    got = {
+        r["user_id"]: r["total"]
+        for r in run_to_completion(agg, output_mode="update").collect()
+    }
+    want = {
+        r["user_id"]: r["total"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+
+
+def test_stateful_running_reduce_per_record_emission(spark, sf_dir, events_stream_dir):
+    """The continuous keyed reduce (StreamGroupedReduce.java:35-53) on a
+    real stream: one emission per input record, running partials match
+    the batch window-cumsum oracle."""
+    s = stream_parquet(spark, events_stream_dir, EVENTS_SCHEMA)
+    fn = RunningReduceFunction("user_id", "event_id", "value", "sum")
+    out = run_to_completion(
+        process_keyed(s, ["user_id"], fn, output_mode="update"), output_mode="update"
+    )
+    got = {(r["user_id"], r["event_id"]): r["running"] for r in out.collect()}
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from min_flink_spark.functions.aggregations import running_reduce_plan
+
+    want = {
+        (r["user_id"], r["event_id"]): r["running_sum_value"]
+        for r in running_reduce_plan(
+            batch, ["user_id"], "value", "sum", "event_id"
+        ).collect()
+    }
+    assert len(got) == len(want)  # one emission per input record
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with watermark across two bounded runs
+    sharing a checkpoint: the second run's input is far behind the
+    persisted watermark and must be dropped (late-data semantics the
+    reference defines but cannot execute, SURVEY §2.9)."""
+    d = str(tmp_path / "late_stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d, exist_ok=True)
+
+    def pipeline():
+        s = stream_parquet(spark, d, "id bigint, ts timestamp")
+        return tumble(
+            with_watermark(s, "ts", "10 minutes"),
+            "ts",
+            "15 minutes",
+            None,
+            F.count("*").alias("n"),
+        )
+
+    collected = []
+
+    def sink(batch_df, _batch_id):
+        collected.extend(batch_df.collect())
+
+    on_time = spark.createDataFrame(
+        [(i, f"2024-01-01 10:{m:02d}:00") for i, m in enumerate([0, 5, 20, 40])],
+        "id bigint, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    on_time.coalesce(1).write.mode("append").parquet(d)
+    run_foreach_batch(pipeline(), sink, output_mode="append", checkpoint_dir=ckpt)
+
+    late = spark.createDataFrame(
+        [(99, "2024-01-01 09:00:00")], "id bigint, ts_s string"
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    late.coalesce(1).write.mode("append").parquet(d)
+    run_foreach_batch(pipeline(), sink, output_mode="append", checkpoint_dir=ckpt)
+
+    starts = {r["window_start"].strftime("%H:%M"): r["n"] for r in collected}
+    # run 2 starts with watermark 10:30 (max 10:40 − 10min): the 09:00
+    # event is late → its window never appears; closed windows emit
+    assert "09:00" not in starts
+    assert starts.get("10:00") == 2
+    assert "10:30" not in starts  # still-open window not emitted in append mode
