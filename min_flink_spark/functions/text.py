@@ -1,0 +1,110 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure JVM-side column expressions (no Python UDFs — these run inside
+whole-stage codegen at 100 TB): tokenization, token/char stats,
+stopword-based language ID, quality scoring, content fingerprinting.
+Every function has an exact ANSI-SQL twin used by the DuckDB oracles in
+``queries/llm.py``; cross-engine determinism comes from md5 (identical
+everywhere) rather than engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny deterministic stopword sets — enough signal for a heuristic
+# language guess; real pipelines would swap in fastText-style models via
+# the same column interface.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "los", "las", "es", "un", "una", "y", "que"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "pour", "sur"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr"]  # deterministic tie-break order
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alnum tokens, empties dropped."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate subword count: alnum runs + punctuation characters —
+    the usual 'tokens ≈ words + punct' pre-tokenizer estimate."""
+    return token_count(text) + F.length(
+        F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+    )
+
+
+def avg_token_len(text: Column) -> Column:
+    t = tokens(text)
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        / F.size(t),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of DISTINCT stopwords of ``lang`` present."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(text)),
+            F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
+        )
+    )
+
+
+def language_guess(text: Column) -> Column:
+    """Argmax of stopword hits; ties and evaluation order follow
+    LANG_PRIORITY (a first-match CASE chain — the SQL oracle is the
+    same chain, so the semantics are identical by construction)."""
+    scores = {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
+    expr = None
+    for lang in LANG_PRIORITY:
+        cond = scores[lang] > 0
+        for other in LANG_PRIORITY:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    d = F.array_distinct(tokens(text))
+    return F.when(
+        F.size(d) > 0, stopword_hits(text, "en").cast("double") / F.size(d)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Cheap doc-quality heuristic in [0,1]: enough tokens + natural
+    stopword density."""
+    return (
+        F.least(token_count(text) / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0)) * 0.5
+    )
+
+
+def normalize(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), TOKEN_SPLIT_RE, " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text — whitespace/
+    punctuation/case-insensitive exact-dup key."""
+    return F.md5(normalize(text))

