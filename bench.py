@@ -1,0 +1,79 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Every timed run materializes the full result (collect) so the number
+covers scan → shuffle → sink, not just plan construction. A trivial
+warmup action first absorbs JVM/executor startup so per-query times
+reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from min_flink_spark.queries import QUERIES  # noqa: E402
+from min_flink_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family — scan/agg, star join, join+topk,
+# analytic windows, event-time windows (incl. session), text flatMap,
+# minhash dedup, vector search, streaming stateful path.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "shipping_priority",
+    "left_join_order_item_stats",
+    "window_rank_lag",
+    "tumbling_window_daily",
+    "session_window_4h",
+    "flatmap_wordcount",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+    "streaming_running_reduce",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="min-flink-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the biggest table to spin up executors/codegen
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

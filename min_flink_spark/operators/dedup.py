@@ -36,20 +36,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (posexplode + self-
-    zip via array slicing — stays JVM-side)."""
-    toks = tokens(F.col(text_col))
+    """Distinct word n-gram shingles per document, fully JVM-side.
+
+    The token array is projected ONCE before the shingle transform —
+    referencing ``tokens(text)`` inside the lambda would re-run the
+    regex split per sequence element (O(tokens²) splits per doc).
+    ``array_distinct`` dedupes within the doc, so no cross-row distinct
+    (and its shuffle) is needed afterwards.
+    """
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
         )
     )
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .filter(F.size(F.split(F.col("shingle"), " ")) == n)
-        .distinct()
+    return toks_df.select(F.col(id_col), F.explode(sh).alias("shingle")).filter(
+        F.size(F.split(F.col("shingle"), " ")) == n
     )
+
+
+MINHASH_PRIME = 2147483647  # 2^31 − 1
 
 
 def minhash_signatures(
@@ -57,12 +64,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """K minhashes per doc as K agg columns over one shingle table.
 
-    h_i(doc) = min over shingles of md5(i || '|' || shingle): string-min
-    of a cryptographic hash is a valid random permutation minimum, and
-    is bit-identical across engines.
+    ONE md5 per shingle yields two 32-bit integers (a, b); permutation i
+    is the affine family h_i = (a·(i+1) + b) mod (2^31−1) — the standard
+    minhash construction, engine-independent (md5 + integer arithmetic),
+    and 16× cheaper than hashing per permutation.
     """
+    hex_ = F.md5(F.col("shingle"))
+    a = F.conv(F.substring(hex_, 1, 8), 16, 10).cast("bigint")
+    b = F.conv(F.substring(hex_, 9, 8), 16, 10).cast("bigint")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.pmod(a * (i + 1) + b, F.lit(MINHASH_PRIME))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

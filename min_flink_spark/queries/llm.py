@@ -199,8 +199,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
+    a = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+    b = "CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)"
     mh_cols = ",\n           ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+        f"min(({a} * {i + 1} + {b}) % 2147483647) AS mh{i}"
+        for i in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sigs".format(

@@ -110,21 +110,30 @@ class RunningReduceFunction(KeyedProcessFunction):
         )
 
     def process_element(self, key, rows, state):
-        acc = state[0] if state else None
+        import numpy as np
+
         rows = rows.sort_values(self.order_col)
-        out = []
-        for _, r in rows.iterrows():
-            v = float(r[self.value_col])
-            if acc is None:
-                acc = v
-            elif self.op == "sum":
-                acc = acc + v
-            elif self.op == "min":
-                acc = min(acc, v)
-            elif self.op == "max":
-                acc = max(acc, v)
-            out.append((key[0], int(r[self.order_col]), v, acc))
-        return (
-            pd.DataFrame(out, columns=[self.key_col, self.order_col, self.value_col, "running"]),
-            (acc,),
+        v = rows[self.value_col].to_numpy(dtype="float64")
+        # vectorized running aggregate, seeded with prior state: the
+        # per-record emission contract with none of the per-row Python
+        if self.op == "sum":
+            running = np.cumsum(v)
+            if state is not None:
+                running = running + state[0]
+        elif self.op == "min":
+            running = np.minimum.accumulate(
+                np.minimum(v, state[0]) if state is not None else v
+            )
+        else:  # max
+            running = np.maximum.accumulate(
+                np.maximum(v, state[0]) if state is not None else v
+            )
+        out = pd.DataFrame(
+            {
+                self.key_col: key[0],
+                self.order_col: rows[self.order_col].to_numpy(),
+                self.value_col: v,
+                "running": running,
+            }
         )
+        return out, (float(running[-1]) if len(running) else (state[0] if state else None),)
