@@ -128,6 +128,17 @@ class Stream:
         """Custom sink (SinkFunction.java): fn receives the DataFrame."""
         fn(self.df)
 
+    def observe(self, name: str, *metrics: Column):
+        """Job-level metric side channel — the reference's accumulators
+        (FC/api/common/accumulators/, merged at job end) as
+        ``df.observe``: metrics piggyback on the job, no second pass.
+        Returns (stream, Observation); read ``observation.get`` after an
+        action."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        return Stream(self.df.observe(obs, *metrics)), obs
+
 
 class KeyedStream(Stream):
     """Stream with key columns attached; keyed aggregates live here.

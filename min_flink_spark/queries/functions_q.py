@@ -1,0 +1,93 @@
+"""Scalar-function surface (SURVEY §2.6).
+
+The reference has NO scalar function library — all record-level compute
+is user Java lambdas. In the Spark engine the entire
+``pyspark.sql.functions`` namespace is the replacement; these queries
+pin a representative sampler (string / date / math / conditional /
+JSON) against DuckDB so the cross-engine semantics are oracle-checked,
+not assumed. Functions with engine-divergent semantics (round modes,
+day-of-week numbering) are deliberately excluded — the engine exposes
+them, but parity claims stop at ANSI-consistent behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from min_flink_spark.registry import query
+from min_flink_spark.sources import load_table
+
+
+@query(
+    "scalar_function_sampler",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           upper(l_returnflag) || '/' || lower(l_linestatus) AS flag_status,
+           substr(l_returnflag || l_linestatus, 1, 2) AS code2,
+           length(concat_ws('-', l_returnflag, l_linestatus)) AS code_len,
+           lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS line_padded,
+           reverse(l_returnflag || l_linestatus) AS rev_code,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+           CAST(day(l_shipdate) AS BIGINT) AS ship_day,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_bucket,
+           sqrt(l_extendedprice) AS price_sqrt,
+           ln(1 + l_extendedprice) AS price_ln,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'large' END AS qty_class
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def q_scalar_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(F.upper("l_returnflag"), F.lit("/"), F.lower("l_linestatus")).alias(
+            "flag_status"
+        ),
+        F.substring(F.concat("l_returnflag", "l_linestatus"), 1, 2).alias("code2"),
+        F.length(F.concat_ws("-", "l_returnflag", "l_linestatus")).alias("code_len"),
+        F.lpad(F.col("l_linenumber").cast("string"), 3, "0").alias("line_padded"),
+        F.reverse(F.concat("l_returnflag", "l_linestatus")).alias("rev_code"),
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        F.month("l_shipdate").cast("bigint").alias("ship_month"),
+        F.dayofmonth("l_shipdate").cast("bigint").alias("ship_day"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.ceil(F.col("l_quantity") / 10).alias("qty_bucket"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.log(F.lit(1) + F.col("l_extendedprice")).alias("price_ln"),
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("large")
+        .alias("qty_class"),
+    )
+
+
+@query(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_avg,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column access (get_json_object ≈ DuckDB json_extract) +
+    aggregation — the semi-structured column path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.avg(k).alias("k_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )

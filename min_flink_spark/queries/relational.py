@@ -337,3 +337,108 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         order_by=[F.col("revenue").desc(), F.col("l_orderkey").asc()],
     )
+
+
+@query(
+    "cube_order_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           sum(o_totalprice) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all absent in the reference (SURVEY §2.4
+    'grouping sets / cube / rollup: absent'); one shuffle, the grouping
+    expansion happens map-side."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "full_outer_join_balances",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal, o.total_spent
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+    FULL OUTER JOIN (
+      SELECT o_custkey, sum(o_totalprice) AS total_spent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total_spent"))
+    )
+    return rich.join(
+        urgent, on=F.col("c_custkey") == F.col("o_custkey"), how="full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "total_spent",
+    )
+
+
+@query(
+    "cross_join_status_grid",
+    oracle="""
+    SELECT r_name, s.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    statuses = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(statuses)
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    SELECT b.band_id, CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice) AS band_revenue
+    FROM orders o
+    JOIN (SELECT i AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+          FROM (SELECT unnest(generate_series(0, 9)) AS i)) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: fact rows land in value bands via a
+    non-equi condition. The band table is tiny → broadcast nested-loop,
+    the only sane physical plan; the fact side never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            on=(F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("band_revenue"),
+        )
+    )

@@ -67,3 +67,62 @@ def q_streaming_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         process_keyed(s, ["user_id"], fn, output_mode="update"), output_mode="update"
     )
+
+
+@query(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window on the STREAMING path (update mode —
+    bounded input arrives as one batch, so the final updates equal the
+    batch answer; watermark-driven append-mode closure is covered by
+    tests/test_streaming.py)."""
+    from min_flink_spark.operators.windows import tumble, with_watermark
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    agg = tumble(
+        with_watermark(s, "ts", "1 hour"),
+        "ts",
+        "1 day",
+        ["event_type"],
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    return run_to_completion(agg, output_mode="update")
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+           sum(e.value) AS total_value
+    FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the static dim is broadcast into
+    every micro-batch (no state, no watermark needed) — the standard
+    dimension-enrichment topology."""
+    from min_flink_spark.sources import load_table
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = s.join(
+        F.broadcast(customer), on=s["user_id"] + 1 == customer["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    return run_to_completion(agg, output_mode="update")

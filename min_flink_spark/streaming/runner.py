@@ -83,6 +83,46 @@ def run_to_completion(
     return df.sparkSession.table(name)
 
 
+def run_until(
+    df: DataFrame,
+    batch_fn,
+    predicate,
+    output_mode: str = "update",
+    checkpoint_dir: str | None = None,
+    trigger_ms: int = 500,
+    timeout_sec: int = 60,
+) -> bool:
+    """Run a continuous micro-batch query until ``predicate()`` is true
+    (or timeout), then stop. This is the harness for pipelines that
+    WAIT for something — processing-time timers in particular:
+    AvailableNow never terminates once a ProcessingTimeTimeout has been
+    registered (the engine keeps scheduling batches for potential timer
+    fires), so bounded runs of timer pipelines must stop themselves.
+    Returns whether the predicate was met."""
+    import time as _time
+
+    w = (
+        df.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+    )
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    try:
+        deadline = _time.monotonic() + timeout_sec
+        while _time.monotonic() < deadline:
+            if predicate():
+                return True
+            if not q.isActive:
+                return predicate()
+            _time.sleep(0.2)
+        return predicate()
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def run_foreach_batch(
     df: DataFrame,
     fn,

@@ -66,6 +66,8 @@ def process_keyed(
                 state.remove()
             else:
                 state.update(new_state)
+                if timeout_ms is not None:
+                    state.setTimeoutDuration(timeout_ms)
             if out is not None and len(out):
                 yield out
             return
@@ -78,8 +80,11 @@ def process_keyed(
                 state.remove()
         else:
             state.update(current)
-        if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
+            # A live timeout keeps the micro-batch engine scheduling
+            # batches until it fires — register one only while state
+            # exists, or an AvailableNow run never terminates.
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
 
     timeout_conf = (
         GroupStateTimeout.ProcessingTimeTimeout

@@ -1,0 +1,146 @@
+"""Stream-stream join, watermarked dedup, and stateful timers."""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from min_flink_spark.streaming.runner import (
+    run_foreach_batch,
+    run_to_completion,
+    run_until,
+    stream_parquet,
+)
+from min_flink_spark.streaming.stateful import KeyedProcessFunction, process_keyed
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ev_adv"))
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_dir):
+    """Two watermarked streams, equi-key + time-interval condition —
+    the state-bounded stream-stream join; result equals the batch join
+    with the identical predicate."""
+    clicks = (
+        stream_parquet(spark, events_dir, EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    signups = (
+        stream_parquet(spark, events_dir, EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 hour")
+    )
+    joined = clicks.join(
+        signups,
+        on=(F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("click_ts"))
+        & (F.col("signup_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 DAY")),
+    ).select("user_id", "click_id", "signup_id")
+    got = run_to_completion(joined, output_mode="append").count()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    want = (
+        c.join(
+            s,
+            on=(F.col("user_id") == F.col("s_user_id"))
+            & (F.col("signup_ts") <= F.col("click_ts"))
+            & (F.col("signup_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 DAY")),
+        )
+    ).count()
+    assert got == want and got > 0
+
+
+def test_streaming_dedup_with_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicates on a stream: duplicated input collapses to one
+    row per event_id (keyed dedup state bounded by watermark)."""
+    d = str(tmp_path / "dup_stream")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    ev.coalesce(1).write.mode("append").parquet(d)
+    ev.coalesce(1).write.mode("append").parquet(d)  # exact duplicate file
+
+    s = stream_parquet(spark, d, EVENTS_SCHEMA)
+    dedup = s.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    got = run_to_completion(dedup, output_mode="append").count()
+    assert got == 500
+
+
+class FlushOnTimeout(KeyedProcessFunction):
+    """Counts rows per key; on processing-time timeout, flushes the
+    count and clears state (the reference's vestigial
+    KeyedProcessFunction.onTimer contract, SURVEY §2.8)."""
+
+    state_schema = "cnt bigint"
+    output_schema = "user_id bigint, cnt bigint, flushed boolean"
+
+    def process_element(self, key, rows, state):
+        cnt = (state[0] if state else 0) + len(rows)
+        return None, (cnt,)  # buffer only; emit on timer
+
+    def on_timeout(self, key, state):
+        out = pd.DataFrame(
+            {"user_id": [key[0]], "cnt": [state[0] if state else 0], "flushed": [True]}
+        )
+        return out, None  # emit + clear
+
+
+def test_processing_time_timer_flush(spark, tmp_path):
+    """Timer path end-to-end: elements buffer into state with a 500 ms
+    processing-time timeout; on_timeout flushes the buffered count and
+    clears state. Runs under run_until because AvailableNow cannot
+    terminate once processing-time timers exist."""
+    d = str(tmp_path / "timer_stream")
+    ckpt = str(tmp_path / "timer_ckpt")
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], "user_id bigint, v double"
+    ).coalesce(1).write.mode("append").parquet(d)
+    s = stream_parquet(spark, d, "user_id bigint, v double")
+    out = process_keyed(
+        s, ["user_id"], FlushOnTimeout(), output_mode="update", timeout_ms=500
+    )
+    met = run_until(
+        out,
+        sink,
+        predicate=lambda: len(collected) >= 2,
+        output_mode="update",
+        checkpoint_dir=ckpt,
+        timeout_sec=90,
+    )
+    assert met, f"timers never fired; got {collected}"
+    flushed = {r["user_id"]: r["cnt"] for r in collected if r["flushed"]}
+    assert flushed.get(1) == 2 and flushed.get(2) == 1
+    assert all(r["flushed"] for r in collected)  # nothing emitted pre-timer

@@ -1,0 +1,123 @@
+"""Type-system round-trip (FIXTURES §2 typed_row) + opaque-UDF paths +
+accumulator/observe metrics."""
+
+from datetime import date, datetime
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from min_flink_spark import Stream
+
+TYPED_SCHEMA = StructType(
+    [
+        StructField("b", BooleanType()),
+        StructField("i8", ByteType()),
+        StructField("i16", ShortType()),
+        StructField("i32", IntegerType()),
+        StructField("i64", LongType()),
+        StructField("f32", FloatType()),
+        StructField("f64", DoubleType()),
+        StructField("s", StringType()),
+        StructField("dec", DecimalType(38, 18)),       # BigDecimal
+        StructField("bigint_dec", DecimalType(38, 0)),  # BigInteger
+        StructField("d", DateType()),
+        StructField("ts", TimestampType()),
+        StructField(
+            "pojo",
+            StructType(
+                [StructField("name", StringType()), StructField("score", IntegerType())]
+            ),
+        ),
+        StructField(
+            "tup",
+            StructType(
+                [StructField("_1", StringType()), StructField("_2", IntegerType())]
+            ),
+        ),
+        StructField("arr", ArrayType(IntegerType())),  # ListTypeInfo
+        StructField(
+            "either",  # Either → tagged struct
+            StructType(
+                [
+                    StructField("tag", StringType()),
+                    StructField("left", StringType()),
+                    StructField("right", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+TYPED_ROW = (
+    True, 7, 300, 70000, 8_000_000_000, 1.5, 2.25, "hello",
+    Decimal("1.234567890123456789"), Decimal("98765432109876543210"),
+    date(2024, 1, 15), datetime(2024, 1, 15, 12, 30, 45),
+    Row(name="ada", score=42), Row(_1="x", _2=9), [1, 2, 3],
+    Row(tag="left", left="oops", right=None),
+)
+
+
+def test_typed_row_roundtrip(spark):
+    """Every reference type (SURVEY §1.2) lands on a Catalyst type and
+    survives a round trip."""
+    df = spark.createDataFrame([TYPED_ROW], TYPED_SCHEMA)
+    r = df.collect()[0]
+    assert r["i64"] == 8_000_000_000 and r["f64"] == 2.25
+    assert r["dec"] == Decimal("1.234567890123456789")
+    assert r["bigint_dec"] == Decimal("98765432109876543210")
+    assert r["d"] == date(2024, 1, 15)
+    assert r["pojo"]["name"] == "ada" and r["tup"]["_2"] == 9
+    assert r["arr"] == [1, 2, 3] and r["either"]["tag"] == "left"
+
+
+def test_field_expression_access(spark):
+    """Dotted field expressions (FieldAccessorFactory.java:52-190):
+    'pojo.name' and positional '_1' address nested fields."""
+    df = spark.createDataFrame([TYPED_ROW], TYPED_SCHEMA)
+    got = df.select(
+        F.col("pojo.name").alias("n"), F.col("tup._1").alias("p0")
+    ).collect()[0]
+    assert got["n"] == "ada" and got["p0"] == "x"
+
+
+def test_map_rows_pandas_path(spark):
+    """Opaque MapFunction path: Arrow-batched mapInPandas."""
+    s = Stream(spark.createDataFrame([(i,) for i in range(100)], "x int"))
+
+    def double_even(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[pdf["x"] % 2 == 0].copy()
+        out["y"] = out["x"] * 2
+        return out[["y"]]
+
+    rows = s.map_rows(double_even, "y int").collect()
+    assert sorted(r["y"] for r in rows) == [i * 2 for i in range(0, 100, 2)]
+
+
+def test_observe_accumulator(spark):
+    """Accumulator analog: metrics collected during the job, no second
+    pass (AccumulatorHelper.java merge-at-job-end semantics)."""
+    s = Stream(spark.createDataFrame([(i,) for i in range(50)], "x int"))
+    observed, obs = s.observe(
+        "m", F.count(F.lit(1)).alias("rows_seen"), F.sum("x").alias("x_sum")
+    )
+    result = observed.filter(F.col("x") >= 0).collect()
+    assert len(result) == 50
+    assert obs.get["rows_seen"] == 50 and obs.get["x_sum"] == sum(range(50))
