@@ -6,6 +6,7 @@ from min_flink_spark.registry import ORACLE, QUERIES
 from min_flink_spark.queries import core_surface  # noqa: F401
 from min_flink_spark.queries import functions_q  # noqa: F401
 from min_flink_spark.queries import llm  # noqa: F401
+from min_flink_spark.queries import pipeline_q  # noqa: F401
 from min_flink_spark.queries import relational  # noqa: F401
 from min_flink_spark.queries import streaming_q  # noqa: F401
 from min_flink_spark.queries import windows  # noqa: F401
