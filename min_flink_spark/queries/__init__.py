@@ -3,6 +3,7 @@
 from min_flink_spark.registry import ORACLE, QUERIES
 
 # Importing a module registers its queries via the @query decorator.
+from min_flink_spark.queries import analytics_q  # noqa: F401
 from min_flink_spark.queries import core_surface  # noqa: F401
 from min_flink_spark.queries import functions_q  # noqa: F401
 from min_flink_spark.queries import llm  # noqa: F401

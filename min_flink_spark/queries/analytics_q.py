@@ -1,0 +1,158 @@
+"""Round-out analytics: pivot, percentiles, correlated subqueries,
+approximate aggregates, duplicate clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from min_flink_spark.operators.dedup import minhash_lsh_pairs
+from min_flink_spark.operators.graph import connected_components
+from min_flink_spark.registry import query
+from min_flink_spark.sources import load_table, register_views
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): one shuffle, values pinned
+    so the output schema is static — required for a deterministic
+    contract (and for Spark to skip the value-discovery job)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.9)  AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). Exact percentile sorts per group — at 100 TB
+    switch to `approx_percentile` (t-digest, mergeable, one pass),
+    exposed below as the rows-only twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query("approx_aggregates")  # rows-only: sketch results are engine-specific
+def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB path for distincts/percentiles
+    (HLL / t-digest: mergeable, single-pass, bounded memory). No SQL
+    oracle because sketch estimates are engine-specific; the error
+    bound vs exact is asserted in tests/test_analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "correlated_subquery_big_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > (SELECT 1.8 * avg(o2.o_totalprice)
+                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the engine's SQL entry point —
+    Catalyst decorrelates it into an aggregate + join (no per-row
+    re-execution, unlike the naive reading)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE o_totalprice > (SELECT 1.8 * avg(o2.o_totalprice)
+                              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, 1, greatest(length(text) - 25, 10)) FROM documents
+    ),
+    tokens AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> length(x) > 0) AS toks FROM corpus
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]) AS shingle
+      FROM tokens, LATERAL (SELECT unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS i) g
+      WHERE i + 3 <= len(toks)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk (node, component) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.component FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.component < e.u OR w.component < e.v
+    )
+    SELECT node, CAST(min(component) AS BIGINT) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact-Jaccard(≥0.5) pairs → iterative min-label
+    propagation (operators/graph.py). The oracle computes the same
+    components with a recursive CTE — an iterative distributed
+    algorithm checked against recursive SQL."""
+    from min_flink_spark.operators.dedup import ngram_jaccard_pairs
+    from min_flink_spark.queries.llm import _spark_near_corpus
+
+    pairs = ngram_jaccard_pairs(
+        _spark_near_corpus(spark, sf_dir), threshold=0.5
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        "node", F.col("component").cast("bigint").alias("component")
+    )

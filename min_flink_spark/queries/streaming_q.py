@@ -126,3 +126,43 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
     )
     return run_to_completion(agg, output_mode="update")
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL '4 hours' THEN 0 ELSE 1 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '4 hours' AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on the streaming path: stateful session merge in
+    the streaming aggregation operator (update mode; bounded input in
+    one batch ⇒ final sessions equal the batch gaps-and-islands
+    answer). Session-window streaming aggregation rejects update mode
+    (merging sessions can shrink keys), so this runs in complete mode."""
+    from min_flink_spark.operators.windows import session, with_watermark
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    agg = session(
+        with_watermark(s, "ts", "1 hour"),
+        "ts",
+        "4 hours",
+        ["user_id"],
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    return run_to_completion(agg, output_mode="complete")
