@@ -91,3 +91,23 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(k).alias("k_avg"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "regexp_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_via_regex,
+           regexp_matches(props, '"k": \\d\\d') AS has_2digit_k
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/matching — identical RE2-style semantics pinned
+    across engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k_via_regex"),
+        F.col("props").rlike(r'"k": \d\d').alias("has_2digit_k"),
+    )

@@ -442,3 +442,35 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("band_revenue"),
         )
     )
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS last_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist/
+    first_value/last_value) — same single-exchange shape as ranking."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w_full).alias("last_v"),
+    )

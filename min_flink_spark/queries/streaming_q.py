@@ -62,11 +62,17 @@ def q_streaming_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (applyInPandasWithState): per-record emission of running partials
     (StreamGroupedReduce.java:35-53), checked against the batch
     window-cumsum oracle."""
+    from min_flink_spark.streaming.runner import shuffle_partitions
+
     s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
     fn = RunningReduceFunction("user_id", "event_id", "value", "sum")
-    return run_to_completion(
-        process_keyed(s, ["user_id"], fn, output_mode="update"), output_mode="update"
-    )
+    # ~1.5k keys: 8 state partitions beat the batch default (each one
+    # costs a state-store instance + an Arrow round-trip per batch)
+    with shuffle_partitions(spark, 8):
+        return run_to_completion(
+            process_keyed(s, ["user_id"], fn, output_mode="update"),
+            output_mode="update",
+        )
 
 
 @query(

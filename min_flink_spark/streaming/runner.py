@@ -25,6 +25,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def shuffle_partitions(spark: SparkSession, n: int):
+    """Scoped override of the shuffle width — for stateful streaming
+    queries whose state-store partition count is pinned at first run.
+    Restores the previous value on exit so batch queries keep the
+    session default."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def stream_parquet(
     spark: SparkSession, path: str, schema: StructType | str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

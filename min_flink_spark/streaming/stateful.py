@@ -56,7 +56,12 @@ def process_keyed(
     partitioned identically, so a key's records and state are always
     co-located — the same layout the reference builds with key-group
     hash partitioning (KeyGroupStreamPartitioner.java:32-56).
-    """
+
+    Partition-count note: the stateful shuffle width is fixed at the
+    query's FIRST run (state stores cannot re-partition); each partition
+    costs a state-store instance + an Arrow/Python round-trip per batch.
+    Wrap query start in ``runner.shuffle_partitions(spark, n)`` to size
+    it to key volume rather than the batch default."""
 
     def _handle(key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
         current: tuple | None = tuple(state.get) if state.exists else None
