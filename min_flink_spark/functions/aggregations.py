@@ -90,9 +90,12 @@ def keyed_extremal_record(
             if numeric:
                 cmp = F.struct(F.col(field), -F.col(order_by))
             else:
+                # Reversed-tie cases reaching this branch: (max, first)
+                # wants the EARLIEST arrival among maxima (order asc),
+                # (min, last) the LATEST among minima (order desc).
                 w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
                     F.col(field).asc() if op == "min" else F.col(field).desc(),
-                    F.col(order_by).desc(),
+                    F.col(order_by).asc() if first else F.col(order_by).desc(),
                 )
                 return (
                     df.withColumn("_rn", F.row_number().over(w))

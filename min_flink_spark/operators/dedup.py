@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from min_flink_spark.functions.hashing import md5_prefix_int
 from min_flink_spark.functions.text import fingerprint, tokens
 
 
@@ -69,9 +70,8 @@ def minhash_signatures(
     minhash construction, engine-independent (md5 + integer arithmetic),
     and 16× cheaper than hashing per permutation.
     """
-    hex_ = F.md5(F.col("shingle"))
-    a = F.conv(F.substring(hex_, 1, 8), 16, 10).cast("bigint")
-    b = F.conv(F.substring(hex_, 9, 8), 16, 10).cast("bigint")
+    a = md5_prefix_int(F.col("shingle"), 1)
+    b = md5_prefix_int(F.col("shingle"), 9)
     aggs = [
         F.min(F.pmod(a * (i + 1) + b, F.lit(MINHASH_PRIME))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -178,7 +178,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    h = md5_prefix_int(F.col("tok"))
     votes = [
         F.sum(
             (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")

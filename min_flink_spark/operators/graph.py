@@ -54,12 +54,13 @@ def connected_components(
                 F.col("component").alias("_old"),
             )
         )
+        # Materialize FIRST (truncates the exponentially growing lineage
+        # of iterative plans), then derive both the convergence flag and
+        # the next labels from the checkpointed frame — one execution
+        # per round, not two.
+        updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("component") != F.col("_old")).limit(1).count()
         labels = updated.drop("_old")
-        # Materialize per round: truncates the exponentially growing
-        # lineage (iterative plans otherwise re-execute from scratch
-        # every iteration and eventually blow the optimizer up).
-        labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels

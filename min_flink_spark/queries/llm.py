@@ -75,12 +75,6 @@ def _spark_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
-# Spark's substring(col, pos, len) accepts column length only via expr;
-# guard once here.
-def _substr_trunc(spark_docs: DataFrame) -> DataFrame:
-    return spark_docs
-
-
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -84,10 +84,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hash_bucket(col, buckets: int = 100):
     """Deterministic [0, buckets) bucket from md5 — the reproducible
     sampling primitive (engine-independent, repartition-stable)."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint"),
-        F.lit(buckets),
-    )
+    from min_flink_spark.functions.hashing import md5_prefix_int
+
+    return F.pmod(md5_prefix_int(col.cast("string")), F.lit(buckets))
 
 
 @query(

@@ -215,7 +215,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter((F.col("event_type") == "click") & (F.col("value") > 120)).select("user_id")
     signups = ev.filter((F.col("event_type") == "signup") & (F.col("value") > 120)).select("user_id")
     purchases = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 180)).select("user_id")
-    return clicks.intersect(signups).exceptAll(purchases.distinct())
+    return clicks.intersect(signups).subtract(purchases)
 
 
 @query(

@@ -32,6 +32,13 @@ class KeyedProcessFunction:
     #: Spark DDL schema strings
     state_schema: str = ""
     output_schema: str = ""
+    #: When True, all Arrow chunks of a key's batch are concatenated
+    #: before process_element — REQUIRED for order-sensitive logic
+    #: (chunks arrive in shuffle order, split at
+    #: spark.sql.execution.arrow.maxRecordsPerBatch; sorting within a
+    #: chunk is not sorting within the batch). Costs one key-group in
+    #: memory, same bound as applyInPandas.
+    needs_full_group: bool = False
 
     def process_element(
         self, key: tuple, rows: pd.DataFrame, state: tuple | None
@@ -76,10 +83,18 @@ def process_keyed(
             if out is not None and len(out):
                 yield out
             return
-        for pdf in pdf_iter:
-            out, current = fn.process_element(key, pdf, current)
-            if out is not None and len(out):
-                yield out
+        if fn.needs_full_group:
+            chunks = [p for p in pdf_iter if len(p)]
+            if chunks:
+                merged = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+                out, current = fn.process_element(key, merged, current)
+                if out is not None and len(out):
+                    yield out
+        else:
+            for pdf in pdf_iter:
+                out, current = fn.process_element(key, pdf, current)
+                if out is not None and len(out):
+                    yield out
         if current is None:
             if state.exists:
                 state.remove()
@@ -112,9 +127,13 @@ class RunningReduceFunction(KeyedProcessFunction):
     as-is). Order within a batch = ``order_col``.
     """
 
+    needs_full_group = True  # running order spans all chunks of a batch
+
     def __init__(self, key_col: str, order_col: str, value_col: str, op: str = "sum"):
+        if op not in ("sum", "min", "max"):
+            raise ValueError(f"unsupported running-reduce op: {op!r}")
         self.key_col, self.order_col, self.value_col, self.op = key_col, order_col, value_col, op
-        self.state_schema = f"acc double"
+        self.state_schema = "acc double"
         self.output_schema = (
             f"{key_col} bigint, {order_col} bigint, {value_col} double, running double"
         )

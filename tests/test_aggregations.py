@@ -101,3 +101,23 @@ def test_events_table_semantics(spark, sf_dir):
     ev = Stream(spark.read.parquet(f"{sf_dir}/events.parquet"))
     out = ev.key_by("user_id").sum("value", order_by="event_id").collect()
     assert len(out) > 0
+
+
+def test_max_by_tie_first_timestamp_order(spark):
+    """Regression: the window fallback (non-numeric order column) must
+    tie-break (max, first=True) toward the EARLIEST arrival."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            ("k", datetime(2024, 1, 1), 10.0, "early"),
+            ("k", datetime(2024, 1, 2), 10.0, "late"),
+        ],
+        "k string, ts timestamp, v double, tag string",
+    )
+    from min_flink_spark.functions.aggregations import keyed_extremal_record
+
+    first = keyed_extremal_record(df, ["k"], "v", "max", "ts", first=True).collect()[0]
+    assert first["tag"] == "early"
+    last = keyed_extremal_record(df, ["k"], "v", "min", "ts", first=False).collect()[0]
+    assert last["tag"] == "late"

@@ -115,3 +115,38 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert "09:00" not in starts
     assert starts.get("10:00") == 2
     assert "10:30" not in starts  # still-open window not emitted in append mode
+
+
+def test_running_reduce_spans_arrow_chunks(spark, tmp_path):
+    """Regression: one key's rows split across multiple Arrow chunks
+    (maxRecordsPerBatch) must still produce running sums in order_col
+    order, not per-chunk order."""
+    d = str(tmp_path / "chunk_stream")
+    n = 500
+    rows = [(0, i, float(i)) for i in range(n)]
+    import random
+
+    random.Random(7).shuffle(rows)  # physical order != event order
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, value double"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        s = stream_parquet(
+            spark, d, "user_id bigint, event_id bigint, value double"
+        )
+        fn = RunningReduceFunction("user_id", "event_id", "value", "sum")
+        out = run_to_completion(
+            process_keyed(s, ["user_id"], fn, output_mode="update"),
+            output_mode="update",
+        )
+        got = {r["event_id"]: r["running"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert len(got) == n
+    expect = 0.0
+    for i in range(n):
+        expect += float(i)
+        assert got[i] == expect, f"running sum wrong at event {i}"
