@@ -167,3 +167,105 @@ def lsh_bucket_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the scale path for big
+    corpora: k-means-lite coarse quantizer partitions the corpus into
+    ``num_centroids`` cells; each query scores only its ``n_probe``
+    nearest cells (corpus fraction ≈ n_probe/num_centroids).
+
+    Centroids are trained with a few Lloyd iterations from a
+    DETERMINISTIC seeding (md5-hash bucketing picks the initial
+    members), all as DataFrame aggregations — no MLlib dependency, no
+    RNG. Centroids collect to the driver (num_centroids × dim floats —
+    tiny) and re-broadcast as literals; the corpus itself never moves.
+    """
+    from min_flink_spark.functions.hashing import md5_prefix_int
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    dim = len(c.select("_v").first()[0])
+
+    # deterministic init: average of each hash bucket
+    seeded = c.withColumn(
+        "_cell", F.pmod(md5_prefix_int(F.col(id_col).cast("string")), F.lit(num_centroids))
+    )
+    for _ in range(kmeans_iters):
+        cent_rows = (
+            seeded.groupBy("_cell")
+            .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        centroids = {
+            r["_cell"]: [r[f"c{i}"] for i in range(dim)] for r in cent_rows
+        }
+
+        def nearest_cell(vec):
+            # argmin over centroid distances as a fold of when-exprs
+            dist_cols = []
+            for cell, comps in sorted(centroids.items()):
+                cvec = F.array(*[F.lit(x) for x in comps])
+                d = F.aggregate(
+                    F.zip_with(vec, cvec, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                dist_cols.append((cell, d))
+            expr = F.lit(dist_cols[0][0])
+            best = dist_cols[0][1]
+            for cell, d in dist_cols[1:]:
+                expr = F.when(d < best, F.lit(cell)).otherwise(expr)
+                best = F.least(best, d)
+            return expr
+
+        # re-assign + materialize (bounds the literal-heavy lineage)
+        seeded = seeded.withColumn("_cell", nearest_cell(F.col("_v"))).localCheckpoint(
+            eager=True
+        )
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    # query → its n_probe nearest cells (small cross join vs centroid table)
+    cent_table = q.sparkSession.createDataFrame(
+        [(cell, comps) for cell, comps in sorted(centroids.items())],
+        f"cell int, cvec array<double>",
+    )
+    qc = q.crossJoin(F.broadcast(cent_table)).select(
+        query_id_col,
+        "_qv",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_d"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_d").asc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "_qv", "cell")
+    )
+    scored = seeded.join(
+        F.broadcast(probes),
+        on=[seeded["_cell"] == probes["cell"], F.col(id_col) != F.col(query_id_col)],
+    ).select(query_id_col, id_col, cosine(F.col("_qv"), F.col("_v")).alias("cos_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -375,3 +375,66 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length + sha256 oracle-checked."""
     media = media_from_text(load_table(spark, sf_dir, "documents"))
     return extract_features(media, fake=True).select("media_id", "n_bytes", "sha256")
+
+
+@query("ann_ivf_topk")  # approximate by design → rows-only check
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (deterministic k-means-lite coarse
+    quantizer, n_probe cells per query) — the big-corpus ANN path;
+    recall vs brute force asserted in tests."""
+    from min_flink_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, num_centroids=16, n_probe=4
+    )
+
+
+@query(
+    "levenshtein_rerank",
+    oracle=f"""
+    WITH corpus AS ({SQL_CORPUS_NEAR}),
+    {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(substr(ca.text, 1, 80), substr(cb.text, 1, 80)) AS BIGINT)
+             AS edit_dist
+    FROM pairs p
+    JOIN corpus ca ON ca.doc_id = p.doc_a
+    JOIN corpus cb ON cb.doc_id = p.doc_b
+    """,
+)
+def q_levenshtein_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-then-rerank: cheap shingle-Jaccard candidates, exact
+    edit distance only on the candidate pairs (Levenshtein is O(len²) —
+    NEVER run it all-pairs; prefix-bounded to keep the cost fixed)."""
+    from min_flink_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _spark_near_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5).select("doc_a", "doc_b")
+    ta = corpus.select(
+        F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("_ta")
+    )
+    tb = corpus.select(
+        F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("_tb")
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
+        )
+    )
