@@ -144,3 +144,41 @@ def test_processing_time_timer_flush(spark, tmp_path):
     flushed = {r["user_id"]: r["cnt"] for r in collected if r["flushed"]}
     assert flushed.get(1) == 2 and flushed.get(2) == 1
     assert all(r["flushed"] for r in collected)  # nothing emitted pre-timer
+
+
+def test_aggregate_state_carries_across_restarts(spark, sf_dir, tmp_path):
+    """Incremental stateful aggregation across three checkpointed
+    bounded runs: each run adds one input file; the final update per key
+    must equal the batch aggregate over ALL files (state restored from
+    the checkpoint, not recomputed)."""
+    d = str(tmp_path / "carry_stream")
+    ckpt = str(tmp_path / "carry_ckpt")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    # split by event (NOT by key): every user appears in all three runs,
+    # so the final totals are only right if state restores between runs
+    parts = [
+        ev.filter(F.col("event_id") % 3 == i).select("user_id", "value")
+        for i in range(3)
+    ]
+    ev = ev.select("user_id", "value")
+
+    latest = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            latest[r["user_id"]] = r["total"]  # update mode: last write wins
+
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(d)
+        s = stream_parquet(spark, d, "user_id bigint, value double")
+        agg = s.groupBy("user_id").agg(F.sum("value").alias("total"))
+        run_foreach_batch(agg, sink, output_mode="update", checkpoint_dir=ckpt)
+
+    want = {
+        r["user_id"]: r["total"]
+        for r in ev.groupBy("user_id").agg(F.sum("value").alias("total")).collect()
+    }
+    assert latest.keys() == want.keys()
+    assert all(abs(latest[k] - want[k]) < 1e-6 for k in want)
