@@ -474,3 +474,35 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_v"),
         F.last("value").over(w_full).alias("last_v"),
     )
+
+
+@query(
+    "salted_skew_aggregation",
+    oracle="""
+    SELECT event_type,
+           sum(value) AS total_value,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS vmin,
+           max(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key aggregation through the salted two-phase plan
+    (operators/skew.py): 5 hot keys fan out over 16 salts for the
+    partial agg, then combine. The oracle is the PLAIN aggregate —
+    salting must be invisible in the result."""
+    from min_flink_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        load_table(spark, sf_dir, "events"),
+        keys=["event_type"],
+        aggs={
+            "total_value": ("sum", "value"),
+            "n": ("count", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        salt_col=F.col("event_id"),
+        salts=16,
+    )
