@@ -102,3 +102,69 @@ def test_running_reduce_matches_model(spark, rows):
     for i, (k, v, _) in enumerate(rows):
         acc[k] = acc.get(k, 0) + v
         assert got[i] == acc[k], f"seq {i}"
+
+
+# ---- window semantics vs model --------------------------------------------
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from min_flink_spark.operators.windows import session, tumble
+
+minutes_strategy = st.lists(
+    st.integers(min_value=0, max_value=600), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(minutes=minutes_strategy)
+def test_tumble_matches_model(spark, minutes):
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + timedelta(minutes=m),) for m in minutes], "ts timestamp"
+    )
+    got = {
+        r["window_start"]: r["n"]
+        for r in tumble(df, "ts", "15 minutes", None, F.count("*").alias("n")).collect()
+    }
+    model: dict = {}
+    for m in minutes:
+        start = base + timedelta(minutes=(m // 15) * 15)
+        model[start] = model.get(start, 0) + 1
+    assert got == model
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(minutes=minutes_strategy)
+def test_session_matches_model(spark, minutes):
+    gap_min = 10
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + timedelta(minutes=m),) for m in minutes], "ts timestamp"
+    )
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n"])
+        for r in session(
+            df, "ts", f"{gap_min} minutes", None, F.count("*").alias("n")
+        ).collect()
+    )
+    # model: sort unique-with-duplicates, split where gap > gap_min
+    ms = sorted(minutes)
+    sessions, cur = [], [ms[0]]
+    for m in ms[1:]:
+        if m - cur[-1] <= gap_min:
+            cur.append(m)
+        else:
+            sessions.append(cur)
+            cur = [m]
+    sessions.append(cur)
+    model = sorted(
+        (
+            base + timedelta(minutes=s[0]),
+            base + timedelta(minutes=s[-1] + gap_min),
+            len(s),
+        )
+        for s in sessions
+    )
+    assert got == model

@@ -182,3 +182,34 @@ def test_aggregate_state_carries_across_restarts(spark, sf_dir, tmp_path):
     }
     assert latest.keys() == want.keys()
     assert all(abs(latest[k] - want[k]) < 1e-6 for k in want)
+
+
+def test_running_reduce_across_micro_batches(spark, tmp_path):
+    """True multi-batch stateful processing in ONE run: three files,
+    maxFilesPerTrigger=1 → three micro-batches; the running reduce must
+    seed each batch with the state left by the previous one."""
+    import time as _t
+
+    from min_flink_spark.streaming.stateful import RunningReduceFunction
+
+    d = str(tmp_path / "mb_stream")
+    # key 7 gets values 1,2 | 3,4 | 5,6 across three files (event order
+    # within and across files follows event_id)
+    for i in range(3):
+        spark.createDataFrame(
+            [(7, 2 * i + 1, float(2 * i + 1)), (7, 2 * i + 2, float(2 * i + 2))],
+            "user_id bigint, event_id bigint, value double",
+        ).coalesce(1).write.mode("append").parquet(d)
+        _t.sleep(1.1)  # distinct mod-times → deterministic file order
+
+    s = stream_parquet(
+        spark, d, "user_id bigint, event_id bigint, value double",
+        max_files_per_trigger=1,
+    )
+    fn = RunningReduceFunction("user_id", "event_id", "value", "sum")
+    out = run_to_completion(
+        process_keyed(s, ["user_id"], fn, output_mode="update"), output_mode="update"
+    )
+    got = {r["event_id"]: r["running"] for r in out.collect()}
+    # cumulative sums of 1..6: state crossed two batch boundaries
+    assert got == {1: 1.0, 2: 3.0, 3: 6.0, 4: 10.0, 5: 15.0, 6: 21.0}
