@@ -39,6 +39,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
     "streaming_running_reduce",
+    "tfidf_top_terms",
+    "text_stats",
+    "pivot_event_counts",
+    "deterministic_sample",
 ]
 
 

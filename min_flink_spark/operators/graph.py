@@ -34,6 +34,10 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # materialize once: every iteration joins against the edge list,
+        # and without this the ENTIRE upstream pipeline that produced the
+        # edges (e.g. a shingle self-join) re-executes per round
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
