@@ -24,11 +24,18 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
     ``edges`` is an undirected pair list; isolated nodes don't appear
     (callers union them in with their own id if needed).
+
+    Min-label propagation advances one hop per round, so components
+    with diameter > ``max_iter`` would come back SPLIT; with ``strict``
+    (default) the function raises instead of returning silently wrong
+    clusters — raise ``max_iter`` for long-chain graphs (dedup graphs
+    are near-cliques, diameter 1-2).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -42,6 +49,8 @@ def connected_components(
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    converged = False
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -61,10 +70,21 @@ def connected_components(
         # Materialize FIRST (truncates the exponentially growing lineage
         # of iterative plans), then derive both the convergence flag and
         # the next labels from the checkpointed frame — one execution
-        # per round, not two.
+        # per round, not two. Free the superseded round's blocks so the
+        # loop holds at most two label copies, not max_iter.
         updated = updated.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = updated
         changed = updated.filter(F.col("component") != F.col("_old")).limit(1).count()
         labels = updated.drop("_old")
         if changed == 0:
+            converged = True
             break
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or pass "
+            "strict=False to accept split components"
+        )
     return labels

@@ -43,18 +43,25 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Plan: broadcast the (small) query set against the corpus, score with
     codegen'd array math, per-partition pre-top-k via row_number after
     one shuffle on query_id. Ties break on corpus id for determinism.
+
+    ``exclude_self`` assumes queries are drawn FROM the corpus (shared
+    id space) and drops the identical id. Pass False when querying with
+    external vectors whose ids merely collide numerically — otherwise a
+    legitimate neighbor is silently dropped.
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
     )
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
-    scored = c.join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col)).select(
+    cond = F.col(id_col) != F.col(query_id_col) if exclude_self else F.lit(True)
+    scored = c.join(F.broadcast(q), on=cond).select(
         query_id_col,
         id_col,
         cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
@@ -90,6 +97,14 @@ def near_dup_pairs(
     )
 
 
+def _empty_topk(like: DataFrame, id_col: str, query_id_col: str) -> DataFrame:
+    """Zero-row (query_id, id, cos_sim) frame with the right schema."""
+    id_type = dict(like.dtypes).get(id_col, "bigint")
+    return like.sparkSession.createDataFrame(
+        [], f"{query_id_col} {id_type}, {id_col} {id_type}, cos_sim double"
+    )
+
+
 def _hyperplane(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component j =
     (md5-derived integer centered at 0). Reproducible everywhere, no
@@ -113,6 +128,7 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -122,9 +138,13 @@ def lsh_bucket_topk(
     selectivity (cost lever). Each table contributes one broadcast-join
     probe of ~corpus/2^planes rows per query; candidates are deduped
     before scoring. Recall < 1 by design — measured against brute force
-    in tests, not an SQL oracle."""
+    in tests, not an SQL oracle. ``exclude_self`` as in
+    brute_force_topk (shared-id-space contract)."""
     if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+        first = queries.select(vec_col).first()
+        if first is None:  # no queries → empty result, not a crash
+            return _empty_topk(queries, id_col, query_id_col)
+        dim = len(first[0])
 
     def signature(vec, table: int):
         bits = []
@@ -147,9 +167,12 @@ def lsh_bucket_topk(
 
     candidates = None
     for t in range(num_tables):
+        self_cond = (
+            F.col(id_col) != F.col(query_id_col) if exclude_self else F.lit(True)
+        )
         probe = c.join(
             F.broadcast(q.select(query_id_col, f"_sig{t}")),
-            on=[c[f"_sig{t}"] == q[f"_sig{t}"], F.col(id_col) != F.col(query_id_col)],
+            on=[c[f"_sig{t}"] == q[f"_sig{t}"], self_cond],
         ).select(query_id_col, id_col)
         candidates = probe if candidates is None else candidates.unionByName(probe)
     candidates = candidates.distinct()
@@ -179,6 +202,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the scale path for big
     corpora: k-means-lite coarse quantizer partitions the corpus into
@@ -191,15 +215,17 @@ def ivf_topk(
     RNG. Centroids collect to the driver (num_centroids × dim floats —
     tiny) and re-broadcast as literals; the corpus itself never moves.
     """
-    from min_flink_spark.functions.hashing import md5_prefix_int
+    from min_flink_spark.functions.hashing import hash_bucket
 
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    dim = len(c.select("_v").first()[0])
+    first = c.select("_v").first()
+    if first is None:  # empty corpus → empty result, not a crash
+        return _empty_topk(corpus, id_col, query_id_col)
+    dim = len(first[0])
 
     # deterministic init: average of each hash bucket
-    seeded = c.withColumn(
-        "_cell", F.pmod(md5_prefix_int(F.col(id_col).cast("string")), F.lit(num_centroids))
-    )
+    seeded = c.withColumn("_cell", hash_bucket(F.col(id_col), num_centroids))
+    prev_ckpt = None
     for _ in range(kmeans_iters):
         cent_rows = (
             seeded.groupBy("_cell")
@@ -228,10 +254,14 @@ def ivf_topk(
                 best = F.least(best, d)
             return expr
 
-        # re-assign + materialize (bounds the literal-heavy lineage)
+        # re-assign + materialize (bounds the literal-heavy lineage);
+        # release the previous round's blocks
         seeded = seeded.withColumn("_cell", nearest_cell(F.col("_v"))).localCheckpoint(
             eager=True
         )
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = seeded
 
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
@@ -257,9 +287,10 @@ def ivf_topk(
         .filter(F.col("_rn") <= n_probe)
         .select(query_id_col, "_qv", "cell")
     )
+    self_cond = F.col(id_col) != F.col(query_id_col) if exclude_self else F.lit(True)
     scored = seeded.join(
         F.broadcast(probes),
-        on=[seeded["_cell"] == probes["cell"], F.col(id_col) != F.col(query_id_col)],
+        on=[seeded["_cell"] == probes["cell"], self_cond],
     ).select(query_id_col, id_col, cosine(F.col("_qv"), F.col("_v")).alias("cos_sim"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from min_flink_spark.functions.hashing import md5_prefix_int
+from min_flink_spark.functions.hashing import hash_bucket
 
 _PARTIAL = {
     "sum": F.sum,
@@ -45,7 +45,7 @@ def salted_agg(
     stable, roughly-uniform column (e.g. the row's id). Decomposable
     ops only — avg must be expressed as sum/count by the caller.
     """
-    salt = F.pmod(md5_prefix_int(salt_col.cast("string")), F.lit(salts)).alias("_salt")
+    salt = hash_bucket(salt_col, salts).alias("_salt")
     partial = df.groupBy(*[F.col(k) for k in keys], salt).agg(
         *[_PARTIAL[op](col).alias(name) for name, (op, col) in aggs.items()]
     )

@@ -7,8 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from min_flink_spark.operators.dedup import minhash_lsh_pairs
 from min_flink_spark.operators.graph import connected_components
+from min_flink_spark.queries.llm import SQL_CORPUS_NEAR, SQL_SHINGLES
 from min_flink_spark.registry import query
 from min_flink_spark.sources import load_table, register_views
 
@@ -100,22 +100,11 @@ def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    oracle="""
-    WITH RECURSIVE corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, substr(text, 1, greatest(length(text) - 25, 10)) FROM documents
-    ),
-    tokens AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                 x -> length(x) > 0) AS toks FROM corpus
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id,
-             concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]) AS shingle
-      FROM tokens, LATERAL (SELECT unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS i) g
-      WHERE i + 3 <= len(toks)
-    ),
+    # corpus/shingle fragments shared with llm.py so the mutation
+    # constants and tokenization stay in lockstep with the Spark side
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({SQL_CORPUS_NEAR}),
+    {SQL_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

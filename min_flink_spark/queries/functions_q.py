@@ -111,3 +111,49 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k_via_regex"),
         F.col("props").rlike(r'"k": \d\d').alias("has_2digit_k"),
     )
+
+
+@query(
+    "pandas_udaf_geomean",
+    oracle="""
+    SELECT event_type,
+           exp(avg(ln(value))) AS geo_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value > 0 GROUP BY event_type
+    """,
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via Arrow grouped-agg pandas UDF — the
+    reference's vestigial AggregateFunction contract (SURVEY §2.4/§2.10)
+    on the vectorized path. Oracle: the closed-form exp(avg(ln)) —
+    the UDAF must agree with the algebraic identity.
+
+    Scale caveat: grouped-agg pandas UDFs have NO partial aggregation —
+    each group funnels through one task and must fit one Arrow buffer.
+    Fine for bounded-cardinality groups; for hot keys express the
+    aggregate decomposably instead (exp(sum(ln)/count) via built-ins,
+    or salted_agg for the shuffle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geo(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    def _n(v):
+        return len(v)
+
+    # real annotation objects: this module's postponed annotations
+    # (string form) would break pandas_udf's signature inference; and a
+    # grouped-agg pandas UDF cannot mix with built-in aggregates in one
+    # agg, so the count is a pandas UDAF too
+    _geo.__annotations__ = {"v": pd.Series, "return": float}
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    geo_mean = pandas_udf(_geo, "double")
+    n_rows = pandas_udf(_n, "bigint")
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        geo_mean("value").alias("geo_mean"),
+        n_rows("value").alias("n"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from min_flink_spark.functions.hashing import hash_bucket
 from min_flink_spark.functions.text import tokens
 from min_flink_spark.registry import query
 from min_flink_spark.sources import load_table
@@ -81,12 +82,6 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hash_bucket(col, buckets: int = 100):
-    """Deterministic [0, buckets) bucket from md5 — the reproducible
-    sampling primitive (engine-independent, repartition-stable)."""
-    from min_flink_spark.functions.hashing import md5_prefix_int
-
-    return F.pmod(md5_prefix_int(col.cast("string")), F.lit(buckets))
 
 
 @query(
@@ -99,7 +94,7 @@ def hash_bucket(col, buckets: int = 100):
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% reproducible sample keyed on event_id."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.filter(hash_bucket(F.col("event_id")) < 10).select(
+    return ev.filter(hash_bucket(F.col("event_id"), 100) < 10).select(
         "event_id", "user_id", "event_type", "value"
     )
 
@@ -121,6 +116,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", 50)
         .otherwise(5)
     )
-    return ev.filter(hash_bucket(F.col("event_id")) < rate).select(
+    return ev.filter(hash_bucket(F.col("event_id"), 100) < rate).select(
         "event_id", "event_type", "value"
     )
