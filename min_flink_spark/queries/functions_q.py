@@ -157,3 +157,56 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         geo_mean("value").alias("geo_mean"),
         n_rows("value").alias("n"),
     )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (unpivot/melt): narrow transform, no shuffle;
+    oracle spelled as the equivalent UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))  # l_quantity → quantity
+
+
+@query(
+    "array_function_sampler",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS head3_sorted,
+           CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vec_sum,
+           CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vec_max,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q_array_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface (size/slice/sort/aggregate/
+    filter) — all whole-stage-codegen'd, the reference's ListTypeInfo
+    analog (SURVEY §1.2)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.sort_array(F.slice(as_double, 1, 3)).alias("head3_sorted"),
+        F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x).alias("vec_sum"),
+        F.array_max(as_double).alias("vec_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
