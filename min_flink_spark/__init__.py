@@ -35,13 +35,22 @@ if _repo_root not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
 
 from min_flink_spark.core.env import StreamExecutionEnvironment
 from min_flink_spark.core.stream import KeyedStream, Stream
+from min_flink_spark.operators.relational import asof_join, broadcast_join, top_k
+from min_flink_spark.operators.windows import session, slide, tumble, with_watermark
 from min_flink_spark.session import get_spark
 
 __all__ = [
     "KeyedStream",
     "Stream",
     "StreamExecutionEnvironment",
+    "asof_join",
+    "broadcast_join",
     "get_spark",
+    "session",
+    "slide",
+    "top_k",
+    "tumble",
+    "with_watermark",
 ]
 
 __version__ = "0.1.0"

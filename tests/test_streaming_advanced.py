@@ -213,3 +213,60 @@ def test_running_reduce_across_micro_batches(spark, tmp_path):
     got = {r["event_id"]: r["running"] for r in out.collect()}
     # cumulative sums of 1..6: state crossed two batch boundaries
     assert got == {1: 1.0, 2: 3.0, 3: 6.0, 4: 10.0, 5: 15.0, 6: 21.0}
+
+
+def test_rocksdb_state_store_backend(spark, sf_dir, tmp_path):
+    """Big-state readiness: the same stateful aggregation runs on the
+    RocksDB state store (spillable, incremental-checkpoint backend used
+    when keyed state exceeds executor heap — the reference's heap-only
+    NestedStateMap has no equivalent). Results must match the default
+    HDFS-backed provider."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+        agg = s.groupBy("user_id").agg(F.sum("value").alias("total"))
+        got = {
+            r["user_id"]: r["total"]
+            for r in run_to_completion(agg, output_mode="update").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    want = {
+        r["user_id"]: r["total"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+
+
+def test_rate_source_unbounded(spark):
+    """Genuinely unbounded source (rate): collect a few micro-batches
+    via run_until, then stop — the engine's analog of the reference's
+    continuously-running SourceFunction thread."""
+    from min_flink_spark.streaming.runner import run_until
+
+    s = spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    met = run_until(
+        s.select("timestamp", "value"),
+        sink,
+        predicate=lambda: len(collected) >= 20,
+        output_mode="append",
+        timeout_sec=60,
+    )
+    assert met and len(collected) >= 20
+    assert len({r["value"] for r in collected}) == len(collected)  # monotone ids
