@@ -111,8 +111,12 @@ class Stream:
 
     # ---- sinks (reference §2.7) ----
 
-    def print(self, n: int = 20, truncate: bool = False) -> None:
-        """PrintSinkFunction.java:40-85 analog."""
+    def print(self, prefix: str | None = None, n: int = 20, truncate: bool = False) -> None:
+        """PrintSinkFunction.java:40-85 analog; ``prefix`` mirrors
+        ``print(sinkIdentifier)`` (the reference prepends
+        'sinkIdentifier> ' per line)."""
+        if prefix:
+            print(f"{prefix}> ")
         self.df.show(n=n, truncate=truncate)
 
     def collect(self) -> list:

@@ -506,3 +506,25 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col=F.col("event_id"),
         salts=16,
     )
+
+
+@query(
+    "global_sort_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_totalprice > 400000
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total ordering without a limit: Spark samples range boundaries
+    and range-partitions, so the sort runs in parallel with merely
+    concatenated partitions — no single-reducer funnel (the driver's
+    comparator is order-insensitive; the operator under test is the
+    range-partitioned sort itself)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )

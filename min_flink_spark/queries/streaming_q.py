@@ -172,3 +172,32 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total_value"),
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@query(
+    "streaming_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) - i * INTERVAL '6 hours' AS window_start,
+           time_bucket(INTERVAL '6 hours', ts) - i * INTERVAL '6 hours'
+             + INTERVAL '1 day' AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window on the streaming path (update mode, 1d/6h)."""
+    from min_flink_spark.operators.windows import slide, with_watermark
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    agg = slide(
+        with_watermark(s, "ts", "1 hour"),
+        "ts",
+        "1 day",
+        "6 hours",
+        None,
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    return run_to_completion(agg, output_mode="update")
