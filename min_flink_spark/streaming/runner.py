@@ -132,6 +132,8 @@ def run_until(
             if predicate():
                 return True
             if not q.isActive:
+                if q.exception() is not None:
+                    raise q.exception()  # surface the failure, not False
                 return predicate()
             _time.sleep(0.2)
         return predicate()
