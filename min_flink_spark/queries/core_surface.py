@@ -151,22 +151,40 @@ def q_keyed_min_by_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "running_reduce_sum",
     oracle="""
-    SELECT user_id, event_id, value,
-           sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_sum_value
+    SELECT user_id, event_id,
+           CAST(CAST(value AS DECIMAL(28,10)) AS DOUBLE) AS value,
+           CAST(sum(CAST(value AS DECIMAL(28,10)))
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_sum_value
     FROM events
     """,
 )
 def q_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous keyed reduce emission history
     (StreamGroupedReduce.java:35-53): one row per input with the running
-    partial for its key."""
-    return (
-        Stream(load_table(spark, sf_dir, "events"))
+    partial for its key.
+
+    The running sum accumulates in DECIMAL(28,10), not double: double
+    window sums are accumulation-order-dependent, so Spark and the
+    oracle engine drift by ulps and a drifted value can straddle the
+    gate's float-rounding boundary. Decimal partials are exact → the
+    final cast to double is bit-identical on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(28,10)")
+    )
+    out = (
+        Stream(ev)
         .key_by("user_id")
         .running_reduce("value", "sum", order_by="event_id")
         .df
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.col("running_sum_value").cast("double").alias("running_sum_value"),
     )
 
 

@@ -35,7 +35,7 @@ from min_flink_spark.sources import load_table
            CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
            CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_bucket,
            sqrt(l_extendedprice) AS price_sqrt,
-           ln(1 + l_extendedprice) AS price_ln,
+           round(ln(1 + l_extendedprice), 6) AS price_ln,
            CASE WHEN l_quantity < 10 THEN 'small'
                 WHEN l_quantity < 30 THEN 'mid'
                 ELSE 'large' END AS qty_class
@@ -62,7 +62,9 @@ def q_scalar_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
         F.ceil(F.col("l_quantity") / 10).alias("qty_bucket"),
         F.sqrt("l_extendedprice").alias("price_sqrt"),
-        F.log(F.lit(1) + F.col("l_extendedprice")).alias("price_ln"),
+        # ln is NOT correctly-rounded (JVM StrictMath vs C libm differ by
+        # ulps) — round to 6dp both sides; sqrt IS IEEE-exact, left raw
+        F.round(F.log(F.lit(1) + F.col("l_extendedprice")), 6).alias("price_ln"),
         F.when(F.col("l_quantity") < 10, "small")
         .when(F.col("l_quantity") < 30, "mid")
         .otherwise("large")
@@ -75,7 +77,8 @@ def q_scalar_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
-           avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_avg,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / count(*) AS k_avg,
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
@@ -83,12 +86,19 @@ def q_scalar_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column access (get_json_object ≈ DuckDB json_extract) +
-    aggregation — the semi-structured column path."""
+    aggregation — the semi-structured column path.
+
+    ``k_avg`` is deliberately exact-integer-sum ÷ count (NOT engine
+    ``avg``): DuckDB's avg(BIGINT) accumulates incrementally in double
+    while Spark divides an exact bigint sum, so native avg drifts in the
+    low-order bits and fails the driver's value hash. One division over
+    identical integers is bit-identical across engines.
+    """
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("k_sum"),
-        F.avg(k).alias("k_avg"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("k_avg"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -117,7 +127,7 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udaf_geomean",
     oracle="""
     SELECT event_type,
-           exp(avg(ln(value))) AS geo_mean,
+           round(exp(avg(ln(value))), 6) AS geo_mean,
            CAST(count(*) AS BIGINT) AS n
     FROM events WHERE value > 0 GROUP BY event_type
     """,
@@ -153,8 +163,10 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = pandas_udf(_n, "bigint")
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # numpy's log/mean and the oracle's ln/avg accumulate differently —
+    # 6dp rounding on both sides absorbs the ulp drift
     return ev.groupBy("event_type").agg(
-        geo_mean("value").alias("geo_mean"),
+        F.round(geo_mean("value"), 6).alias("geo_mean"),
         n_rows("value").alias("n"),
     )
 
@@ -189,8 +201,13 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
-           list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS head3_sorted,
-           CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vec_sum,
+           array_to_string(
+             list_transform(
+               list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))),
+               x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)),
+             ',') AS head3_sorted,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (a, x) -> a + x) AS vec_sum,
            CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vec_max,
            len(list_filter(embedding, x -> x > 0)) AS n_positive
     FROM embeddings WHERE vec_id < 200
@@ -199,13 +216,27 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order function surface (size/slice/sort/aggregate/
     filter) — all whole-stage-codegen'd, the reference's ListTypeInfo
-    analog (SURVEY §1.2)."""
+    analog (SURVEY §1.2).
+
+    ``head3_sorted`` is serialized to a ','-joined string of µ-scaled
+    ints: the driver's canonicalizer pandas-sorts every output column
+    and a raw array column is unhashable there (round-1 red row).
+    ``vec_sum`` is a sequential left fold on BOTH sides (Spark
+    ``F.aggregate`` / DuckDB ``list_reduce``) so the double sum is
+    bit-identical — engine-native list_sum may reorder accumulation.
+    """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
-        F.sort_array(F.slice(as_double, 1, 3)).alias("head3_sorted"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.slice(as_double, 1, 3)),
+                lambda x: F.round(x * 1000000).cast("bigint").cast("string"),
+            ),
+        ).alias("head3_sorted"),
         F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x).alias("vec_sum"),
         F.array_max(as_double).alias("vec_max"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),

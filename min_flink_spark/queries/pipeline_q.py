@@ -37,11 +37,11 @@ SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> leng
     n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
     SELECT doc_id, term, tfidf FROM (
       SELECT tf.doc_id, tf.term,
-             (CAST(tf.cnt AS DOUBLE) / doclen.len) * ln(CAST(n.total AS DOUBLE) / df.n_docs)
-               AS tfidf,
+             round((CAST(tf.cnt AS DOUBLE) / doclen.len)
+                   * ln(CAST(n.total AS DOUBLE) / df.n_docs), 6) AS tfidf,
              row_number() OVER (PARTITION BY tf.doc_id
-                                ORDER BY (CAST(tf.cnt AS DOUBLE) / doclen.len)
-                                         * ln(CAST(n.total AS DOUBLE) / df.n_docs) DESC,
+                                ORDER BY round((CAST(tf.cnt AS DOUBLE) / doclen.len)
+                                         * ln(CAST(n.total AS DOUBLE) / df.n_docs), 6) DESC,
                                          tf.term ASC) AS rn
       FROM tf
       JOIN doclen ON tf.doc_id = doclen.doc_id
@@ -68,9 +68,14 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            (
+            # 6dp-rounded on BOTH sides, and the rounded value is also the
+            # top-k sort key: ln() drifts by ulps across engines, and an
+            # unrounded sort key could swap near-tied rank-3/4 rows (row
+            # membership bug, not just a hash bug)
+            F.round(
                 (F.col("cnt").cast("double") / F.col("len"))
-                * F.log(F.col("total").cast("double") / F.col("n_docs"))
+                * F.log(F.col("total").cast("double") / F.col("n_docs")),
+                6,
             ).alias("tfidf"),
         )
     )

@@ -303,7 +303,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "shipping_priority",
     oracle="""
-    SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -316,7 +318,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped: selective dim filter broadcast into the fact
-    join, then top-k on the aggregate."""
+    join, then top-k on the aggregate.
+
+    Revenue accumulates in exact decimals (TPC-H prices/discounts are
+    2-dp values) so the sum — and therefore the top-10 ORDERING — is
+    bit-identical across engines; a double sum drifts by ulps and can
+    both fail the value hash and swap near-tied ranks.
+    """
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -330,7 +338,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, customer.select("c_custkey"), on=F.col("o_custkey") == F.col("c_custkey")
     ).join(lineitem, on=F.col("l_orderkey") == F.col("o_orderkey"))
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
     )
     return top_k(
         agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
@@ -480,7 +493,7 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_skew_aggregation",
     oracle="""
     SELECT event_type,
-           sum(value) AS total_value,
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value,
            CAST(count(*) AS BIGINT) AS n,
            min(value) AS vmin,
            max(value) AS vmax
@@ -491,14 +504,23 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed-key aggregation through the salted two-phase plan
     (operators/skew.py): 5 hot keys fan out over 16 salts for the
     partial agg, then combine. The oracle is the PLAIN aggregate —
-    salting must be invisible in the result."""
+    salting must be invisible in the result.
+
+    ``total_value`` sums in DECIMAL(28,10): the two-phase salted sum
+    re-orders double accumulation, so only an exact decimal partial is
+    guaranteed to match the oracle bit-for-bit after the final double
+    cast. min/max select existing values — no arithmetic — and stay raw.
+    """
     from min_flink_spark.operators.skew import salted_agg
 
-    return salted_agg(
-        load_table(spark, sf_dir, "events"),
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(28,10)")
+    )
+    out = salted_agg(
+        ev,
         keys=["event_type"],
         aggs={
-            "total_value": ("sum", "value"),
+            "total_value": ("sum", "value_dec"),
             "n": ("count", "value"),
             "vmin": ("min", "value"),
             "vmax": ("max", "value"),
@@ -506,6 +528,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col=F.col("event_id"),
         salts=16,
     )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
 
 
 @query(

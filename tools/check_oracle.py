@@ -3,9 +3,11 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, column
 names, and an order-insensitive canonicalized value digest (floats
-rounded to 6dp per FIXTURES §3). Usage:
+rounded to 6dp per FIXTURES §3). With ``--strict``, floats compare at
+FULL precision (``repr``) — the driver's gate does NOT round, so a
+query is only safely green when it passes strict too. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--strict] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ sys.path.insert(0, "/root/repo")
 from min_flink_spark.session import get_spark
 from min_flink_spark.sources import TABLES
 
+STRICT = False
+
 
 def canon_value(v):
     if v is None:
@@ -31,6 +35,8 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if STRICT:
+            return repr(v)
         return f"{round(v, 6):.6f}"
     if isinstance(v, (datetime, date)):
         return v.isoformat()
@@ -52,8 +58,11 @@ def digest(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import importlib
 
