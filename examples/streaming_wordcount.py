@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from min_flink_spark import get_spark
 from min_flink_spark.streaming.runner import run_to_completion, stream_parquet
+from min_flink_spark.functions.hashing import md5_prefix_int
 from min_flink_spark.streaming.stateful import RunningReduceFunction, process_keyed
 
 
@@ -37,7 +38,7 @@ def main() -> None:
         .select("seq", F.explode(F.split(F.lower("line"), r"\W+")).alias("word"))
         .filter(F.col("word") != "")
         .select(
-            F.abs(F.hash("word")).cast("bigint").alias("word_key"),
+            md5_prefix_int(F.col("word")).alias("word_key"),
             F.col("word"),
             F.col("seq").alias("event_id"),
             F.lit(1.0).alias("value"),
@@ -54,7 +55,7 @@ def main() -> None:
         spark.read.parquet(d)
         .select(F.explode(F.split(F.lower("line"), r"\W+")).alias("word"))
         .filter(F.col("word") != "")
-        .select(F.abs(F.hash("word")).cast("bigint").alias("word_key"), "word")
+        .select(md5_prefix_int(F.col("word")).alias("word_key"), "word")
         .distinct()
     )
     emissions.join(lookup, "word_key").orderBy("event_id", "word").select(

@@ -111,13 +111,41 @@ class Stream:
 
     # ---- sinks (reference §2.7) ----
 
-    def print(self, prefix: str | None = None, n: int = 20, truncate: bool = False) -> None:
-        """PrintSinkFunction.java:40-85 analog; ``prefix`` mirrors
-        ``print(sinkIdentifier)`` (the reference prepends
-        'sinkIdentifier> ' per line)."""
-        if prefix:
-            print(f"{prefix}> ")
-        self.df.show(n=n, truncate=truncate)
+    def print(self, prefix: str | None = None, n: int = 20) -> None:
+        """PrintSinkFunction.java:40-85 analog, reference-exact line
+        format via PrintSinkOutputWriter's prefix rules:
+
+        - identifier + parallelism>1 → ``id:subtask> record``
+        - identifier only            → ``id> record``
+        - parallelism>1 only         → ``subtask> record``
+        - neither                    → ``record``
+
+        Records render Flink-``toString``-style: multi-field rows as
+        ``(a,b)`` tuples, single-field rows bare — the acceptance
+        format ``(hello,2)``. Subtask index is the (1-based) partition
+        that produced the row. Driver-side and bounded to ``n`` rows;
+        an unbounded per-record sink at scale belongs in
+        ``add_sink``/``sink_parquet``, exactly like the reference's
+        print being a debugging sink, not a data path.
+        """
+        cols = self.df.columns
+        rows = self.df.select(
+            F.spark_partition_id().alias("_pid"),
+            F.struct(*[F.col(c) for c in cols]).alias("_r"),
+        ).take(n)
+        parallel = self.df.rdd.getNumPartitions() > 1
+        for row in rows:
+            r = row["_r"]
+            text = str(r[0]) if len(cols) == 1 else "(" + ",".join(str(v) for v in r) + ")"
+            if prefix and parallel:
+                line = f"{prefix}:{row['_pid'] + 1}> {text}"
+            elif prefix:
+                line = f"{prefix}> {text}"
+            elif parallel:
+                line = f"{row['_pid'] + 1}> {text}"
+            else:
+                line = text
+            print(line)
 
     def collect(self) -> list:
         return self.df.collect()
@@ -160,15 +188,20 @@ class KeyedStream(Stream):
     def __init__(self, df: DataFrame, keys: list[ColumnOrName]):
         super().__init__(df)
         self.keys = keys
+        self._key_names_cache: list[str] | None = None
 
     def _key_cols(self) -> list[Column]:
         return _to_cols(self.keys)
 
     def _key_names(self) -> list[str]:
-        out = []
-        for k in self.keys:
-            out.append(k if isinstance(k, str) else self.df.select(k).columns[0])
-        return out
+        # resolving a Column key's name costs a driver-side plan
+        # analysis (df.select(k).columns) — do it once per KeyedStream
+        if self._key_names_cache is None:
+            self._key_names_cache = [
+                k if isinstance(k, str) else self.df.select(k).columns[0]
+                for k in self.keys
+            ]
+        return self._key_names_cache
 
     # ---- direct Spark aggregation (the scalable default) ----
 

@@ -83,6 +83,12 @@ def lsh_bands(
     sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
     """Fold the signature into ``bands`` bucket keys (rows = K/bands)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
+            "a remainder would silently drop trailing minhashes and weaken "
+            "LSH sensitivity"
+        )
     rows_per_band = num_hashes // bands
     parts = []
     for b in range(bands):
@@ -136,12 +142,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
-    """Exact Jaccard similarity over shingle sets via inverted-index
-    join; emits (doc_a, doc_b, jaccard) for pairs ≥ threshold. At scale,
-    drop ultra-frequent shingles first (they generate quadratic pair
-    blowups while carrying no signal)."""
+    """Jaccard similarity over shingle sets via inverted-index join;
+    emits (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+
+    ``df_cap`` (default ON) drops shingles appearing in more than that
+    many documents BEFORE the self-join — one stop-phrase shingle shared
+    by 1M docs would otherwise materialize ~10¹² join pairs. Jaccard is
+    computed over the FILTERED shingle sets on both sides (standard
+    stop-shingle removal; set sizes are post-filter), so the self-join's
+    per-shingle fan-out is bounded by df_cap². Pass ``df_cap=None`` for
+    unfiltered exact Jaccard (test/small-corpus only).
+    """
     sh = shingles(df, text_col, id_col, shingle_n)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        # the frequent set is small by construction (each member exceeds
+        # df_cap docs) — anti-join it away; AQE picks broadcast when tiny
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

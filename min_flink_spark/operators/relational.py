@@ -90,9 +90,13 @@ def asof_join(
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
         *[F.col(c) for c in lcols if c not in on],
     )
+    # _payload as the third sort key: right rows tied on (key, _ts)
+    # would otherwise order arbitrarily, making the carried payload
+    # nondeterministic (run-to-run AND vs the oracle). Left rows all
+    # have a null payload, so their relative order stays irrelevant.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_payload").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).withColumn(

@@ -81,20 +81,105 @@ def near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    dim: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold. Quadratic — correct
-    baseline at test scale; the LSH bucketing below is the 100 TB path
-    (same-bucket join only)."""
+    """Pairs (a < b) with exact cosine ≥ threshold, found among
+    LSH-bucket collisions — the 100 TB default.
+
+    Candidate generation: ``num_tables`` independent random-hyperplane
+    signatures of ``num_planes`` bits each; a pair is a candidate iff it
+    shares a (table, signature) bucket in ANY table (OR-amplification).
+    Candidates then get an EXACT cosine rerank against ``threshold``, so
+    precision is 1.0; recall is the standard hyperplane-LSH bound
+    (≈ 1-(1-(1-θ/π)^P)^T — identical vectors always collide). The only
+    self-join is per-bucket: corpus-sized input, ~N/2^planes rows per
+    bucket per table, never the quadratic all-pairs.
+
+    ``exact=True`` is the brute-force all-pairs baseline — recall 1.0,
+    quadratic, test/small-corpus only.
+    """
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
-    return (
-        a.join(b, on=F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
+    if exact:
+        return (
+            a.join(b, on=F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
         )
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {dict(df.dtypes).get(id_col, 'bigint')}, "
+                    f"id_b {dict(df.dtypes).get(id_col, 'bigint')}, cos_sim double"
+            )
+        dim = len(first[0])
+
+    sigs = hyperplane_signatures(
+        v, vec_col="_v", id_col=id_col, num_planes=num_planes,
+        num_tables=num_tables, dim=dim,
+    )  # (id, tbl, sig)
+    sa = sigs.select(F.col(id_col).alias("id_a"), "tbl", "sig")
+    sb = sigs.select(F.col(id_col).alias("id_b"), "tbl", "sig")
+    cand = (
+        sa.join(sb, on=["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, tbl, sig) — one ``num_planes``-bit random-hyperplane
+    signature per (row, table). Hyperplane components are md5-derived
+    (``_hyperplane``) so ANY engine can replay them: component j of
+    plane p in table t is md5(f"{t*1000+p}|{j}")[:8] as a uniform in
+    [-0.5, 0.5). Bit p of sig = (v · plane ≥ 0)."""
+    def signature(vec, table: int):
+        bits = []
+        for p in range(num_planes):
+            comps = _hyperplane(table * 1000 + p, dim)
+            plane = F.array(*[F.lit(c) for c in comps])
+            bits.append(
+                F.when(dot(vec, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("bigint")
+
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.lit(t).cast("bigint").alias("tbl"),
+            signature(F.col(vec_col), t).alias("sig"),
+        )
+        for t in range(num_tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _empty_topk(like: DataFrame, id_col: str, query_id_col: str) -> DataFrame:

@@ -235,10 +235,17 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({SQL_CORPUS_NEAR}),
     {SQL_SHINGLES},
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id),
+    kept AS (
+      -- replay of the operator's df_cap=1000 stop-shingle filter
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN (SELECT shingle, count(*) AS c FROM shingles GROUP BY 1) d
+        ON d.shingle = s.shingle
+      WHERE d.c <= 1000
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-      FROM shingles a JOIN shingles b
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -251,9 +258,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ 0.5 via inverted-index join."""
+    """3-gram Jaccard ≥ 0.5 via inverted-index join with the production
+    df_cap stop-shingle filter ON (the oracle replays the same cap; at
+    this corpus size no shingle exceeds it, so values equal exact
+    Jaccard while the plan exercises the capped path)."""
     return ngram_jaccard_pairs(
-        _spark_near_corpus(spark, sf_dir), threshold=0.5, text_col="text", id_col="doc_id"
+        _spark_near_corpus(spark, sf_dir), threshold=0.5, text_col="text",
+        id_col="doc_id", df_cap=1000,
     )
 
 
@@ -327,22 +338,63 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM corpus
+    ),
+    planes AS (
+      -- replay of operators/similarity._hyperplane: component j of plane
+      -- p in table t = md5("{t*1000+p}|{j}")[:8] as uniform in [-0.5,0.5)
+      SELECT tbl, p,
+             list_transform(range(0, 64, 1), j ->
+               ('0x' || substr(md5(CAST(tbl*1000 + p AS VARCHAR) || '|'
+                                   || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967295.0 - 0.5) AS plane
+      FROM range(0, 4, 1) t(tbl), range(0, 8, 1) pp(p)
+    ),
+    sigs AS (
+      SELECT vec_id, tbl,
+             CAST(sum(CASE WHEN list_dot_product(v.v, planes.plane) >= 0
+                           THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      FROM v CROSS JOIN planes GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
-    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+    SELECT c.id_a, c.id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS cos_sim
+    FROM cand c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b
+    WHERE list_cosine_similarity(va.v, vb.v) >= 0.95
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine ≥ 0.95 pairs over embeddings ∪ 50 exact copies (the base
     table's max pairwise cosine is ~0.51, so matches are exactly the
-    planted duplicates)."""
+    planted duplicates).
+
+    Runs the production LSH-bucketed path (4 tables × 8 hyperplanes —
+    NOT the quadratic all-pairs baseline); the oracle replays the same
+    md5-derived bucketing, so both sides compute identical candidate
+    sets before the exact cosine rerank. Identical vectors collide in
+    every table, so the planted duplicates are found with recall 1.
+    """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    return near_dup_pairs(emb.unionByName(copies), threshold=0.95)
+    # emitted cos_sim is 6dp-rounded on both sides: Spark's fold-based
+    # cosine and DuckDB's list_cosine_similarity normalize differently
+    # (norm·norm vs sqrt(norm²·norm²)) and drift by ulps around 1.0;
+    # the ≥0.95 filter itself compares raw values, far from any drift
+    pairs = near_dup_pairs(
+        emb.unionByName(copies), threshold=0.95,
+        num_planes=8, num_tables=4, dim=64,
+    )
+    return pairs.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
 @query("ann_lsh_topk")  # approximate by design → rows-only check

@@ -50,29 +50,53 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_running_reduce",
     oracle="""
-    SELECT user_id, event_id, value,
-           sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running
-    FROM events
+    WITH q AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS vu
+      FROM events
+    )
+    SELECT user_id, event_id,
+           vu / 1000000.0 AS value,
+           sum(vu) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 1000000.0 AS running
+    FROM q
     """,
 )
 def q_streaming_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous keyed reduce on the streaming stateful path
     (applyInPandasWithState): per-record emission of running partials
     (StreamGroupedReduce.java:35-53), checked against the batch
-    window-cumsum oracle."""
+    window-cumsum oracle.
+
+    Values ride as FIXED-POINT micro-units (round(value·1e6) as int64):
+    the state accumulates exactly, so the emitted running sums are
+    bit-identical to the oracle's integer window sum after one shared
+    division — a running double sum can't be replayed bit-exactly by
+    another engine (DuckDB windows aggregate via segment tree, a
+    different association order). Classic money-in-cents contract.
+    """
     from min_flink_spark.streaming.runner import shuffle_partitions
 
-    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
-    fn = RunningReduceFunction("user_id", "event_id", "value", "sum")
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("value"),
+    )
+    fn = RunningReduceFunction("user_id", "event_id", "value", "sum", value_type="bigint")
     # ~1.5k keys: 8 state partitions beat the batch default (each one
     # costs a state-store instance + an Arrow round-trip per batch)
     with shuffle_partitions(spark, 8):
-        return run_to_completion(
+        out = run_to_completion(
             process_keyed(s, ["user_id"], fn, output_mode="update"),
             output_mode="update",
         )
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.col("value") / 1000000.0).alias("value"),
+        (F.col("running") / 1000000.0).alias("running"),
+    )
 
 
 @query(

@@ -129,20 +129,33 @@ class RunningReduceFunction(KeyedProcessFunction):
 
     needs_full_group = True  # running order spans all chunks of a batch
 
-    def __init__(self, key_col: str, order_col: str, value_col: str, op: str = "sum"):
+    def __init__(
+        self,
+        key_col: str,
+        order_col: str,
+        value_col: str,
+        op: str = "sum",
+        value_type: str = "double",
+    ):
         if op not in ("sum", "min", "max"):
             raise ValueError(f"unsupported running-reduce op: {op!r}")
         self.key_col, self.order_col, self.value_col, self.op = key_col, order_col, value_col, op
-        self.state_schema = "acc double"
+        # bigint values → exact int64 state: a running DOUBLE sum is
+        # accumulation-order-dependent and can't be replayed bit-exactly
+        # by another engine; fixed-point callers pre-scale to ints
+        self.value_type = value_type
+        self.state_schema = f"acc {value_type}"
         self.output_schema = (
-            f"{key_col} bigint, {order_col} bigint, {value_col} double, running double"
+            f"{key_col} bigint, {order_col} bigint, "
+            f"{value_col} {value_type}, running {value_type}"
         )
 
     def process_element(self, key, rows, state):
         import numpy as np
 
         rows = rows.sort_values(self.order_col)
-        v = rows[self.value_col].to_numpy(dtype="float64")
+        np_type = "int64" if self.value_type == "bigint" else "float64"
+        v = rows[self.value_col].to_numpy(dtype=np_type)
         # vectorized running aggregate, seeded with prior state: the
         # per-record emission contract with none of the per-row Python
         if self.op == "sum":
@@ -165,4 +178,8 @@ class RunningReduceFunction(KeyedProcessFunction):
                 "running": running,
             }
         )
-        return out, (float(running[-1]) if len(running) else (state[0] if state else None),)
+        if len(running):
+            last = int(running[-1]) if self.value_type == "bigint" else float(running[-1])
+        else:
+            last = state[0] if state else None
+        return out, (last,)

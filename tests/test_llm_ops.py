@@ -118,3 +118,62 @@ def test_ivf_deterministic(emb):
     r1 = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     r2 = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     assert r1 == r2  # hash-seeded kmeans: no RNG, fully reproducible
+
+
+def test_near_dup_default_is_bucketed_not_quadratic(emb):
+    """The production near_dup_pairs path must never plan an all-pairs
+    join: LSH candidates come from an equi-join on (tbl, sig), which
+    Catalyst plans as hash/merge join — a CartesianProduct or
+    BroadcastNestedLoopJoin node means the quadratic baseline leaked
+    back in. The exact=True baseline IS that nested-loop plan."""
+    from min_flink_spark.operators.similarity import near_dup_pairs
+
+    corpus = emb.select("vec_id", "embedding").limit(100)
+    lsh_plan = near_dup_pairs(corpus, dim=64)._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in lsh_plan
+    assert "Join" in lsh_plan  # the bucketed equi-join is present
+
+    exact_plan = (
+        near_dup_pairs(corpus, dim=64, exact=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" in exact_plan or "CartesianProduct" in exact_plan
+
+
+def test_near_dup_lsh_finds_planted_duplicates(emb):
+    """Identical vectors collide in every LSH table → recall 1.0 on
+    planted exact copies; precision 1.0 from the exact cosine rerank."""
+    from min_flink_spark.operators.similarity import near_dup_pairs
+
+    base = emb.select("vec_id", "embedding").limit(40)
+    copies = base.select((F.col("vec_id") + 5_000).alias("vec_id"), "embedding")
+    got = near_dup_pairs(base.unionByName(copies), threshold=0.95, dim=64).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(r["vec_id"], r["vec_id"] + 5_000) for r in base.select("vec_id").collect()}
+    assert planted <= found
+    # base corpus max pairwise cosine ≈ 0.51 → nothing else qualifies
+    assert found == planted
+
+
+def test_ngram_df_cap_drops_stop_shingles(spark):
+    """A shingle shared by every doc (stop phrase) must not generate the
+    quadratic pair blowup when df_cap is active; pairs that only share
+    the hot shingle disappear, genuinely-similar pairs survive."""
+    stop = "as seen on the world wide web"
+    texts = [(i, f"{stop} unique{i} token{i} filler{i} words{i}") for i in range(1, 9)]
+    texts.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    texts.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1, df_cap=None).collect()
+    capped = ngram_jaccard_pairs(df, threshold=0.1, df_cap=4).collect()
+    uncapped_pairs = {(r["doc_a"], r["doc_b"]) for r in uncapped}
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+
+    # stop-phrase-only pairs present without the cap, gone with it
+    assert (1, 2) in uncapped_pairs
+    assert not any(a < 100 and b < 100 for a, b in capped_pairs)
+    # the genuinely similar pair survives the cap
+    assert (100, 101) in capped_pairs

@@ -73,3 +73,39 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_asof_join_tied_right_rows_deterministic(spark):
+    """Multiple right rows at the SAME (key, ts): the carried payload
+    must be stable (max payload struct wins via the third sort key),
+    not partition-order-dependent."""
+    left = spark.createDataFrame([(1, 100)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, 50, "a"), (1, 50, "b"), (1, 50, "c")], "k int, rts int, v string"
+    )
+    for _ in range(3):
+        out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                        right_values=["v"]).collect()
+        assert len(out) == 1 and out[0]["r_v"] == "c"
+
+
+def test_print_sink_reference_format(spark, capsys):
+    """PrintSinkFunction.java:40-85 contract: per-record 'prefix> (a,b)'
+    lines; subtask index appears only when parallelism > 1."""
+    from min_flink_spark import Stream
+
+    df = spark.createDataFrame([("hello", 1), ("hello", 2)], "w string, c int")
+    Stream(df.coalesce(1).sortWithinPartitions("c")).print(prefix="wc")
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["wc> (hello,1)", "wc> (hello,2)"]
+
+    Stream(df.repartition(4)).print(prefix="wc")
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    assert all(l.startswith("wc:") and "> (hello," in l for l in lines)
+    # subtask is 1-based
+    assert all(int(l.split(":")[1].split(">")[0]) >= 1 for l in lines)
+
+    Stream(df.coalesce(1)).print()
+    bare = capsys.readouterr().out.strip().splitlines()
+    assert set(bare) == {"(hello,1)", "(hello,2)"}
