@@ -39,6 +39,8 @@ _PRIORITY = [
     "streaming_static_join",
     "streaming_session_window",
     "streaming_sliding_window",
+    # new this round — no driver row yet
+    "streaming_event_time_timer",
 ]
 
 

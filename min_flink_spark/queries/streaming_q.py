@@ -225,3 +225,106 @@ def q_streaming_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total_value"),
     )
     return run_to_completion(agg, output_mode="update")
+
+
+@query(
+    "streaming_event_time_timer",
+    oracle="""
+    WITH m AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+         w AS (SELECT epoch_us(max(ts)) // 1000 - 1000 AS wm_ms FROM events)
+    SELECT e.user_id,
+           (epoch_us(m.t0) + 3600000000) // 1000 AS fire_ms,
+           CAST(count(*) AS BIGINT) AS n_first_hour
+    FROM events e
+    JOIN m ON e.user_id = m.user_id
+    CROSS JOIN w
+    WHERE (epoch_us(m.t0) + 3600000000) // 1000 < w.wm_ms
+      AND epoch_us(e.ts) <= epoch_us(m.t0) + 3600000000
+    GROUP BY e.user_id, fire_ms
+    """,
+)
+def q_streaming_event_time_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EVENT-time timer on the streaming path
+    (InternalTimerServiceImpl.java:169,206-216 semantics): for each
+    user, a timer is registered at first-event-time + 1 hour; when the
+    WATERMARK passes it, the callback emits that user's first-hour
+    event count and clears state.
+
+    Determinism contract, replayed exactly by the oracle:
+
+    - single input batch (one parquet file) → every event is counted
+      with exact µs arithmetic (ts ≤ t0 + 1h in µs);
+    - the engine timer lives in ms: fire_ms = (t0_µs + 1h) // 1000,
+      fired strictly when wm_ms > fire_ms (Spark's EventTimeTimeout
+      boundary — see streaming/event_timers.py);
+    - final watermark: ms-truncated max event time minus the 1 s delay.
+
+    Users whose timer never crosses the final watermark (first event
+    within 1 h of the stream's end) correctly never emit.
+    """
+    from min_flink_spark.streaming.event_timers import (
+        EventTimeProcessFunction,
+        process_keyed_event_time,
+    )
+    from min_flink_spark.streaming.runner import run_until, shuffle_partitions
+
+    HOUR_US = 3_600_000_000
+
+    class FirstHourCount(EventTimeProcessFunction):
+        state_schema = "t0_us bigint, n bigint"
+        output_schema = "user_id bigint, fire_ms bigint, n_first_hour bigint"
+
+        def process_element(self, key, rows, state, ctx):
+            ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+            t0 = int(ts_us.min()) if state is None else min(int(ts_us.min()), state[0])
+            fire_ms = (t0 + HOUR_US) // 1000
+            n = int((ts_us <= t0 + HOUR_US).sum()) + (state[1] if state else 0)
+            for t in ctx.timers():  # re-arm if an earlier batch had a later t0
+                if t != fire_ms:
+                    ctx.delete_timer(t)
+            ctx.register_timer(fire_ms)
+            return None, (t0, n)
+
+        def on_timer(self, key, state, ctx, expiry_ms):
+            import pandas as pd
+
+            out = pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "fire_ms": [expiry_ms],
+                    "n_first_hour": [state[1]],
+                }
+            )
+            return out, None  # emission ends this key's lifecycle
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    s = s.withWatermark("ts", "1 second").select("user_id", "ts")
+
+    # expected emission count (drives the stop predicate): replicate the
+    # fire condition on the batch side — a tiny driver-side aggregate
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wm_ms = (
+        ev.agg(F.max("ts").alias("m"))
+        .select((F.floor(F.unix_micros(F.col("m").cast("timestamp")) / 1000) - 1000).alias("wm"))
+        .first()[0]
+    )
+    expected = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .filter(F.floor((F.unix_micros(F.col("t0").cast("timestamp")) + HOUR_US) / 1000) < F.lit(wm_ms))
+        .count()
+    )
+
+    rows = []
+
+    def sink(bdf, _bid):
+        rows.extend(bdf.collect())
+
+    with shuffle_partitions(spark, 8):
+        run_until(
+            process_keyed_event_time(s, ["user_id"], FirstHourCount()),
+            sink,
+            lambda: len(rows) >= expected,
+            timeout_sec=90,
+        )
+    return spark.createDataFrame(rows, FirstHourCount.output_schema)
