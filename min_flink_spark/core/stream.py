@@ -87,10 +87,24 @@ class Stream:
 
     # ---- partitioning (reference §2.3) ----
 
-    def key_by(self, *keys: ColumnOrName) -> "KeyedStream":
+    def key_by(self, *keys) -> "KeyedStream":
         """Hash-partition by key (KeyedStream.java:42-107). In Spark the
-        exchange is planned lazily by the downstream keyed operation."""
-        return KeyedStream(self.df, [c if isinstance(c, str) else c for c in keys])
+        exchange is planned lazily by the downstream keyed operation.
+
+        Keys take the reference's field-expression surface
+        (FieldAccessorFactory.java:52-190): flat names, positional
+        ``0``/``"f0"`` tuple aliases, dotted struct paths
+        (``"meta.region"``), or Column objects.
+        """
+        from min_flink_spark.functions.fields import resolve_field
+
+        return KeyedStream(
+            self.df,
+            [
+                resolve_field(self.df, k) if isinstance(k, (str, int)) else k
+                for k in keys
+            ],
+        )
 
     def rebalance(self, n: int | None = None) -> "Stream":
         """Round-robin redistribution (RebalancePartitioner.java)."""

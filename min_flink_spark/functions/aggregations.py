@@ -38,9 +38,43 @@ def _first_record_struct(cols: list[str], order_by: str | None) -> Column:
 
 
 def keyed_agg_first_record(
-    df: DataFrame, keys: list[str], field: str, op: str, order_by: str | None
+    df: DataFrame, keys: list[str], field: str | int, op: str, order_by: str | None
 ) -> DataFrame:
-    """groupBy(keys) → first-seen record with `field` := op(field)."""
+    """groupBy(keys) → first-seen record with `field` := op(field).
+
+    ``field`` takes the reference's full addressing surface
+    (FieldAccessorFactory.java:52-190): flat names, positional 0/"f0",
+    and dotted struct paths — ``sum("meta.width")`` replaces ONLY that
+    nested field inside the first-seen record's struct.
+    """
+    from min_flink_spark.functions.fields import (
+        is_nested,
+        resolve_field,
+        with_field_replaced,
+    )
+
+    field = resolve_field(df, field)
+    if is_nested(field):
+        top = field.split(".", 1)[0]
+        others = [c for c in df.columns if c not in keys]
+        out = df.groupBy(*[F.col(k) for k in keys]).agg(
+            _AGG[op](F.col(field)).alias("_aggval"),
+            _first_record_struct(others, order_by).alias("_first"),
+        )
+        sel = []
+        for c in df.columns:
+            if c in keys:
+                sel.append(F.col(c))
+            elif c == top:
+                sel.append(
+                    with_field_replaced(
+                        field, F.col("_aggval"), read_prefix="_first."
+                    ).alias(c)
+                )
+            else:
+                sel.append(F.col(f"_first.{c}").alias(c))
+        return out.select(*sel)
+
     others = [c for c in df.columns if c not in keys and c != field]
     aggs = [_AGG[op](field).alias(field)]
     if others:
@@ -70,7 +104,14 @@ def keyed_extremal_record(
     equal minima, ``min_by(rec, (field, -order))`` the latest, and
     symmetrically for max (negation ⇒ numeric order column; the
     fixtures' order columns are integers).
+
+    ``field`` accepts flat/positional/dotted addressing
+    (FieldAccessorFactory.java:52-190); ``min_by("meta.width")`` keeps
+    the whole record, so the dotted path needs only the read side.
     """
+    from min_flink_spark.functions.fields import resolve_field
+
+    field = resolve_field(df, field)
     rec = F.struct(*[F.col(c) for c in df.columns])
     if order_by is None:
         cmp: Column = F.col(field)

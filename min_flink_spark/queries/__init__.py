@@ -40,6 +40,8 @@ _PRIORITY = [
     "streaming_session_window",
     "streaming_sliding_window",
     # new this round — no driver row yet
+    "nested_field_sum_first_record",
+    "either_tagged_union",
     "streaming_event_time_timer",
 ]
 

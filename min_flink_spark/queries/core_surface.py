@@ -203,3 +203,82 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = ev.filter(F.col("value") > 50).map("event_type")
     lo = ev.filter(F.col("value") <= 50).map("event_type")
     return hi.union(lo).key_by("event_type").count(alias="cnt").df
+
+
+@query(
+    "nested_field_sum_first_record",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_id, event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS vu
+      FROM events
+    )
+    SELECT user_id,
+           min(event_id) AS event_id,
+           sum(vu) AS meta_value_u,
+           arg_min(event_type, event_id) AS meta_event_type
+    FROM m GROUP BY user_id
+    """,
+)
+def q_nested_field_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted-path field addressing (FieldAccessorFactory.java:52-190):
+    ``sum("meta.value_u")`` aggregates a NESTED struct field and writes
+    the aggregate back into the first-seen record's struct via
+    Column.withField — the reference's recursive field accessor on a
+    struct-ified events table. The emitted struct is flattened for the
+    gate (its canonicalizer cannot sort struct cells); values ride as
+    fixed-point micro-units so the sum is engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.struct(
+            F.round(F.col("value") * 1000000).cast("bigint").alias("value_u"),
+            F.col("event_type").alias("event_type"),
+        ).alias("meta"),
+    )
+    out = Stream(ev).key_by("user_id").sum("meta.value_u", order_by="event_id").df
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("meta.value_u").alias("meta_value_u"),
+        F.col("meta.event_type").alias("meta_event_type"),
+    )
+
+
+@query(
+    "either_tagged_union",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'left' ELSE 'right' END AS tag,
+           CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS left_amount,
+           CASE WHEN o_totalprice <= 200000 THEN o_orderstatus END AS right_status
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_either_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Either<double, string> as the tagged struct mapping of
+    EitherTypeInfo.java (SURVEY §1.2): two typed branches union into one
+    Either-typed edge, then flatten tag/branches for the gate. Exactly
+    one branch is non-null per row by construction.
+    """
+    from min_flink_spark.functions.either import union_either
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    hi = orders.filter(F.col("o_totalprice") > 200000)
+    lo = orders.filter(F.col("o_totalprice") <= 200000)
+    both = union_either(
+        hi,
+        lo,
+        left_value=F.col("o_totalprice"),
+        right_value=F.col("o_orderstatus"),
+        left_type="double",
+        right_type="string",
+        carry=["o_orderkey"],
+    )
+    return both.select(
+        "o_orderkey",
+        F.col("either.tag").alias("tag"),
+        F.col("either.left").alias("left_amount"),
+        F.col("either.right").alias("right_status"),
+    )

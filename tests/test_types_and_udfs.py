@@ -121,3 +121,103 @@ def test_observe_accumulator(spark):
     result = observed.filter(F.col("x") >= 0).collect()
     assert len(result) == 50
     assert obs.get["rows_seen"] == 50 and obs.get["x_sum"] == sum(range(50))
+
+
+# ---- field-expression addressing (FieldAccessorFactory.java:52-190) ----
+
+
+def test_positional_field_addressing(spark):
+    from min_flink_spark import Stream
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (2, 5.0, "c")], "k bigint, v double, tag string"
+    )
+    # f1/1 → second column "v"
+    out = {
+        r["k"]: r["v"]
+        for r in Stream(df).key_by("f0").sum(1, order_by="tag").collect()
+    }
+    assert out == {1: 30.0, 2: 5.0}
+
+
+def test_dotted_path_sum_replaces_only_nested_field(spark):
+    from min_flink_spark import Stream
+
+    df = spark.createDataFrame(
+        [(1, 1, (10, "x")), (1, 2, (20, "y")), (2, 1, (7, "z"))],
+        "k bigint, seq bigint, meta struct<w: bigint, s: string>",
+    )
+    rows = {
+        r["k"]: r for r in Stream(df).key_by("k").sum("meta.w", order_by="seq").collect()
+    }
+    # nested field replaced by the sum; sibling field + row fields from
+    # the FIRST record per key
+    assert rows[1]["meta"]["w"] == 30 and rows[1]["meta"]["s"] == "x"
+    assert rows[1]["seq"] == 1
+    assert rows[2]["meta"]["w"] == 7 and rows[2]["meta"]["s"] == "z"
+
+
+def test_dotted_path_two_levels_deep(spark):
+    from min_flink_spark.functions.aggregations import keyed_agg_first_record
+
+    df = spark.createDataFrame(
+        [(1, 1, ((5, "p"), True)), (1, 2, ((6, "q"), False))],
+        "k bigint, seq bigint, a struct<b: struct<c: bigint, s: string>, flag: boolean>",
+    )
+    r = keyed_agg_first_record(df, ["k"], "a.b.c", "max", "seq").collect()[0]
+    assert r["a"]["b"]["c"] == 6       # replaced by max
+    assert r["a"]["b"]["s"] == "p"     # sibling from first record
+    assert r["a"]["flag"] is True      # outer sibling from first record
+
+
+def test_dotted_path_min_by_whole_record(spark):
+    from min_flink_spark import Stream
+
+    df = spark.createDataFrame(
+        [(1, 1, (10, "lo")), (1, 2, (3, "min")), (2, 1, (9, "only"))],
+        "k bigint, seq bigint, meta struct<w: bigint, s: string>",
+    )
+    rows = {r["k"]: r for r in Stream(df).key_by("k").min_by("meta.w", order_by="seq").collect()}
+    assert rows[1]["meta"]["s"] == "min"  # whole extremal record kept
+
+
+def test_unknown_field_raises(spark):
+    from min_flink_spark.functions.fields import resolve_field
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown field"):
+        resolve_field(df, "nope.deep")
+    with _pytest.raises(ValueError, match="out of range"):
+        resolve_field(df, 5)
+
+
+# ---- Either tagged struct (EitherTypeInfo.java) ----
+
+
+def test_either_union_branches(spark):
+    from min_flink_spark.functions.either import (
+        get_left,
+        get_right,
+        is_left,
+        union_either,
+    )
+    from pyspark.sql import functions as F
+
+    nums = spark.createDataFrame([(1, 1.5), (2, 2.5)], "id bigint, x double")
+    strs = spark.createDataFrame([(3, "s3")], "id bigint, s string")
+    both = union_either(
+        nums, strs, F.col("x"), F.col("s"), "double", "string", carry=["id"]
+    )
+    rows = {r["id"]: r["either"] for r in both.collect()}
+    assert rows[1]["tag"] == "left" and rows[1]["left"] == 1.5 and rows[1]["right"] is None
+    assert rows[3]["tag"] == "right" and rows[3]["right"] == "s3" and rows[3]["left"] is None
+    lefts = both.filter(is_left(F.col("either"))).select(
+        get_left(F.col("either")).alias("v")
+    ).collect()
+    assert sorted(r["v"] for r in lefts) == [1.5, 2.5]
+    rights = both.filter(~is_left(F.col("either"))).select(
+        get_right(F.col("either")).alias("v")
+    ).collect()
+    assert [r["v"] for r in rights] == ["s3"]
