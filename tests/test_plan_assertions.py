@@ -1,0 +1,58 @@
+"""Plan-shape locks for the bench headliners (VERDICT r1 item 7): the
+expensive queries must keep the plan they were tuned to — a broadcast
+that silently degrades to a shuffle, or a bucketed join that regrows a
+cartesian, is a perf regression the wall-clock bench may hide in noise.
+"""
+
+import pytest
+
+from min_flink_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shipping_priority_plan_broadcasts_dim(spark, sf_dir):
+    """TPC-H-Q3 shape: the filtered customer dim must broadcast into
+    orders (never shuffle it), and the top-10 must be
+    TakeOrderedAndProject (never a global sort)."""
+    plan = _plan(spark, sf_dir, "shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_left_join_order_item_stats_plan_hash_join(spark, sf_dir):
+    """Two fact tables joined on the shared key: any HASH-based join is
+    acceptable (at test SF the aggregated side is small enough to
+    broadcast; at scale it becomes a shuffle join on the same key) —
+    but never a nested-loop/cartesian."""
+    plan = _plan(spark, sf_dir, "left_join_order_item_stats")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_dedup_minhash_lsh_plan_is_bucketed(spark, sf_dir):
+    """The LSH self-join must be an equi-join on (band, band_key) —
+    a CartesianProduct or nested loop means the banding collapsed."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_plan_is_bucketed(spark, sf_dir):
+    """The production near-dup path joins on (tbl, sig) buckets; the
+    quadratic baseline must stay behind exact=True."""
+    plan = _plan(spark, sf_dir, "embedding_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pricing_summary_pushdown(spark, sf_dir):
+    """The flagship scan must push the shipdate filter and prune to the
+    7 referenced columns (a full-width scan at 100 TB is the bug)."""
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate," in plan
+    assert "l_comment" not in plan  # column pruning reached the scan
