@@ -1,0 +1,202 @@
+"""Training-data pipeline operators: PII redaction, repetition-based
+quality signals, composite quality filtering, benchmark decontamination,
+and sequence packing.
+
+These extend the reference's per-record transform surface (StreamMap /
+StreamFlatMap, ``StreamMap.java:28-42``) with the operations a
+large-scale LLM corpus pipeline runs between raw text and training
+shards. Everything except the packer is whole-stage-codegen column
+expressions (regex/array functions — no Python in the hot path); the
+packer is an Arrow ``applyInPandas`` per pack-bucket, the one place
+imperative sequential logic is genuinely required.
+
+Cross-engine determinism: regex patterns stay inside the common
+Java-regex ∩ RE2 subset (no backrefs/lookaround) so DuckDB oracles can
+replay them verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from min_flink_spark.functions.text import tokens
+
+# Java-regex ∩ RE2 — keep in lockstep with SQL_* twins in queries/llm.py
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 -]{7,}[0-9]"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Regex PII scrubbing (emails → [EMAIL], intl phones → [PHONE],
+    IPv4 → [IP]) plus per-category match counts — the standard
+    pre-training scrub pass. Pure codegen: three regexp_replace /
+    regexp_count pairs, no shuffle, scan-parallel at any corpus size."""
+    out = out_col or text_col
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)))
+        .withColumn("n_phones", F.regexp_count(c, F.lit(PHONE_RE)))
+        .withColumn("n_ips", F.regexp_count(c, F.lit(IPV4_RE)))
+        .withColumn(
+            out,
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+                ),
+                IPV4_RE,
+                "[IP]",
+            ),
+        )
+    )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+        lambda g: F.size(F.split(g, " ")) == n,
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition ratios: the fraction of
+    duplicate 2-grams and 3-grams (1 − distinct/total). High values mark
+    boilerplate/template text. One pass of array expressions per row —
+    no explode, no shuffle."""
+    toks = tokens(F.col(text_col))
+    out = df.withColumn("_toks", toks)
+    for n in (2, 3):
+        g = _ngrams(F.col("_toks"), n)
+        out = out.withColumn(
+            f"dup_{n}gram_frac",
+            F.when(
+                F.size(g) > 0,
+                1 - F.size(F.array_distinct(g)) / F.size(g).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out.drop("_toks")
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_avg_word_len: float = 12.0,
+    max_dup_2gram: float = 0.5,
+) -> DataFrame:
+    """C4/Gopher-style composite keep/drop decision with per-rule flags
+    (``ok_*`` columns + ``keep``) so drops are auditable — filters that
+    silently discard at 100 TB are undebuggable. All codegen."""
+    out = repetition_signals(df, text_col)
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    avg_len = F.when(
+        n_words > 0,
+        (F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)))
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = (
+        out.withColumn("ok_min_words", n_words >= min_words)
+        .withColumn("ok_word_len", avg_len <= max_avg_word_len)
+        .withColumn("ok_repetition", F.col("dup_2gram_frac") <= max_dup_2gram)
+    )
+    return out.withColumn(
+        "keep", F.col("ok_min_words") & F.col("ok_word_len") & F.col("ok_repetition")
+    )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: for each train doc, the fraction of
+    its ``n``-gram shingles that appear ANYWHERE in the eval set —
+    docs above a threshold are carbon copies / partial leaks.
+
+    Plan: distinct eval shingles build an inverted index once; train
+    shingles semi-join it (only colliding shingles move), then one agg
+    per doc. ``df_cap`` drops ultra-frequent train shingles exactly as
+    in ngram_jaccard_pairs — the same stop-phrase fan-out bound.
+    Fraction = matched/total over the POST-cap shingle set.
+    """
+    from min_flink_spark.operators.dedup import shingles
+
+    tr = shingles(train, text_col, id_col, n)
+    if df_cap is not None:
+        hot = (
+            tr.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        tr = tr.join(hot, "shingle", "left_anti")
+    ev = shingles(evalset, text_col, id_col, n).select("shingle").distinct()
+    flagged = tr.join(
+        ev.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias("n_matched"),
+        (
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            / F.count("*").cast("double")
+        ).alias("overlap_frac"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Greedy sequence packing for training shards: documents are
+    hash-bucketed (md5 — deterministic, no RNG), each bucket is packed
+    INDEPENDENTLY in ``id_col`` order into bins of ``capacity`` tokens
+    (greedy: a doc that would overflow starts the next bin; docs longer
+    than capacity get a bin of their own). Emits (doc, bucket, bin,
+    offset).
+
+    Scale: packing is inherently sequential PER BIN-STREAM but
+    embarrassingly parallel ACROSS buckets — the bucket count is the
+    parallelism knob (1000 executors → thousands of buckets). One
+    shuffle on the bucket, then an Arrow ``applyInPandas`` running the
+    O(n) greedy fold per bucket; no driver involvement, no global sort.
+    """
+    import pandas as pd
+
+    from min_flink_spark.functions.hashing import hash_bucket
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, offsets = [], []
+        bin_idx, used = 0, 0
+        for t in pdf[token_col].astype("int64"):
+            t = min(int(t), capacity)  # oversize doc truncates to one bin
+            if used > 0 and used + t > capacity:
+                bin_idx, used = bin_idx + 1, 0
+            bins.append(bin_idx)
+            offsets.append(used)
+            used += t
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(token_col),
+        hash_bucket(F.col(id_col), num_buckets).alias("bucket"),
+    )
+    schema = f"{id_col} bigint, {token_col} bigint, bucket bigint, bin bigint, offset bigint"
+    return bucketed.groupBy("bucket").applyInPandas(_pack, schema)

@@ -42,6 +42,11 @@ _PRIORITY = [
     # new this round — no driver row yet
     "nested_field_sum_first_record",
     "either_tagged_union",
+    "pii_redaction",
+    "repetition_signals",
+    "quality_filter_flags",
+    "contamination_overlap",
+    "sequence_packing",
     "streaming_event_time_timer",
 ]
 

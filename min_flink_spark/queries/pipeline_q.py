@@ -124,3 +124,252 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(hash_bucket(F.col("event_id"), 100) < rate).select(
         "event_id", "event_type", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: PII / repetition / quality / decontamination /
+# packing (operators/pipeline.py)
+# ---------------------------------------------------------------------------
+
+# PII-bearing corpus: deterministic synthetic contacts appended to the
+# docs (the synthetic corpus itself contains no PII). Kept verbatim in
+# both engines.
+SQL_PII_CORPUS = """
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1 555 000 '
+              || doc_id || ' from 10.0.' || (doc_id % 256) || '.7' AS text
+  FROM documents
+"""
+SQL_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+SQL_PHONE = "\\+[0-9][0-9 -]{7,}[0-9]"
+SQL_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH corpus AS ({SQL_PII_CORPUS})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{SQL_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{SQL_PHONE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{SQL_IPV4}')) AS INT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{SQL_EMAIL}', '[EMAIL]', 'g'),
+               '{SQL_PHONE}', '[PHONE]', 'g'),
+             '{SQL_IPV4}', '[IP]', 'g') AS text
+    FROM corpus
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (operators/pipeline.py:redact_pii): emails/intl
+    phones/IPv4 → typed placeholders + per-category counts. Patterns
+    live in the Java-regex ∩ RE2 subset so the oracle replays them
+    verbatim; pure codegen, scan-parallel."""
+    from min_flink_spark.operators.pipeline import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com or +1 555 000 "),
+            F.col("doc_id"),
+            F.lit(" from 10.0."), F.col("doc_id") % 256, F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select("doc_id", "n_emails", "n_phones", "n_ips", "text")
+
+
+@query(
+    "repetition_signals",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text || ' ' || text ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(0, len(toks) - 1, 1),
+                              i -> toks[i + 1] || ' ' || toks[i + 2])
+             ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(0, len(toks) - 2, 1),
+                              i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])
+             ELSE [] END AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(g2) > 0
+                THEN 1 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0
+                THEN 1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+                ELSE 0.0 END AS dup_3gram_frac
+    FROM g
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram fractions over a corpus where every
+    even doc is self-doubled (planted repetition). Ratios are exact
+    int/int divisions — bit-stable."""
+    from min_flink_spark.operators.pipeline import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat("text", F.lit(" "), "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_signals(docs).select("doc_id", "dup_2gram_frac", "dup_3gram_frac")
+
+
+@query(
+    "quality_filter_flags",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks, text FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(0, len(toks) - 1, 1),
+                              i -> toks[i + 1] || ' ' || toks[i + 2])
+             ELSE [] END AS g2
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b)
+                       / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS avg_len,
+             CASE WHEN len(g2) > 0
+                  THEN 1 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+                  ELSE 0.0 END AS dup2
+      FROM g
+    )
+    SELECT doc_id,
+           n_words >= 10 AS ok_min_words,
+           avg_len <= 12.0 AS ok_word_len,
+           dup2 <= 0.5 AS ok_repetition,
+           (n_words >= 10 AND avg_len <= 12.0 AND dup2 <= 0.5) AS keep
+    FROM m
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher composite keep/drop with auditable per-rule flags
+    (operators/pipeline.py:quality_filter). Thresholds compare exact
+    int/int divisions, so the booleans are engine-stable."""
+    from min_flink_spark.operators.pipeline import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_filter(docs).select(
+        "doc_id", "ok_min_words", "ok_word_len", "ok_repetition", "keep"
+    )
+
+
+@query(
+    "contamination_overlap",
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+    ),
+    eval_docs AS (
+      -- planted leak: eval set = held-out docs ∪ verbatim copies of 10
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT doc_id + 500000, text FROM documents WHERE doc_id < 10
+    ),
+    tr_tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM train),
+    tr_sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+                            toks[i+5], toks[i+6], toks[i+7], toks[i+8]) AS shingle
+      FROM tr_tok, LATERAL (SELECT unnest(generate_series(0, greatest(len(toks) - 8, 0))) AS i) g
+      WHERE i + 8 <= len(toks)
+    ),
+    ev_tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM eval_docs),
+    ev_sh AS (
+      SELECT DISTINCT
+             concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+                            toks[i+5], toks[i+6], toks[i+7], toks[i+8]) AS shingle
+      FROM ev_tok, LATERAL (SELECT unnest(generate_series(0, greatest(len(toks) - 8, 0))) AS i) g
+      WHERE i + 8 <= len(toks)
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) AS overlap_frac
+    FROM tr_sh t LEFT JOIN ev_sh e ON t.shingle = e.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/pipeline.py:
+    contamination_overlap): 8-gram overlap of every train doc against an
+    eval set containing 10 planted verbatim train docs — those come back
+    with overlap_frac 1.0, clean docs ≈ 0. Inverted-index semi-join,
+    never an all-pairs comparison."""
+    from min_flink_spark.operators.pipeline import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    evalset = docs.filter(F.col("doc_id") % 97 == 0).unionByName(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    return contamination_overlap(train, evalset, n=8, df_cap=1000)
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32
+                  AS BIGINT) AS bucket
+      FROM documents
+    ),
+    d AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM src
+    ),
+    packed AS (
+      SELECT bucket, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin,
+             CAST(0 AS BIGINT) AS "offset",
+             least(n_tokens, 512) AS used
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.used + least(d.n_tokens, 512) > 512 AND p.used > 0
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.used + least(d.n_tokens, 512) > 512 AND p.used > 0
+                  THEN 0 ELSE p.used END,
+             CASE WHEN p.used + least(d.n_tokens, 512) > 512 AND p.used > 0
+                  THEN least(d.n_tokens, 512)
+                  ELSE p.used + least(d.n_tokens, 512) END
+      FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, n_tokens, bucket, bin, "offset" FROM packed
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 512-token sequence packing into training bins
+    (operators/pipeline.py:pack_sequences): md5-bucketed, packed in
+    doc_id order per bucket via one Arrow applyInPandas — sequential
+    only within a bucket, parallel across buckets. The oracle replays
+    the greedy fold with a recursive CTE."""
+    from min_flink_spark.operators.pipeline import pack_sequences
+    from min_flink_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(docs, capacity=512, num_buckets=32)

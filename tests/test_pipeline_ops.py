@@ -1,0 +1,93 @@
+"""Training-data pipeline operator semantics (operators/pipeline.py):
+PII redaction, repetition signals, quality filter, decontamination,
+sequence packing invariants."""
+
+from pyspark.sql import functions as F
+
+from min_flink_spark.operators.pipeline import (
+    contamination_overlap,
+    pack_sequences,
+    quality_filter,
+    redact_pii,
+    repetition_signals,
+)
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@example.org and bob@x.io, call +1 555 123 4567, host 192.168.0.1"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1 and rows[1]["n_ips"] == 1
+    t = rows[1]["text"]
+    assert "[EMAIL]" in t and "[PHONE]" in t and "[IP]" in t
+    assert "@" not in t and "192.168" not in t
+    assert rows[2]["text"] == "no pii here at all"
+    assert rows[2]["n_emails"] == rows[2]["n_phones"] == rows[2]["n_ips"] == 0
+
+
+def test_repetition_signals_flag_doubled_text(spark):
+    uniq = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, uniq), (2, uniq + " " + uniq)], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert rows[1]["dup_2gram_frac"] == 0.0
+    assert rows[2]["dup_2gram_frac"] > 0.45  # doubled text ≈ half duplicate bigrams
+
+
+def test_quality_filter_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "short text"),                                    # < 10 words
+            (2, " ".join("word" for _ in range(20))),             # repetitive
+            (3, " ".join(f"unique{i} ok{i}" for i in range(10))), # clean
+            (4, " ".join("a" * 20 for _ in range(12))),           # huge avg word len
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert not rows[1]["ok_min_words"] and not rows[1]["keep"]
+    assert not rows[2]["ok_repetition"] and not rows[2]["keep"]
+    assert rows[3]["keep"]
+    assert not rows[4]["ok_word_len"] and not rows[4]["keep"]
+
+
+def test_contamination_planted_leak(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    train = docs.limit(50)
+    leak = train.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    out = {r["doc_id"]: r for r in contamination_overlap(train, leak, n=8).collect()}
+    for i in range(5):
+        assert out[i]["overlap_frac"] == 1.0  # verbatim copies fully flagged
+    clean = [r["overlap_frac"] for d, r in out.items() if d >= 5]
+    assert clean and max(clean) < 0.2
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, (i * 37) % 300 + 1) for i in range(200)]
+    rows.append((999, 5000))  # oversize doc: capacity-truncating, own bin
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    packed = pack_sequences(df, capacity=512, num_buckets=8).collect()
+    assert len(packed) == 201  # every doc placed exactly once
+
+    by_bin: dict = {}
+    for r in packed:
+        by_bin.setdefault((r["bucket"], r["bin"]), []).append(r)
+    for (_, _), docs in by_bin.items():
+        docs = sorted(docs, key=lambda r: r["offset"])
+        used = 0
+        for d in docs:
+            assert d["offset"] == used  # offsets contiguous within bin
+            used += min(d["n_tokens"], 512)
+        assert used <= 512  # no bin overflows capacity
+
+    # deterministic: same input → same packing
+    again = pack_sequences(df, capacity=512, num_buckets=8).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
