@@ -82,7 +82,15 @@ def minhash_signatures(
 def lsh_bands(
     sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Fold the signature into ``bands`` bucket keys (rows = K/bands)."""
+    """Fold the signature into ``bands`` bucket keys (rows = K/bands).
+
+    ONE projection + explode, NOT a union of per-band branches: Spark
+    does no common-subplan elimination across union arms, so a B-way
+    union re-runs the whole shingle+minhash aggregation B times (and 2B
+    times across a self-join) — measured 8× redundant scans in the
+    round-1 plan. The exploded shape computes signatures once and lets
+    the self-join reuse one exchange.
+    """
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
@@ -90,20 +98,21 @@ def lsh_bands(
             "LSH sensitivity"
         )
     rows_per_band = num_hashes // bands
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias("band_key"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
 
 
 def minhash_lsh_pairs(
@@ -113,11 +122,24 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    persist_bands: bool = True,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via MinHash LSH."""
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash LSH.
+
+    ``persist_bands`` materializes the (id, band, band_key) table before
+    the self-join: Spark's exchange reuse does not fire across the
+    aliased join sides, so without it the whole shingle+minhash pipeline
+    — the dominant cost — executes twice. The band table is narrow
+    (id + 32-char key per band) and spills to disk if needed; callers
+    running many corpora in one session can clearCache() between runs.
+    """
     sh = shingles(df, text_col, id_col, shingle_n)
     sigs = minhash_signatures(sh, id_col, num_hashes)
     bnd = lsh_bands(sigs, id_col, num_hashes, bands)
+    if persist_bands:
+        from pyspark import StorageLevel
+
+        bnd = bnd.persist(StorageLevel.MEMORY_AND_DISK)
     a = bnd.alias("a")
     b = bnd.alias("b")
     return (

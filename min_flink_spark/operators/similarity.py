@@ -126,6 +126,11 @@ def near_dup_pairs(
         v, vec_col="_v", id_col=id_col, num_planes=num_planes,
         num_tables=num_tables, dim=dim,
     )  # (id, tbl, sig)
+    # materialize once: exchange reuse doesn't fire across the aliased
+    # self-join sides, and the T×P dot products are the dominant cost
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     sa = sigs.select(F.col(id_col).alias("id_a"), "tbl", "sig")
     sb = sigs.select(F.col(id_col).alias("id_b"), "tbl", "sig")
     cand = (
@@ -168,18 +173,20 @@ def hyperplane_signatures(
             out = out + b
         return out.cast("bigint")
 
-    parts = [
-        df.select(
-            F.col(id_col),
+    # one projection + explode (NOT a per-table union): all T signatures
+    # compute in a single pass over the vector column and the downstream
+    # self-join sees one subtree it can exchange-reuse — a T-way union
+    # would rescan and re-dot the corpus per arm, per join side
+    table_structs = [
+        F.struct(
             F.lit(t).cast("bigint").alias("tbl"),
             signature(F.col(vec_col), t).alias("sig"),
         )
         for t in range(num_tables)
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return df.select(
+        F.col(id_col), F.explode(F.array(*table_structs)).alias("_t")
+    ).select(id_col, F.col("_t.tbl").alias("tbl"), F.col("_t.sig").alias("sig"))
 
 
 def _empty_topk(like: DataFrame, id_col: str, query_id_col: str) -> DataFrame:
@@ -385,3 +392,43 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def l2_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str | None = None) -> DataFrame:
+    """Unit-normalize an embedding column (array<float> → array<double>)
+    so downstream cosine reduces to a dot product. Pure JVM array math:
+    one sequential-fold norm + one transform per row, no shuffle."""
+    out = out_col or vec_col
+    v = _as_double(F.col(vec_col))
+    n = norm(v)
+    return df.withColumn(
+        out, F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    )
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    prefix: str = "p",
+) -> DataFrame:
+    """Deterministic random-projection dimensionality reduction
+    (Johnson–Lindenstrauss style): out_dim md5-derived hyperplanes (the
+    ``_hyperplane`` family — no RNG state, any engine can regenerate
+    them), each output component a sequential-fold dot product. Emits
+    ``prefix{k}`` double columns — the cheap front-end for ANN at 100 TB
+    (project once, index the short vectors).
+    """
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            return df.select("*", *[F.lit(0.0).alias(f"{prefix}{k}") for k in range(out_dim)])
+        dim = len(first[0])
+    v = _as_double(F.col(vec_col))
+    cols = []
+    for k in range(out_dim):
+        comps = _hyperplane(500_000 + k, dim)
+        plane = F.array(*[F.lit(c) for c in comps])
+        cols.append(dot(v, plane).alias(f"{prefix}{k}"))
+    return df.select("*", *cols)

@@ -47,6 +47,7 @@ _PRIORITY = [
     "quality_filter_flags",
     "contamination_overlap",
     "sequence_packing",
+    "embedding_normalize_project",
     "streaming_event_time_timer",
 ]
 

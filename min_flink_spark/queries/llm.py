@@ -490,3 +490,60 @@ def q_levenshtein_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "embedding_normalize_project",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 300
+    ),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM v
+    ),
+    planes AS (
+      -- replay of operators/similarity._hyperplane family 500000+k
+      SELECT k,
+             list_transform(range(0, 64, 1), j ->
+               ('0x' || substr(md5(CAST(500000 + k AS VARCHAR) || '|'
+                                   || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967295.0 - 0.5) AS plane
+      FROM range(0, 4, 1) t(k)
+    ),
+    proj AS (
+      SELECT n.vec_id, n.v, n.nrm, p.k,
+             list_reduce(list_transform(range(1, 65, 1), i -> n.v[i] * p.plane[i]),
+                         (a, b) -> a + b) AS d
+      FROM n CROSS JOIN planes p
+    )
+    SELECT vec_id,
+           v[1] / nrm AS n0, v[2] / nrm AS n1, v[3] / nrm AS n2,
+           max(CASE WHEN k = 0 THEN d END) AS p0,
+           max(CASE WHEN k = 1 THEN d END) AS p1,
+           max(CASE WHEN k = 2 THEN d END) AS p2,
+           max(CASE WHEN k = 3 THEN d END) AS p3
+    FROM proj
+    GROUP BY vec_id, n0, n1, n2
+    """,
+)
+def q_embedding_normalize_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding utilities (operators/similarity.py): L2 normalization
+    (first 3 components emitted) + deterministic 64→4 random projection
+    (Johnson–Lindenstrauss front-end for ANN). Every value is a
+    sequential fold / single division on identical inputs — bit-exact
+    across engines, no rounding needed."""
+    from min_flink_spark.operators.similarity import l2_normalize, project_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = project_embeddings(emb, out_dim=4, dim=64)
+    out = l2_normalize(out, "embedding", out_col="_nv")
+    return out.select(
+        "vec_id",
+        F.col("_nv")[0].alias("n0"),
+        F.col("_nv")[1].alias("n1"),
+        F.col("_nv")[2].alias("n2"),
+        "p0", "p1", "p2", "p3",
+    )
