@@ -1,0 +1,103 @@
+"""End-to-end training-data curation pipeline.
+
+The composition a corpus team would actually run, start to finish, on
+the engine's operators — every stage scale-architected (codegen
+filters, hash-agg dedup, banded LSH, inverted-index decontamination,
+bucketed packing; no collects, no cartesians):
+
+    raw docs
+      → quality filter (C4/Gopher rules, auditable flags)
+      → PII redaction
+      → exact dedup (md5 fingerprint, min-id canonical)
+      → near-dup dedup (MinHash+LSH candidates → cluster → keep min id)
+      → benchmark decontamination (8-gram overlap)
+      → token counting + greedy sequence packing into 512-token bins
+      → parquet shards
+
+Run: python examples/curation_pipeline.py [sf_dir]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from min_flink_spark import get_spark
+from min_flink_spark.functions.text import token_count
+from min_flink_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from min_flink_spark.operators.graph import connected_components
+from min_flink_spark.operators.pipeline import (
+    contamination_overlap,
+    pack_sequences,
+    quality_filter,
+    redact_pii,
+)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark(app_name="curation-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n0 = docs.count()
+
+    # 1. quality filter — keep decision with auditable per-rule flags
+    q = quality_filter(docs)
+    kept = q.filter("keep").select("doc_id", "text")
+    n1 = kept.count()
+
+    # 2. PII scrub
+    clean = redact_pii(kept).select("doc_id", "text")
+
+    # 3. exact dedup
+    exact = exact_dedup(clean, "text", "doc_id")
+    n2 = exact.count()
+
+    # 4. near-dup dedup: LSH candidates, exact-Jaccard verified, then
+    # connected components → keep min id per cluster. Verification
+    # matters: raw band collisions include sub-threshold pairs, and
+    # dropping on candidates alone over-deletes.
+    cand = minhash_lsh_pairs(exact, "text", "doc_id")
+    verified = ngram_jaccard_pairs(exact, threshold=0.7, text_col="text", id_col="doc_id")
+    pairs = cand.join(verified.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+    clusters = connected_components(pairs, "doc_a", "doc_b")
+    canonical = clusters.groupBy("component").agg(F.min("node").alias("keep_id"))
+    drop = clusters.join(
+        canonical, clusters["component"] == canonical["component"]
+    ).filter(F.col("node") != F.col("keep_id")).select(F.col("node").alias("doc_id"))
+    deduped = exact.join(drop, "doc_id", "left_anti")
+    n3 = deduped.count()
+
+    # 5. decontamination vs a held-out eval slice
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    train = deduped.filter(F.col("doc_id") % 97 != 0)
+    overlap = contamination_overlap(train, evalset, n=8)
+    contaminated = overlap.filter(F.col("overlap_frac") > 0.5).select("doc_id")
+    final = train.join(contaminated, "doc_id", "left_anti")
+    n4 = final.count()
+
+    # 6. token counts + packing into 512-token training bins
+    counted = final.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    packed = pack_sequences(counted, capacity=512, num_buckets=16)
+    n_bins = packed.select("bucket", "bin").distinct().count()
+
+    out = tempfile.mkdtemp(prefix="curated_")
+    final.join(packed, "doc_id").write.mode("overwrite").parquet(out)
+
+    print(f"raw={n0} quality_kept={n1} exact_deduped={n2} "
+          f"near_deduped={n3} decontaminated={n4} bins={n_bins}")
+    print(f"shards: {out}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

@@ -170,6 +170,15 @@ class Stream:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
+    def sink_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self.df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def sink_json(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).json(path)
+
+    def sink_orc(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).orc(path)
+
     def add_sink(self, fn: Callable[[DataFrame], None]) -> None:
         """Custom sink (SinkFunction.java): fn receives the DataFrame."""
         fn(self.df)

@@ -54,3 +54,34 @@ def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABL
     """Register the testdata tables as temp views for spark.sql use."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: Any = None, header: bool = True, **options
+) -> "_stream.Stream":
+    """CSV source. Always pass a schema in production — inference scans
+    the data twice, and at 100 TB that is a full extra pass."""
+    r = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        r = r.option(k, v)
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return _stream.Stream(r.csv(path))
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: Any = None, **options
+) -> "_stream.Stream":
+    """JSON-lines source; same schema-first contract as read_csv."""
+    r = spark.read
+    for k, v in options.items():
+        r = r.option(k, v)
+    if schema is not None:
+        r = r.schema(schema)
+    return _stream.Stream(r.json(path))
+
+
+def read_orc(spark: SparkSession, path: str) -> "_stream.Stream":
+    return _stream.Stream(spark.read.orc(path))

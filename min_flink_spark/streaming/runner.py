@@ -49,12 +49,29 @@ def stream_parquet(
     sources cannot infer while running). ``path`` may be a directory or
     a single parquet file (staged into a scratch dir via symlink — the
     file source only accepts directories)."""
-    if path.endswith(".parquet") and os.path.isfile(path):
+    return stream_files(spark, path, schema, "parquet", max_files_per_trigger)
+
+
+def stream_files(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    **options,
+) -> DataFrame:
+    """File-source stream over any format (parquet/json/csv/orc/text).
+    Single files are staged into a symlink directory (the source only
+    accepts directories); schema is mandatory — streaming sources cannot
+    infer while running."""
+    if os.path.isfile(path):
         path = _stage_file_as_dir(path)
     r = spark.readStream.schema(schema)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    return r.parquet(path)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return getattr(r, fmt)(path)
 
 
 def _stage_file_as_dir(file_path: str) -> str:

@@ -1,0 +1,73 @@
+"""Multi-format source/sink round-trips (reference §2.1/§2.7 analog:
+the generalized surface a Spark-first engine exposes beyond the
+reference's fromElements + print)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from min_flink_spark import Stream
+from min_flink_spark.sources import read_csv, read_json, read_orc, read_parquet
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)],
+        "id bigint, tag string, x double",
+    )
+
+
+def _roundtrip(spark, df, write, read):
+    write(Stream(df))
+    got = sorted(map(tuple, read().collect()))
+    assert got == sorted(map(tuple, df.collect()))
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    _roundtrip(
+        spark,
+        _df(spark),
+        lambda s: s.sink_csv(p),
+        lambda: read_csv(spark, p, schema="id bigint, tag string, x double"),
+    )
+
+
+def test_json_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "json")
+    _roundtrip(
+        spark,
+        _df(spark),
+        lambda s: s.sink_json(p),
+        lambda: read_json(spark, p, schema="id bigint, tag string, x double"),
+    )
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "orc")
+    _roundtrip(spark, _df(spark), lambda s: s.sink_orc(p), lambda: read_orc(spark, p))
+
+
+def test_csv_schema_first_no_inference_pass(spark, tmp_path):
+    """With an explicit schema the CSV read must not trigger an
+    inference job (the plan reads the given schema verbatim)."""
+    p = str(tmp_path / "csv2")
+    Stream(_df(spark)).sink_csv(p)
+    s = read_csv(spark, p, schema="id bigint, tag string, x double")
+    assert [f.dataType.simpleString() for f in s.df.schema.fields] == [
+        "bigint", "string", "double",
+    ]
+
+
+def test_streaming_json_file_source(spark, tmp_path):
+    """stream_files generalizes the file source beyond parquet: a JSON
+    directory streams through an aggregation to the same totals as the
+    batch read."""
+    from min_flink_spark.streaming.runner import run_to_completion, stream_files
+
+    p = str(tmp_path / "sjson")
+    _df(spark).coalesce(1).write.json(p)
+    s = stream_files(spark, p, "id bigint, tag string, x double", fmt="json")
+    agg = s.groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+    out = run_to_completion(agg, output_mode="complete").collect()
+    assert (out[0]["n"], out[0]["s"]) == (3, 6)
