@@ -39,6 +39,18 @@ class StreamExecutionEnvironment:
         """Parquet table source with pushdown/pruning intact."""
         return read_table(self.spark, sf_dir, name)
 
+    def add_source(self, fn) -> Stream:
+        """Custom source (StreamExecutionEnvironment.java:189
+        ``addSource(SourceFunction)`` analog): ``fn(spark) -> DataFrame``
+        builds whatever frame it wants; the engine wraps it."""
+        return Stream(fn(self.spark))
+
+    def sql(self, query: str) -> Stream:
+        """SQL entry point over registered views (sources.register_views)
+        — the reference has no SQL at all; on Spark the full ANSI surface
+        is part of the engine."""
+        return Stream(self.spark.sql(query))
+
     def set_parallelism(self, n: int) -> "StreamExecutionEnvironment":
         self.spark.conf.set("spark.sql.shuffle.partitions", str(n))
         return self

@@ -270,3 +270,53 @@ def test_rate_source_unbounded(spark):
     )
     assert met and len(collected) >= 20
     assert len({r["value"] for r in collected}) == len(collected)  # monotone ids
+
+
+def test_broadcast_state_pattern_dim_updates_between_runs(spark, tmp_path):
+    """The reference's broadcast-state pattern (a control/dimension
+    stream broadcast to all tasks, StreamPartitioner.java:40-42 family)
+    maps to a stream-static join whose static side is RE-RESOLVED every
+    micro-batch: appending to the dim directory between checkpointed
+    bounded runs changes the enrichment of later events without
+    restarting anything."""
+    import os
+
+    from min_flink_spark.streaming.runner import (
+        run_foreach_batch,
+        shuffle_partitions,
+        stream_files,
+    )
+    from pyspark.sql import functions as F
+
+    events = str(tmp_path / "events")
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    got = []
+
+    def sink(bdf, _):
+        got.extend([(r["k"], r["label"]) for r in bdf.collect()])
+
+    def run_once(batch_rows):
+        spark.createDataFrame(batch_rows, "k bigint").coalesce(1).write.mode(
+            "append"
+        ).parquet(events)
+        s = stream_files(spark, events, "k bigint", fmt="parquet")
+        d = spark.read.schema("k bigint, label string").parquet(dim)
+        joined = s.join(F.broadcast(d), "k", "left").select("k", "label")
+        with shuffle_partitions(spark, 2):
+            run_foreach_batch(joined, sink, checkpoint_dir=ckpt)
+
+    os.makedirs(dim, exist_ok=True)
+    spark.createDataFrame([(1, "v1")], "k bigint, label string").coalesce(
+        1
+    ).write.mode("append").parquet(dim)
+    run_once([(1,)])
+
+    # dim update between runs: same key, new label
+    spark.createDataFrame([(2, "v2")], "k bigint, label string").coalesce(
+        1
+    ).write.mode("append").parquet(dim)
+    run_once([(2,)])
+
+    assert ("1", "v1") not in got  # types preserved (bigint, not str)
+    assert (1, "v1") in got and (2, "v2") in got
