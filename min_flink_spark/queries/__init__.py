@@ -49,6 +49,8 @@ _PRIORITY = [
     "sequence_packing",
     "embedding_normalize_project",
     "streaming_event_time_timer",
+    "streaming_dedup",
+    "streaming_interval_join",
 ]
 
 

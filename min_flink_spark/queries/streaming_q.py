@@ -328,3 +328,80 @@ def q_streaming_event_time_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeout_sec=90,
         )
     return spark.createDataFrame(rows, FirstHourCount.output_schema)
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates over a watermarked stream
+    — state holds one entry per key, expired by the watermark at scale.
+    Projected to the key columns so the kept-row choice (first arrival,
+    arbitrary under parallelism) cannot leak nondeterminism into the
+    result set."""
+    from min_flink_spark.streaming.runner import shuffle_partitions
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    dedup = (
+        s.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    with shuffle_partitions(spark, 8):
+        return run_to_completion(dedup, output_mode="append")
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (clicks ⋈ purchases within 2 h per
+    user): both sides watermarked, the time-range predicate bounds the
+    state each side must retain — the scalable streaming join shape.
+    Bounded single-batch input ⇒ equals the batch interval join."""
+    from min_flink_spark.streaming.runner import shuffle_partitions
+
+    s1 = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    s2 = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    clicks = (
+        s1.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        s2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        on=[
+            F.col("c_user") == F.col("p_user"),
+            F.col("p_ts") >= F.col("c_ts"),
+            F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS"),
+        ],
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    with shuffle_partitions(spark, 8):
+        return run_to_completion(joined, output_mode="append")
