@@ -168,3 +168,76 @@ def test_session_matches_model(spark, minutes):
         for s in sessions
     )
     assert got == model
+
+
+# ---- sequence packing vs pure-Python greedy model ----
+
+
+def _pack_model(rows, capacity, num_buckets):
+    """Reference implementation of the documented packing contract."""
+    import hashlib
+
+    out = {}
+    buckets: dict = {}
+    for doc_id, tokens in rows:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % num_buckets
+        buckets.setdefault(h, []).append((doc_id, tokens))
+    for b, docs in buckets.items():
+        docs.sort()
+        bin_idx, used = 0, 0
+        for doc_id, tokens in docs:
+            t = min(tokens, capacity)
+            if used > 0 and used + t > capacity:
+                bin_idx, used = bin_idx + 1, 0
+            out[doc_id] = (b, bin_idx, used)
+            used += t
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=700),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_pack_sequences_matches_model(spark, rows):
+    from min_flink_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    got = {
+        r["doc_id"]: (r["bucket"], r["bin"], r["offset"])
+        for r in pack_sequences(df, capacity=512, num_buckets=4).collect()
+    }
+    assert got == _pack_model(rows, 512, 4)
+
+
+# ---- nested field replacement vs model ----
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_nested_sum_matches_flat_sum(spark, rows):
+    """sum('meta.v') over struct-ified rows must equal sum('v') over the
+    flat rows, with identical first-record carry — dotted addressing is
+    pure addressing, never different semantics."""
+    from pyspark.sql import functions as F
+
+    flat = to_df(spark, rows)
+    nested = flat.select(
+        "seq", "k", F.struct(F.col("v").alias("v"), F.col("payload").alias("p")).alias("meta")
+    )
+    got_flat = {
+        r["k"]: (r["v"], r["payload"])
+        for r in keyed_agg_first_record(flat, ["k"], "v", "sum", "seq").collect()
+    }
+    got_nested = {
+        r["k"]: (r["meta"]["v"], r["meta"]["p"])
+        for r in keyed_agg_first_record(nested, ["k"], "meta.v", "sum", "seq").collect()
+    }
+    assert got_flat == got_nested
