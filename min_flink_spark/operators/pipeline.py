@@ -200,3 +200,52 @@ def pack_sequences(
     )
     schema = f"{id_col} bigint, {token_col} bigint, bucket bigint, bin bigint, offset bigint"
     return bucketed.groupBy("bucket").applyInPandas(_pack, schema)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    df_cap: int = 1,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level paragraph deduplication (the C4 move: drop any
+    paragraph occurring in more than ``df_cap`` documents — boilerplate,
+    navigation chrome, license headers — and reassemble the documents).
+
+    Plan: explode paragraphs with their position, one hash-agg for
+    paragraph document-frequency (md5 key, distinct doc count), an
+    anti-join to drop repeated paragraphs, then rebuild each doc with
+    sort_array(collect_list((pos, para))) — order restored without a
+    window sort. Two shuffles total (df agg + per-doc regroup), both on
+    keys with bounded payloads; nothing quadratic, no driver data.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        )
+        .filter(F.length(F.trim(F.col("_para"))) >= min_chars)
+        .withColumn("_pkey", F.md5(F.trim(F.col("_para"))))
+    )
+    hot = (
+        paras.groupBy("_pkey")
+        .agg(F.count_distinct(F.col(id_col)).alias("_pdf"))
+        .filter(F.col("_pdf") > df_cap)
+        .select("_pkey")
+    )
+    kept = paras.join(hot, "_pkey", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_para")))
+                ),
+                lambda s: s["_para"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    return rebuilt

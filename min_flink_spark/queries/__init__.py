@@ -48,6 +48,7 @@ _PRIORITY = [
     "contamination_overlap",
     "sequence_packing",
     "embedding_normalize_project",
+    "paragraph_dedup",
     "streaming_event_time_timer",
     "streaming_dedup",
     "streaming_interval_join",

@@ -373,3 +373,51 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
     )
     return pack_sequences(docs, capacity=512, num_buckets=32)
+
+
+@query(
+    "paragraph_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             'subscribe to our newsletter<P>' || text ||
+             '<P>all rights reserved 2024' AS text
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, i AS pos, parts[i + 1] AS para,
+             md5(trim(parts[i + 1])) AS pkey
+      FROM (SELECT doc_id, string_split(text, '<P>') AS parts FROM corpus),
+           LATERAL (SELECT unnest(generate_series(0, len(parts) - 1)) AS i) g
+      WHERE length(trim(parts[i + 1])) >= 1
+    ),
+    hot AS (
+      SELECT pkey FROM paras GROUP BY pkey HAVING count(DISTINCT doc_id) > 1
+    ),
+    kept AS (
+      SELECT p.* FROM paras p LEFT JOIN hot h ON p.pkey = h.pkey
+      WHERE h.pkey IS NULL
+    )
+    SELECT doc_id,
+           string_agg(para, '<P>' ORDER BY pos) AS text,
+           CAST(count(*) AS BIGINT) AS n_paras_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (operators/pipeline.py:
+    dedup_paragraphs — the C4 boilerplate-removal move): every doc gets
+    a shared header/footer planted; paragraphs appearing in more than
+    one document are dropped corpus-wide and the docs reassembled in
+    original order. Two hash-shuffles, nothing quadratic."""
+    from min_flink_spark.operators.pipeline import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter<P>"),
+            F.col("text"),
+            F.lit("<P>all rights reserved 2024"),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(docs, sep="<P>", df_cap=1)

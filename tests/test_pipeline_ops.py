@@ -91,3 +91,21 @@ def test_pack_sequences_invariants(spark):
     # deterministic: same input → same packing
     again = pack_sequences(df, capacity=512, num_buckets=8).collect()
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_dedup_paragraphs_drops_boilerplate(spark):
+    from min_flink_spark.operators.pipeline import dedup_paragraphs
+
+    sep = "\n\n"
+    docs = spark.createDataFrame(
+        [
+            (1, f"HEADER{sep}unique one{sep}FOOTER"),
+            (2, f"HEADER{sep}unique two{sep}FOOTER"),
+            (3, f"HEADER{sep}unique three{sep}also unique{sep}FOOTER"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs, sep=sep).collect()}
+    assert out[1]["text"] == "unique one" and out[1]["n_paras_kept"] == 1
+    assert out[3]["text"] == f"unique three{sep}also unique"
+    assert out[3]["n_paras_kept"] == 2
