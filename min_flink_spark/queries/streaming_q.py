@@ -106,7 +106,7 @@ def q_streaming_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
            time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -125,7 +125,7 @@ def q_streaming_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 day",
         ["event_type"],
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
     return run_to_completion(agg, output_mode="update")
 
@@ -134,7 +134,7 @@ def q_streaming_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_static_join",
     oracle="""
     SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
-           sum(e.value) AS total_value
+           CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -153,7 +153,7 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(customer), on=s["user_id"] + 1 == customer["c_custkey"]
     )
     agg = joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value")
     )
     return run_to_completion(agg, output_mode="update")
 
@@ -174,7 +174,7 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(ts) + INTERVAL '4 hours' AS session_end,
            user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
     FROM numbered GROUP BY user_id, session_id
     """,
 )
@@ -193,7 +193,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4 hours",
         ["user_id"],
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
     return run_to_completion(agg, output_mode="complete")
 
@@ -205,7 +205,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
            time_bucket(INTERVAL '6 hours', ts) - i * INTERVAL '6 hours'
              + INTERVAL '1 day' AS window_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
     FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
     GROUP BY 1, 2
     """,
@@ -222,7 +222,7 @@ def q_streaming_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "6 hours",
         None,
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
     return run_to_completion(agg, output_mode="update")
 

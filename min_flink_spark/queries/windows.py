@@ -22,7 +22,7 @@ from min_flink_spark.sources import load_table
            time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -34,7 +34,7 @@ def q_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 day",
         ["event_type"],
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
 
 
@@ -45,7 +45,7 @@ def q_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
            time_bucket(INTERVAL '6 hours', ts) - i * INTERVAL '6 hours'
              + INTERVAL '1 day' AS window_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
     FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
     GROUP BY 1, 2
     """,
@@ -60,7 +60,7 @@ def q_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "6 hours",
         None,
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
 
 
@@ -80,7 +80,7 @@ def q_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(ts) + INTERVAL '4 hours' AS session_end,
            user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
     FROM numbered GROUP BY user_id, session_id
     """,
 )
@@ -91,5 +91,5 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4 hours",
         ["user_id"],
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
