@@ -80,7 +80,8 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correlated_subquery_big_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-    WHERE o_totalprice > (SELECT 1.8 * avg(o2.o_totalprice)
+    WHERE o_totalprice > (SELECT 1.8 * (CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                        / count(*))
                           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     """,
 )
@@ -92,7 +93,8 @@ def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-        WHERE o_totalprice > (SELECT 1.8 * avg(o2.o_totalprice)
+        WHERE o_totalprice > (SELECT 1.8 * (CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                            / count(*))
                               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )

@@ -18,17 +18,28 @@ from min_flink_spark.registry import query
 from min_flink_spark.sources import load_table
 
 
+def _dec(col: str, scale: str = "decimal(18,2)"):
+    """Exact-decimal view of a 2-dp money column: decimal accumulation +
+    one final double cast is bit-identical across engines at any scale,
+    where double sums drift with accumulation order (round-2 float
+    doctrine; see FIXTURES §3)."""
+    return F.col(col).cast(scale)
+
+
 @query(
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)      AS sum_qty,
-           sum(l_extendedprice) AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)      AS avg_qty,
-           avg(l_extendedprice) AS avg_price,
-           avg(l_discount)      AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -42,15 +53,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
             F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+                _dec("l_extendedprice")
+                * (F.lit(1) - _dec("l_discount"))
+                * (F.lit(1) + _dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -59,7 +78,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "revenue_by_nation",
     oracle="""
-    SELECT r_name, n_name, sum(o_totalprice) AS revenue,
+    SELECT r_name, n_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -88,7 +108,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=F.col("n_regionkey") == F.col("r_regionkey"),
     )
     return joined.groupBy("r_name", "n_name").agg(
-        F.sum("o_totalprice").alias("revenue"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -134,7 +154,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice,
            CAST(count(l_orderkey) AS BIGINT) AS n_items,
-           coalesce(sum(l_quantity), 0.0) AS total_qty
+           coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_qty
     FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey, o_totalprice
     """,
@@ -148,7 +168,7 @@ def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(
             F.count("l_orderkey").alias("n_items"),
-            F.coalesce(F.sum("l_quantity"), F.lit(0.0)).alias("total_qty"),
+            F.coalesce(F.sum(_dec("l_quantity")).cast("double"), F.lit(0.0)).alias("total_qty"),
         )
     )
 
@@ -252,7 +272,7 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rollup_acctbal",
     oracle="""
-    SELECT r_name, n_name, sum(c_acctbal) AS total_bal,
+    SELECT r_name, n_name, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
            CAST(count(*) AS BIGINT) AS n_customers
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -270,7 +290,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=F.col("n_regionkey") == F.col("r_regionkey"),
     )
     return joined.rollup("r_name", "n_name").agg(
-        F.sum("c_acctbal").alias("total_bal"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
         F.count(F.lit(1)).alias("n_customers"),
     )
 
@@ -356,7 +376,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_order_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           sum(o_totalprice) AS revenue,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -369,7 +389,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.sum("o_totalprice").alias("revenue"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -382,7 +402,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.c_acctbal, o.total_spent
     FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
     FULL OUTER JOIN (
-      SELECT o_custkey, sum(o_totalprice) AS total_spent
+      SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
       FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
     ) o ON c.c_custkey = o.o_custkey
     """,
@@ -397,7 +417,7 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("total_spent"))
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"))
     )
     return rich.join(
         urgent, on=F.col("c_custkey") == F.col("o_custkey"), how="full_outer"
@@ -425,7 +445,7 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_join_price_bands",
     oracle="""
     SELECT b.band_id, CAST(count(*) AS BIGINT) AS n_orders,
-           sum(o_totalprice) AS band_revenue
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_revenue
     FROM orders o
     JOIN (SELECT i AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
           FROM (SELECT unnest(generate_series(0, 9)) AS i)) b
@@ -452,7 +472,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("band_revenue"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("band_revenue"),
         )
     )
 
