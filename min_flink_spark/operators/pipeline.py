@@ -118,16 +118,19 @@ def contamination_overlap(
     id_col: str = "doc_id",
     n: int = 8,
     df_cap: int | None = 1000,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: for each train doc, the fraction of
     its ``n``-gram shingles that appear ANYWHERE in the eval set —
     docs above a threshold are carbon copies / partial leaks.
 
-    Plan: distinct eval shingles build an inverted index once; train
-    shingles semi-join it (only colliding shingles move), then one agg
-    per doc. ``df_cap`` drops ultra-frequent train shingles exactly as
-    in ngram_jaccard_pairs — the same stop-phrase fan-out bound.
-    Fraction = matched/total over the POST-cap shingle set.
+    Plan: distinct eval shingles build an inverted index once and are
+    BROADCAST (an eval suite is tiny next to a training corpus — this
+    keeps the billions of train shingles from ever shuffling; pass
+    ``broadcast_eval=False`` for a pathologically large eval set), then
+    one agg per doc. ``df_cap`` drops ultra-frequent train shingles
+    exactly as in ngram_jaccard_pairs — the same stop-phrase fan-out
+    bound. Fraction = matched/total over the POST-cap shingle set.
     """
     from min_flink_spark.operators.dedup import shingles
 
@@ -141,6 +144,8 @@ def contamination_overlap(
         )
         tr = tr.join(hot, "shingle", "left_anti")
     ev = shingles(evalset, text_col, id_col, n).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
     flagged = tr.join(
         ev.withColumn("_hit", F.lit(1)), "shingle", "left"
     )

@@ -10,6 +10,12 @@ corpus never shuffles, each partition scores its share and pre-selects
 its local top-k before the final merge). The LSH variant buckets the
 corpus by deterministic random-hyperplane signs so each query only
 scores its bucket — the recall/speed trade is the standard ANN deal.
+
+Shared ``exclude_self`` contract (brute_force_topk / lsh_bucket_topk /
+ivf_topk): True assumes queries are drawn FROM the corpus (shared id
+space) and drops the identical id from results. Pass False when
+querying with EXTERNAL vectors whose ids merely collide numerically —
+otherwise a legitimate neighbor is silently dropped.
 """
 
 from __future__ import annotations
@@ -50,11 +56,7 @@ def brute_force_topk(
     Plan: broadcast the (small) query set against the corpus, score with
     codegen'd array math, per-partition pre-top-k via row_number after
     one shuffle on query_id. Ties break on corpus id for determinism.
-
-    ``exclude_self`` assumes queries are drawn FROM the corpus (shared
-    id space) and drops the identical id. Pass False when querying with
-    external vectors whose ids merely collide numerically — otherwise a
-    legitimate neighbor is silently dropped.
+    ``exclude_self``: shared contract, see module docstring.
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
@@ -230,8 +232,8 @@ def lsh_bucket_topk(
     selectivity (cost lever). Each table contributes one broadcast-join
     probe of ~corpus/2^planes rows per query; candidates are deduped
     before scoring. Recall < 1 by design — measured against brute force
-    in tests, not an SQL oracle. ``exclude_self`` as in
-    brute_force_topk (shared-id-space contract)."""
+    in tests, not an SQL oracle. ``exclude_self``: shared contract, see
+    module docstring."""
     if dim is None:
         first = queries.select(vec_col).first()
         if first is None:  # no queries → empty result, not a crash
