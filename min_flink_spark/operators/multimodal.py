@@ -88,3 +88,74 @@ def media_from_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 8,
+    id_col: str = "media_id",
+    duration_col: str = "meta.duration_ms",
+) -> DataFrame:
+    """Video frame sampling plumbing: N evenly-spaced frame timestamps
+    per clip — frame k of n over duration d lands at ``k*d/n`` ms
+    (floor). Emits (media_id, frame_idx, frame_ts_ms); the actual frame
+    EXTRACTION at those timestamps is the ffmpeg kernel a real pipeline
+    plugs into ``extract_features``. Pure codegen explode — the frame
+    list never exists driver-side, and a 10-hour video costs the same
+    plan as a 10-second one."""
+    d = F.col(duration_col).cast("bigint")
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    return media.select(
+        F.col(id_col),
+        F.explode(idx).alias("frame_idx"),
+        d.alias("_d"),
+    ).select(
+        id_col,
+        "frame_idx",
+        F.floor(F.col("frame_idx") * F.col("_d") / n_frames).cast("bigint").alias("frame_ts_ms"),
+    )
+
+
+def chunk_audio(
+    media: DataFrame,
+    chunk_ms: int = 30_000,
+    id_col: str = "media_id",
+    duration_col: str = "meta.duration_ms",
+) -> DataFrame:
+    """Audio chunking plumbing: fixed windows over the clip duration —
+    (media_id, chunk_idx, start_ms, end_ms), last chunk truncated to the
+    duration. The decode-and-slice kernel is the pluggable part, the
+    chunk table is exact and engine-replayable."""
+    d = F.col(duration_col).cast("bigint")
+    n_chunks = F.ceil(d / F.lit(chunk_ms)).cast("int")
+    return media.select(
+        F.col(id_col),
+        d.alias("_d"),
+        F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))).alias(
+            "chunk_idx"
+        ),
+    ).select(
+        id_col,
+        "chunk_idx",
+        (F.col("chunk_idx") * chunk_ms).cast("bigint").alias("start_ms"),
+        F.least((F.col("chunk_idx") + 1) * chunk_ms, F.col("_d"))
+        .cast("bigint")
+        .alias("end_ms"),
+    )
+
+
+def repartition_by_bytes(
+    media: DataFrame, target_mb: int = 256, payload_col: str = "payload"
+) -> DataFrame:
+    """Size partitions by BYTE volume, not row count: media rows vary by
+    orders of magnitude, and row-count partitioning puts ten 4K videos
+    in one task and ten thumbnails in another. Range-partition on
+    cumulative-size-friendly key (byte length) so each task sees a
+    comparable decode budget. The partition count derives from the
+    actual total volume — one agg, no collect of data."""
+    sized = media.withColumn("_len", F.length(F.col(payload_col)).cast("bigint"))
+    total = sized.agg(F.sum("_len")).first()[0] or 0
+    n_parts = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
+    return sized.repartitionByRange(n_parts, F.col("_len"), F.col("media_id")).drop(
+        "_len"
+    )

@@ -49,6 +49,7 @@ _PRIORITY = [
     "sequence_packing",
     "embedding_normalize_project",
     "paragraph_dedup",
+    "media_frame_sampling",
     "streaming_event_time_timer",
     "streaming_dedup",
     "streaming_interval_join",

@@ -547,3 +547,35 @@ def q_embedding_normalize_project(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("_nv")[2].alias("n2"),
         "p0", "p1", "p2", "p3",
     )
+
+
+@query(
+    "media_frame_sampling",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, 1000 * (doc_id % 120 + 1) AS duration_ms
+      FROM documents
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           (i * duration_ms) // 8 AS frame_ts_ms
+    FROM media, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) g
+    """,
+)
+def q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.py:
+    sample_frames): 8 evenly-spaced frame timestamps per clip with
+    synthetic durations (doc_id-derived — the container has no real
+    media). Exact integer arithmetic, fully SQL-replayable; the ffmpeg
+    frame-grab kernel is the documented stub point."""
+    from min_flink_spark.operators.multimodal import sample_frames
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (1000 * (F.col("doc_id") % 120 + 1)).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, n_frames=8)

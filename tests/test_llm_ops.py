@@ -177,3 +177,44 @@ def test_ngram_df_cap_drops_stop_shingles(spark):
     assert not any(a < 100 and b < 100 for a, b in capped_pairs)
     # the genuinely similar pair survives the cap
     assert (100, 101) in capped_pairs
+
+
+def test_audio_chunking_covers_duration(spark):
+    from min_flink_spark.operators.multimodal import chunk_audio
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [(1, 65_000), (2, 30_000), (3, 1_000)], "media_id bigint, dur int"
+    ).select(
+        "media_id",
+        F.struct(
+            F.lit("audio/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("dur").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    rows = chunk_audio(media, chunk_ms=30_000).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["chunk_idx"], r["start_ms"], r["end_ms"]))
+    assert sorted(by_id[1]) == [(0, 0, 30_000), (1, 30_000, 60_000), (2, 60_000, 65_000)]
+    assert sorted(by_id[2]) == [(0, 0, 30_000)]
+    assert sorted(by_id[3]) == [(0, 0, 1_000)]
+    # chunks tile the duration exactly: contiguous, non-overlapping
+    for chunks in by_id.values():
+        chunks = sorted(chunks)
+        assert chunks[0][1] == 0
+        for (i1, _, e1), (i2, s2, _) in zip(chunks, chunks[1:]):
+            assert i2 == i1 + 1 and s2 == e1
+
+
+def test_repartition_by_bytes_scales_partitions(docs):
+    from min_flink_spark.operators.multimodal import media_from_text, repartition_by_bytes
+
+    media = media_from_text(docs.limit(100))
+    small_target = repartition_by_bytes(media, target_mb=1)
+    # ~100 short docs << 1 MB → a single partition suffices
+    assert small_target.rdd.getNumPartitions() == 1
+    assert small_target.count() == 100  # no rows lost
+    assert "_len" not in small_target.columns  # helper column dropped
