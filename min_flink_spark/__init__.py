@@ -35,21 +35,34 @@ if _repo_root not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
 
 from min_flink_spark.core.env import StreamExecutionEnvironment
 from min_flink_spark.core.stream import KeyedStream, Stream
+from min_flink_spark.functions.either import either_left, either_right, union_either
 from min_flink_spark.operators.relational import asof_join, broadcast_join, top_k
 from min_flink_spark.operators.windows import session, slide, tumble, with_watermark
 from min_flink_spark.session import get_spark
+from min_flink_spark.streaming.event_timers import (
+    EventTimeProcessFunction,
+    process_keyed_event_time,
+)
+from min_flink_spark.streaming.stateful import KeyedProcessFunction, process_keyed
 
 __all__ = [
+    "EventTimeProcessFunction",
+    "KeyedProcessFunction",
     "KeyedStream",
     "Stream",
     "StreamExecutionEnvironment",
     "asof_join",
     "broadcast_join",
+    "either_left",
+    "either_right",
     "get_spark",
+    "process_keyed",
+    "process_keyed_event_time",
     "session",
     "slide",
     "top_k",
     "tumble",
+    "union_either",
     "with_watermark",
 ]
 

@@ -183,3 +183,50 @@ def test_tws_backend_gated_without_protobuf(spark):
     else:  # pragma: no cover - exercised only on protobuf-equipped clusters
         df = process_keyed_event_time(s, ["k"], _OneTimer(1000), backend="tws")
         assert df.isStreaming
+
+
+def test_event_timer_survives_checkpoint_restart(spark, tmp_path):
+    """A timer registered in run 1 (watermark not yet past it) must fire
+    in run 2 after a full stop/restart from the checkpoint, once a new
+    event advances the watermark — the reference's timers are restored
+    from state snapshots the same way
+    (InternalTimerServiceImpl.java restore path)."""
+    import datetime as dt
+    import os
+
+    from min_flink_spark.streaming.runner import (
+        run_foreach_batch,
+        shuffle_partitions,
+        stream_parquet,
+    )
+
+    d = os.path.join(tempfile.mkdtemp(prefix="et_restart_"), "in")
+    ckpt = str(tmp_path / "ckpt")
+    got = []
+
+    def sink(bdf, _):
+        got.extend([tuple(r) for r in bdf.collect()])
+
+    def run(rows):
+        spark.createDataFrame(rows, "k bigint, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        s = stream_parquet(spark, d, "k bigint, ts timestamp").withWatermark(
+            "ts", "1 second"
+        )
+        with shuffle_partitions(spark, 2):
+            run_foreach_batch(
+                process_keyed_event_time(s, ["k"], _OneTimer(60_000)),
+                sink,
+                checkpoint_dir=ckpt,
+                timeout_sec=60,
+            )
+
+    # run 1: key 1 at 10:00, timer armed for 10:01; watermark ends ~10:00
+    run([(1, dt.datetime(2024, 1, 1, 10, 0, 0))])
+    assert got == []  # not fired yet
+
+    # run 2 (fresh query from checkpoint): late driver event pushes the
+    # watermark past 10:01 → the RESTORED timer fires
+    run([(99, dt.datetime(2024, 1, 1, 10, 5, 0))])
+    assert [g[0] for g in got] == [1]
