@@ -50,6 +50,7 @@ _PRIORITY = [
     "embedding_normalize_project",
     "paragraph_dedup",
     "media_frame_sampling",
+    "window_range_frame_1h",
     "streaming_event_time_timer",
     "streaming_dedup",
     "streaming_interval_join",

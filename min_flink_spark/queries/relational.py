@@ -571,3 +571,50 @@ def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     )
+
+
+@query(
+    "window_range_frame_1h",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 1000000) AS BIGINT) AS vu
+      FROM events
+    )
+    SELECT user_id, event_id,
+           sum(vu) OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             / 1000000.0 AS rolling_1h_value,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_1h_events
+    FROM q
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs the ROWS frames elsewhere): per user,
+    the rolling 1-hour event-time sum/count — frame membership is
+    decided by TIMESTAMP DISTANCE, not row offsets, so ties and gaps
+    behave per ANSI RANGE semantics. Values ride fixed-point micro-units
+    for the engine-exact sum. Spark needs the SQL window-spec path for
+    interval range frames; still one partition-local sort, no extra
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("vu"),
+    ).createOrReplaceTempView("_range_frame_events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               sum(vu) OVER (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 / CAST(1000000 AS DOUBLE) AS rolling_1h_value,
+               CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS rolling_1h_events
+        FROM _range_frame_events
+        """
+    )
