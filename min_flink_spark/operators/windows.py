@@ -50,10 +50,17 @@ def slide(
 
 
 def session(
-    df: DataFrame, ts: str, gap: str, keys: list[str] | None = None, *aggs: Column
+    df: DataFrame,
+    ts: str,
+    gap: str | Column,
+    keys: list[str] | None = None,
+    *aggs: Column,
 ) -> DataFrame:
     """Gap-based session windows: events within ``gap`` of each other
-    merge; window end = last event + gap."""
+    merge; window end = last event + gap. ``gap`` may be a per-row
+    Column expression (DYNAMIC gap — e.g. shorter sessions for
+    high-intent event types); sessions merge while event intervals
+    [ts, ts+gap(event)) overlap."""
     out = df.groupBy(F.session_window(ts, gap), *(keys or [])).agg(*aggs)
     return _flatten(out, "session_window", "session")
 

@@ -51,6 +51,10 @@ _PRIORITY = [
     "paragraph_dedup",
     "media_frame_sampling",
     "window_range_frame_1h",
+    "grouping_sets_revenue",
+    "explode_outer_tokens",
+    "median_and_central_tendency",
+    "session_window_dynamic_gap",
     "streaming_event_time_timer",
     "streaming_dedup",
     "streaming_interval_join",

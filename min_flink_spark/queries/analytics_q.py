@@ -147,3 +147,82 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         "node", F.col("component").cast("bigint").alias("component")
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS grouping_id
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (a different lattice from rollup/cube:
+    the two single-dimension margins + grand total, no cross cells) with
+    grouping_id disambiguating real NULLs from margin NULLs — the ANSI
+    mechanism rollup/cube compile into. One shuffle; the set expansion
+    is map-side."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS grouping_id
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "explode_outer_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             list_filter(string_split_regex(lower(props), '[^a-z]+'),
+                         x -> length(x) > 3) AS toks
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id, u.tok
+    FROM t, LATERAL unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) u(tok)
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with empty-input preservation (explode_outer vs explode):
+    rows whose token array is empty still emit one null-token row — the
+    flatMap-with-default contract a plain explode silently drops."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    toks = F.filter(
+        F.split(F.lower("props"), "[^a-z]+"), lambda x: F.length(x) > 3
+    )
+    return ev.select("event_id", F.explode_outer(toks).alias("tok"))
+
+
+@query(
+    "median_and_central_tendency",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median_value,
+           mode(event_type) AS modal_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median (interpolated — Spark median == DuckDB quantile_cont; note
+    DuckDB's own median() is DISCrete for even counts) and mode (tie-free
+    on this data by construction). Single-op selections/interpolations on
+    identical inputs — bit-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.median("value").alias("median_value"),
+        F.mode("event_type").alias("modal_type"),
+        F.count(F.lit(1)).alias("n"),
+    )

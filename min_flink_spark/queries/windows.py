@@ -93,3 +93,56 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 2 HOUR
+                  ELSE INTERVAL 4 HOUR END AS gap
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value, gap,
+             CASE WHEN ts > max(ts + gap) OVER
+                    (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(ts + gap) OVER
+                    (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts + gap) AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows: purchases close a session after 2 h,
+    everything else after 4 h — the per-row gap expression the static
+    reference trim can't express at all. Sessions merge while the
+    per-event intervals [ts, ts+gap) overlap; the oracle replays the
+    merge as gaps-and-islands over a running max of interval ends."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("2 hours")).otherwise(
+        F.lit("4 hours")
+    )
+    return session(
+        ev,
+        "ts",
+        gap,
+        ["user_id"],
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+    )
