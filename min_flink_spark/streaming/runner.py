@@ -176,3 +176,30 @@ def run_foreach_batch(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError("foreachBatch query timed out")
+
+
+def idempotent_foreach_batch(fn, ledger_dir: str):
+    """Exactly-once sink wrapper for ``foreachBatch``: Structured
+    Streaming guarantees AT-LEAST-once delivery to the batch function
+    (a batch is re-delivered after a crash between sink write and
+    offset commit), so any side-effecting sink must dedupe on
+    ``batch_id``. This wrapper keeps a file ledger of delivered ids —
+    commit marker written AFTER ``fn`` returns — and skips replays:
+    ``fn`` runs exactly once per batch id as long as ``fn`` itself is
+    atomic-or-idempotent.
+
+    The same pattern at scale: the ledger becomes a transactional table
+    (or the sink's own (batchId, partition) dedupe key); the contract —
+    dedupe on batch_id, mark AFTER the write — is identical.
+    """
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def _wrapped(bdf, batch_id: int):
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed batch: already delivered
+        fn(bdf, batch_id)
+        with open(marker, "w") as fh:
+            fh.write("1")
+
+    return _wrapped

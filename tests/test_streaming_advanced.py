@@ -320,3 +320,30 @@ def test_broadcast_state_pattern_dim_updates_between_runs(spark, tmp_path):
 
     assert ("1", "v1") not in got  # types preserved (bigint, not str)
     assert (1, "v1") in got and (2, "v2") in got
+
+
+def test_idempotent_foreach_batch_skips_replays(spark, tmp_path):
+    """Re-running a checkpointed bounded query from scratch re-delivers
+    batch 0; the idempotent wrapper must deliver side effects once."""
+    from min_flink_spark.streaming.runner import (
+        idempotent_foreach_batch,
+        run_foreach_batch,
+        stream_files,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,), (2,)], "v bigint").coalesce(1).write.parquet(src)
+    delivered = []
+
+    sink = idempotent_foreach_batch(
+        lambda bdf, bid: delivered.extend([r["v"] for r in bdf.collect()]),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+
+    # run twice WITHOUT a shared checkpoint: the second run replays the
+    # same data as batch 0 — the ledger must swallow it
+    for _ in range(2):
+        s = stream_files(spark, src, "v bigint", fmt="parquet")
+        run_foreach_batch(s, sink, checkpoint_dir=None)
+
+    assert sorted(delivered) == [1, 2]  # exactly once despite re-delivery
