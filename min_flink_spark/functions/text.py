@@ -108,3 +108,13 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized text — whitespace/
     punctuation/case-insensitive exact-dup key."""
     return F.md5(normalize(text))
+
+
+def normalize_whitespace(text: Column) -> Column:
+    """Canonical whitespace/control cleanup (the pre-tokenization
+    normalize pass): strip C0 control chars (except \\t\\n), collapse
+    whitespace runs to single spaces, trim. Pure codegen regex — RE2 ∩
+    Java subset so oracles replay it verbatim; full Unicode NFC needs
+    ICU and stays out of the engine core."""
+    no_ctl = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", " ")
+    return F.trim(F.regexp_replace(no_ctl, "\\s+", " "))

@@ -85,3 +85,34 @@ def read_json(
 
 def read_orc(spark: SparkSession, path: str) -> "_stream.Stream":
     return _stream.Stream(spark.read.orc(path))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every
+    file-based lake needs: a streaming ingest that commits every minute
+    leaves thousands of KB-sized files whose open/footer cost dominates
+    scans at 100 TB. Rewrites ``src`` into ``dst`` with partition count
+    derived from actual byte volume (never row count), optionally
+    sort-within-partitions for better column compression + min/max
+    pruning. Returns the partition count written."""
+    df = spark.read.parquet(src)
+    # derive volume from the source files directly (footer-only listing)
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += _os.path.getsize(_os.path.join(root, f))
+    n_parts = max(1, total // (target_file_mb * 1024 * 1024) + 1)
+    out = df.repartition(n_parts)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode("overwrite").parquet(dst)
+    return n_parts

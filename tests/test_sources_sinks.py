@@ -71,3 +71,29 @@ def test_streaming_json_file_source(spark, tmp_path):
     agg = s.groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
     out = run_to_completion(agg, output_mode="complete").collect()
     assert (out[0]["n"], out[0]["s"]) == (3, 6)
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from min_flink_spark.sources import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(1000)], "id bigint, v string")
+    df.repartition(64).write.parquet(src)  # fragmented: 64 tiny files
+
+    n = compact_parquet(spark, src, dst, target_file_mb=256, sort_by=["id"])
+    assert n == 1  # ~30 KB of data → one file
+    got = spark.read.parquet(dst)
+    assert got.count() == 1000
+    assert got.rdd.getNumPartitions() == 1
+
+
+def test_normalize_whitespace(spark):
+    from min_flink_spark.functions.text import normalize_whitespace
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "  a\x00b\tc   d\n\ne \x1f "), (2, "clean text")], "id bigint, t string"
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", normalize_whitespace(F.col("t")).alias("n")).collect()}
+    assert got[1] == "a b c d e"
+    assert got[2] == "clean text"
