@@ -241,3 +241,52 @@ def test_nested_sum_matches_flat_sum(spark, rows):
         for r in keyed_agg_first_record(nested, ["k"], "meta.v", "sum", "seq").collect()
     }
     assert got_flat == got_nested
+
+
+# ---- as-of join vs pure-Python model ----
+
+
+def _asof_model(left, right, strict):
+    """For each (k, lts): the right payload with the greatest rts
+    satisfying rts <= lts (or < when strict); ties on rts take the max
+    payload (the operator's deterministic third sort key)."""
+    out = {}
+    for k, lts in left:
+        best = None
+        for rk, rts, v in right:
+            if rk != k:
+                continue
+            ok = rts < lts if strict else rts <= lts
+            if ok and (best is None or (rts, v) > best):
+                best = (rts, v)
+        out[(k, lts)] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)),
+        min_size=1, max_size=15, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50), st.sampled_from("abcd")),
+        min_size=0, max_size=15, unique=True,
+    ),
+    strict=st.booleans(),
+)
+def test_asof_join_matches_model(spark, left, right, strict):
+    from min_flink_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(left, "k int, lts int")
+    rdf = spark.createDataFrame(
+        right or [(99, 0, "z")], "k int, rts int, v string"
+    )  # empty right → sentinel key that matches nothing
+    got = {
+        (r["k"], r["lts"]): r["r_v"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            right_values=["v"], strict=strict,
+        ).collect()
+    }
+    assert got == _asof_model(left, right, strict)
