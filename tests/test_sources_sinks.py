@@ -97,3 +97,36 @@ def test_normalize_whitespace(spark):
     got = {r["id"]: r["n"] for r in df.select("id", normalize_whitespace(F.col("t")).alias("n")).collect()}
     assert got[1] == "a b c d e"
     assert got[2] == "clean text"
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Data-lake reality: a column added mid-stream. mergeSchema unions
+    the file schemas; old rows read NULL for the new column."""
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.mode("append").parquet(p)
+    got = {r["id"]: r for r in spark.read.option("mergeSchema", "true").parquet(p).collect()}
+    assert got[1]["score"] is None and got[2]["score"] == 9.5
+
+
+def test_corrupt_json_rows_are_quarantined(spark, tmp_path):
+    """PERMISSIVE JSON parsing with a _corrupt_record column: bad rows
+    land in quarantine instead of failing the pipeline — the default
+    posture for 100 TB ingest where a crash on row 3 of 10^11 is not an
+    option."""
+    import os
+
+    p = str(tmp_path / "raw")
+    os.makedirs(p)
+    with open(os.path.join(p, "data.json"), "w") as fh:
+        fh.write('{"id": 1, "v": "ok"}\n')
+        fh.write("{this is not json\n")
+        fh.write('{"id": 3, "v": "fine"}\n')
+    df = spark.read.schema("id bigint, v string, _corrupt_record string").json(p)
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 3}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
