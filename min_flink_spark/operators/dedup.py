@@ -237,3 +237,46 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return voted.select(F.col(id_col), sim.alias("simhash"))
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """End-to-end near-dup REMOVAL: resolve pair evidence into clusters
+    (connected components) and keep exactly one representative per
+    cluster — the highest-``quality_col`` doc, ties to the smallest id.
+    Docs that appear in no pair are their own (size-1) cluster, so the
+    output is the full deduplicated corpus, not just the contested part.
+
+    Returns one row per KEPT doc: all ``docs`` columns plus
+    ``component`` (cluster id = min member id) and ``cluster_size``.
+
+    Scale: components are O(E)-per-round label propagation
+    (operators/graph.py); the representative pick is one hash shuffle
+    on ``component`` with per-cluster windows (cluster sizes are small
+    by construction — they're near-dup groups, not the corpus).
+    """
+    from min_flink_spark.operators.graph import connected_components
+
+    comps = connected_components(pairs, src=src, dst=dst)
+    labeled = docs.join(
+        comps, docs[id_col] == comps["node"], "left"
+    ).select(
+        *[docs[c] for c in docs.columns],
+        F.coalesce(comps["component"], docs[id_col]).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

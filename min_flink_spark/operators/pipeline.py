@@ -254,3 +254,54 @@ def dedup_paragraphs(
         F.count(F.lit(1)).alias("n_paras_kept"),
     )
     return rebuilt
+
+
+def domain_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    targets: dict[str, int],
+    unit: int = 1000,
+) -> DataFrame:
+    """Reweight a multi-source corpus to target mixing proportions —
+    the "data mixture" step of a training pipeline (e.g. web:50 /
+    books:30 / code:20).
+
+    Waterfilling contract: keep the largest corpus consistent with the
+    target ratios without upsampling anything. With per-source counts
+    ``c_s`` and integer weights ``w_s``, the feasible scale is
+    ``k = min_s floor(c_s*unit / w_s)`` and each source keeps
+    ``floor(w_s*k*1e6 / (c_s*unit))`` millionths of its rows — ALL
+    arithmetic integer, so Spark, the oracle SQL, and this Python
+    agree bit-for-bit (no float rate ever exists).
+
+    Row selection is the engine's deterministic hash-threshold
+    primitive (``hash_bucket`` on ``id_col``), i.e. reproducible and
+    resumable. Sources absent from ``targets`` are dropped.
+
+    Scale: one count-agg (``#sources`` longs to the driver — never
+    data), then a codegen'd filter; no join, no second shuffle.
+    """
+    from min_flink_spark.functions.hashing import hash_bucket
+
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+        if r["s"] in targets
+    }
+    missing = set(targets) - set(counts)
+    if missing:
+        raise ValueError(f"targets for absent sources: {sorted(missing)}")
+    k = min(counts[s] * unit // w for s, w in targets.items())
+    thresh = {
+        s: min(10**6, w * k * 10**6 // (counts[s] * unit))
+        for s, w in targets.items()
+    }
+    cond = None
+    bucket = hash_bucket(F.col(id_col), 10**6)
+    for s, t in sorted(thresh.items()):
+        this = (F.col(source_col) == s) & (bucket < t)
+        cond = this if cond is None else (cond | this)
+    return df.filter(cond)

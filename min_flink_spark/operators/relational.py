@@ -53,6 +53,68 @@ def distinct_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return (df.select(*cols) if cols else df).distinct()
 
 
+def global_index(
+    df: DataFrame,
+    order_by: list[Column],
+    index_col: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row its 1-based position in the TOTAL order given by
+    ``order_by`` (callers must make the key unique — add an id tiebreak)
+    without ever funneling data through one task.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` collapses the whole
+    dataset into a single window partition — the canonical scale-killer
+    for epoch shuffling at 100 TB. Instead:
+
+      1. range-partition + sort within partitions on the key
+         (the same machinery as a distributed ORDER BY),
+      2. count rows per partition — only ``num_partitions`` longs cross
+         to the driver, never data,
+      3. add ``cumulative_offset[pid] + local_running_count`` per
+         partition in one Arrow ``mapInPandas`` pass (narrow, preserves
+         the sorted partition order).
+
+    The result is identical to the single-partition ``row_number`` (the
+    oracle replays exactly that) at O(rows/partitions) peak memory.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        # materialize once: the per-partition counts and the index pass
+        # would otherwise each re-run the range shuffle
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ranged.drop("_pid").schema.add(index_col, "long")
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _index(batches):
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[index_col] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf[out_cols]
+
+    out = ranged.mapInPandas(_index, schema=out_schema)
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -58,6 +58,9 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_dedup",
     "streaming_interval_join",
+    "epoch_shuffle_index",
+    "domain_mix_sample",
+    "dedup_keep_best",
 ]
 
 

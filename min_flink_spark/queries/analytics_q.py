@@ -226,3 +226,74 @@ def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mode("event_type").alias("modal_type"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({SQL_CORPUS_NEAR}),
+    {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk (node, component) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.component FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.component < e.u OR w.component < e.v
+    ),
+    comp AS (SELECT node, min(component) AS component FROM walk GROUP BY node),
+    labeled AS (
+      SELECT c.doc_id, coalesce(k.component, c.doc_id) AS component,
+             length(c.text) AS quality
+      FROM corpus c LEFT JOIN comp k ON k.node = c.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS csize
+      FROM labeled
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(doc_id AS BIGINT) AS kept_doc,
+           CAST(quality AS BIGINT) AS kept_len,
+           CAST(csize AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation endgame: near-dup pairs → clusters → keep ONE
+    representative per cluster (longest text, ties to min doc_id), with
+    singletons passing through as their own cluster. Distributed
+    iterative components + per-cluster window pick, checked against a
+    recursive-CTE + window oracle."""
+    from min_flink_spark.operators.dedup import (
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+    from min_flink_spark.queries.llm import _spark_near_corpus
+
+    corpus = _spark_near_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5).select("doc_a", "doc_b")
+    docs = corpus.withColumn("quality", F.length("text").cast("bigint"))
+    kept = keep_best_per_cluster(docs, pairs, id_col="doc_id", quality_col="quality")
+    return kept.select(
+        F.col("component").cast("bigint").alias("component"),
+        F.col("doc_id").cast("bigint").alias("kept_doc"),
+        F.col("quality").alias("kept_len"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )

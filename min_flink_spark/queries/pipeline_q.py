@@ -421,3 +421,71 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup_paragraphs(docs, sep="<P>", df_cap=1)
+
+
+@query(
+    "epoch_shuffle_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS epoch_pos
+    FROM documents
+    """,
+)
+def q_epoch_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training: every doc gets a
+    reproducible position in a seeded global permutation (order by
+    md5(seed || id)). The oracle IS the single-partition row_number;
+    the Spark plan is `operators.relational.global_index` — range
+    partition + per-partition offsets, so no task ever sees more than
+    1/N of the data (a naive global window would funnel 100 TB through
+    one task)."""
+    from min_flink_spark.operators.relational import global_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shuffle_key = F.md5(F.concat(F.lit("epoch-0:"), F.col("doc_id").cast("string")))
+    out = global_index(
+        docs, order_by=[shuffle_key, F.col("doc_id")], index_col="epoch_pos"
+    )
+    return out.select("doc_id", "epoch_pos")
+
+
+# Target mixture for the documents corpus: boost src0, keep src1 at
+# half weight of src0, thin every other source. Integer weights — the
+# whole rate computation stays in exact integer arithmetic.
+MIX_TARGETS = {f"src{i}": (6 if i == 0 else 3 if i == 1 else 1) for i in range(20)}
+
+
+@query(
+    "domain_mix_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS c FROM documents GROUP BY source
+    ),
+    tw AS (
+      SELECT * FROM (VALUES {", ".join(f"('src{i}', {w})" for i, w in ((i, 6 if i == 0 else 3 if i == 1 else 1) for i in range(20)))}) t(source, w)
+    ),
+    j AS (SELECT counts.source, c, w FROM counts JOIN tw USING (source)),
+    scale AS (SELECT min(c * 1000 // w) AS k FROM j),
+    rates AS (
+      SELECT source, least(1000000, w * k * 1000000 // (c * 1000)) AS t
+      FROM j, scale
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 < r.t
+    """,
+)
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: deterministically downsample each source to
+    target mixture weights (waterfilling — scale to the binding
+    source, never upsample). All rate arithmetic is integer, so the
+    SQL replay is exact; row choice is the md5-threshold primitive."""
+    from min_flink_spark.operators.pipeline import domain_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix(
+        docs, source_col="source", id_col="doc_id", targets=MIX_TARGETS
+    ).select("doc_id", "source")

@@ -109,3 +109,97 @@ def test_dedup_paragraphs_drops_boilerplate(spark):
     assert out[1]["text"] == "unique one" and out[1]["n_paras_kept"] == 1
     assert out[3]["text"] == f"unique three{sep}also unique"
     assert out[3]["n_paras_kept"] == 2
+
+
+# ---------------------------------------------------------------------------
+# global_index / domain_mix / keep_best_per_cluster (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_global_index_matches_single_partition_row_number(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.relational import global_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    key = F.md5(F.col("doc_id").cast("string"))
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in global_index(docs, [key, F.col("doc_id")], num_partitions=7).collect()
+    }
+    expected_order = sorted(
+        (r["k"], r["doc_id"])
+        for r in docs.select(F.col("doc_id"), key.alias("k")).collect()
+    )
+    expected = {doc: i + 1 for i, (_, doc) in enumerate(expected_order)}
+    assert got == expected
+
+
+def test_global_index_is_repartition_invariant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.relational import global_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    key = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    a = {r["doc_id"]: r["pos"] for r in global_index(docs, key, num_partitions=3).collect()}
+    b = {
+        r["doc_id"]: r["pos"]
+        for r in global_index(docs.repartition(11), key, num_partitions=5).collect()
+    }
+    assert a == b
+
+
+def test_domain_mix_respects_waterfilling_rates(spark, sf_dir):
+    from min_flink_spark.operators.pipeline import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    targets = {"src0": 4, "src1": 1}
+    out = domain_mix(docs, "source", "doc_id", targets)
+    rows = out.collect()
+    # only targeted sources survive
+    assert {r["source"] for r in rows} <= {"src0", "src1"}
+    counts = {s: 0 for s in targets}
+    for r in rows:
+        counts[r["source"]] += 1
+    base = {
+        r["source"]: r["c"]
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "c").collect()
+    }
+    # the binding source (largest weight per row) keeps ~everything;
+    # integer-threshold rates mean kept <= ceil(rate * base)
+    k = min(base[s] * 1000 // w for s, w in targets.items())
+    for s, w in targets.items():
+        thresh = min(10**6, w * k * 10**6 // (base[s] * 1000))
+        assert counts[s] <= base[s]
+        # hash-threshold keeps roughly thresh/1e6 of rows; exactness is
+        # covered by the oracle query, here we sanity-bound the ratio
+        if thresh == 10**6:
+            assert counts[s] == base[s]
+
+
+def test_domain_mix_unknown_source_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from min_flink_spark.operators.pipeline import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError, match="absent"):
+        domain_mix(docs, "source", "doc_id", {"nope": 1})
+
+
+def test_keep_best_per_cluster_singletons_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 99)], "doc_id long, quality long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept = {
+        r["doc_id"]: (r["component"], r["cluster_size"])
+        for r in keep_best_per_cluster(docs, pairs).collect()
+    }
+    # cluster {1,2,3}: quality tie 30/30 between 2 and 3 -> min id 2 wins
+    assert kept == {2: (1, 3), 4: (4, 1), 5: (5, 1)}
