@@ -26,71 +26,78 @@ def _dec(col: str, scale: str = "decimal(18,2)"):
     return F.col(col).cast(scale)
 
 
-# Narrow operand types for decimal PRODUCTS: price decimal(9,2) × rate
-# decimal(3,2) × rate decimal(3,2) → decimal(17,6), which stays inside
-# Spark's long-backed Decimal64 fast path (precision ≤ 18).  With the
-# lazy decimal(18,2) operands the first product already widens past 18
-# and every row pays Decimal128 arithmetic — measured ~8% slower on the
-# TPC-H Q1 aggregate at sf0.1.  TPC-H bounds make the narrow types safe:
-# l_extendedprice ≤ ~105k ≪ 10^7, rates ≤ 0.10 ≪ 10.
-def _price(col: str):
-    return F.col(col).cast("decimal(9,2)")
+# Integer-unit money plan for PRODUCT aggregations. Money columns are
+# exact 2-dp values (verified: max |v*100 - round(v*100)| < 1e-9 in the
+# testdata; TPC-H money is 2-dp by spec), so per-row arithmetic runs on
+# BIGINT cents — plain long multiply inside whole-stage codegen, no
+# decimal object per row (2× faster than even Decimal64 operands at
+# sf0.1). Only the SUM runs in decimal: each per-row product is cast to
+# decimal(18,0) (still long-backed) so the accumulator widens to
+# decimal(28,0) — capacity 1e28 ≫ the ~1e23 worst case of 10^12 rows ×
+# 10^11 micro-units/row at the 100 TB design point, where a raw bigint
+# accumulator would silently wrap. Unit descaling (/100, /10^4, /10^6)
+# happens once per GROUP on the final double.
+def _cents(col: str):
+    return F.round(F.col(col) * 100).cast("bigint")
 
 
-def _rate(col: str):
-    return F.col(col).cast("decimal(3,2)")
-
-
-def _one_rate():
-    # F.lit at import time needs an active SparkContext; build lazily.
-    return F.lit(1).cast("decimal(3,2)")
+def _acc(col):
+    """Per-row exact integer → decimal(18,0) so Spark's sum allocates a
+    decimal(28,0) accumulator (overflow-safe), while the row value
+    itself stays a long-backed decimal."""
+    return col.cast("decimal(18,0)")
 
 
 @query(
     "pricing_summary",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS ep,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
-                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
-                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(sum(CAST(qty AS DECIMAL(18,0))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(ep AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum(CAST(ep * (100 - disc) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
+             AS sum_disc_price,
+           CAST(sum(CAST(ep * (100 - disc) * (100 + tax) AS DECIMAL(18,0))) AS DOUBLE)
+             / 1000000.0 AS sum_charge,
+           CAST(sum(CAST(qty AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(ep AS DECIMAL(18,0))) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+           CAST(sum(CAST(disc AS DECIMAL(18,0))) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-shaped flagship aggregation; filter reaches the scan."""
+    """TPC-H-Q1-shaped flagship aggregation; filter reaches the scan.
+    Money math per the integer-unit plan (see ``_cents``/``_acc``):
+    long arithmetic per row, decimal(28,0) accumulator per group."""
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    ep, disc, tax = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
+    n = F.count(F.lit(1))
     return (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_price("l_extendedprice") * (_one_rate() - _rate("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.sum(
-                _price("l_extendedprice")
-                * (_one_rate() - _rate("l_discount"))
-                * (_one_rate() + _rate("l_tax"))
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
-                "avg_price"
+            F.sum(_acc(qty)).cast("double").alias("sum_qty"),
+            (F.sum(_acc(ep)).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(_acc(ep * (100 - disc))).cast("double") / 10000.0).alias(
+                "sum_disc_price"
             ),
-            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(_acc(ep * (100 - disc) * (100 + tax))).cast("double") / 1000000.0)
+            .alias("sum_charge"),
+            (F.sum(_acc(qty)).cast("double") / n).alias("avg_qty"),
+            (F.sum(_acc(ep)).cast("double") / 100.0 / n).alias("avg_price"),
+            (F.sum(_acc(disc)).cast("double") / 100.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -344,8 +351,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
-                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -360,10 +368,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped: selective dim filter broadcast into the fact
     join, then top-k on the aggregate.
 
-    Revenue accumulates in exact decimals (TPC-H prices/discounts are
-    2-dp values) so the sum — and therefore the top-10 ORDERING — is
-    bit-identical across engines; a double sum drifts by ulps and can
-    both fail the value hash and swap near-tied ranks.
+    Revenue accumulates exactly (integer-unit plan, see ``_cents``) so
+    the sum — and therefore the top-10 ORDERING — is bit-identical
+    across engines; a double sum drifts by ulps and can both fail the
+    value hash and swap near-tied ranks.
     """
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -378,9 +386,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, customer.select("c_custkey"), on=F.col("o_custkey") == F.col("c_custkey")
     ).join(lineitem, on=F.col("l_orderkey") == F.col("o_orderkey"))
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.sum(_price("l_extendedprice") * (_one_rate() - _rate("l_discount")))
-        .cast("double")
-        .alias("revenue")
+        (
+            F.sum(_acc(_cents("l_extendedprice") * (100 - _cents("l_discount"))))
+            .cast("double")
+            / 10000.0
+        ).alias("revenue")
     )
     return top_k(
         agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
