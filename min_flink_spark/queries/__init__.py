@@ -61,6 +61,9 @@ _PRIORITY = [
     "epoch_shuffle_index",
     "domain_mix_sample",
     "dedup_keep_best",
+    "volume_shipping",
+    "market_share",
+    "incremental_dedup",
 ]
 
 

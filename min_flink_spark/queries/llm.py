@@ -579,3 +579,52 @@ def q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return sample_frames(media, n_frames=8)
+
+
+SQL_FP = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+    ),
+    injected AS (
+      SELECT doc_id + 200000 AS doc_id, text FROM documents
+      WHERE doc_id < 250 AND doc_id % 5 = 0
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      UNION ALL SELECT doc_id, text FROM injected
+    ),
+    idx AS (SELECT DISTINCT {SQL_FP} AS fp FROM old),
+    fresh AS (
+      SELECT b.doc_id, {SQL_FP} AS fp FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = {SQL_FP})
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
+    FROM fresh GROUP BY fp
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a NEW batch (which contains replays
+    of already-ingested docs) is deduped against the existing corpus's
+    fingerprint index WITHOUT rescanning the old text — an anti-join on
+    the fingerprint column — then exact-deduped within itself (min-id
+    canonical). This is how a running 100 TB pipeline admits daily
+    deltas: the index is a narrow (fp) table, the old corpus never
+    moves, and both steps are single hash shuffles on fp."""
+    from min_flink_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 250)
+    injected = docs.filter((F.col("doc_id") < 250) & (F.col("doc_id") % 5 == 0)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") >= 250).unionByName(injected)
+    idx = old.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    fresh = batch.withColumn("fp", fingerprint(F.col("text"))).join(
+        idx, "fp", "left_anti"
+    )
+    return fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "fp")

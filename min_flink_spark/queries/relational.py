@@ -645,3 +645,141 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _range_frame_events
         """
     )
+
+
+@query(
+    "volume_shipping",
+    oracle="""
+    SELECT n_supp.n_name AS supp_nation,
+           n_cust.n_name AS cust_nation,
+           CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n_cust ON c_nationkey = n_cust.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n_supp ON s_nationkey = n_supp.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND n_supp.n_name <> n_cust.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: cross-border revenue flow per (supplier nation,
+    customer nation, year). Six-way join where the same dimension
+    (nation) joins twice under different roles — a join-planning
+    stress: the only shuffle is lineitem⋈orders on the shared key;
+    supplier/customer/nation all broadcast, and the date filter reaches
+    the lineitem scan."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    ).agg(
+        (
+            F.sum(_acc(_cents("l_extendedprice") * (100 - _cents("l_discount"))))
+            .cast("double")
+            / 10000.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "market_share",
+    oracle="""
+    WITH flows AS (
+      SELECT extract(year FROM o_orderdate) AS order_year,
+             n_supp.n_name AS supp_nation,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n_cust ON c_nationkey = n_cust.n_nationkey
+      JOIN region   ON n_cust.n_regionkey = r_regionkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n_supp ON s_nationkey = n_supp.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    SELECT CAST(order_year AS BIGINT) AS order_year,
+           CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_7' THEN rev_u ELSE 0 END
+                         AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(sum(CAST(rev_u AS DECIMAL(18,0))) AS DOUBLE) AS mkt_share,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM flows GROUP BY order_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped: one nation's share of PROMO-part revenue inside
+    one region, per order year. Eight-way star: the part filter prunes
+    the fact early (broadcast semi-ish), conditional aggregation
+    computes share in a single pass — no self-join of yearly totals.
+    Exact integer revenue units make the ratio bit-stable."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    europe = region.filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    rev_u = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    flows = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(europe), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "supp_nation",
+            rev_u.alias("rev_u"),
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_7", F.col("rev_u")).otherwise(F.lit(0))
+    return flows.groupBy("order_year").agg(
+        (
+            F.sum(_acc(target)).cast("double")
+            / F.sum(_acc(F.col("rev_u"))).cast("double")
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -56,3 +56,39 @@ def test_pricing_summary_pushdown(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate," in plan
     assert "l_comment" not in plan  # column pruning reached the scan
+
+
+def test_volume_shipping_plan_single_shuffle_join(spark, sf_dir):
+    """Q7 shape: of the six joins, only lineitem⋈orders may be a
+    shuffle join — customer/supplier/nation(×2) must all broadcast,
+    and the date filter must reach the lineitem scan."""
+    plan = _plan(spark, sf_dir, "volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate," in plan
+
+
+def test_market_share_plan_part_filter_prunes_fact(spark, sf_dir):
+    """Q8 shape: the PROMO part filter must broadcast into lineitem
+    (pruning the fact before the wide joins) and the share must come
+    from ONE aggregation — no self-join of yearly totals."""
+    plan = _plan(spark, sf_dir, "market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_global_index_no_single_partition_exchange(spark, sf_dir):
+    """The epoch-shuffle index must never collapse to one partition
+    (SinglePartition exchange = the 100 TB scale-killer)."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.relational import global_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = global_index(
+        docs, [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")], num_partitions=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert out.rdd.getNumPartitions() > 1
