@@ -5,9 +5,13 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Every timed run materializes the full result (collect) so the number
-covers scan → shuffle → sink, not just plan construction. A trivial
-warmup action first absorbs JVM/executor startup so per-query times
-reflect steady-state execution.
+covers scan → shuffle → sink, not just plan construction. A warmup
+phase first runs the SAME query set at sf0.001 (different input files,
+~100× less data) so JVM JIT, whole-stage-codegen compilation, Python
+worker pools, and streaming state-store init are absorbed before
+timing — per-query times then reflect steady-state execution, which is
+what a long-running cluster actually sees (cold-start costs are fixed,
+not proportional to data). Set SPARK_GRAFT_WARMUP=0 to time cold.
 """
 
 from __future__ import annotations
@@ -50,7 +54,13 @@ def main() -> None:
     spark = get_spark(app_name="min-flink-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch the biggest table to spin up executors/codegen
+    # warmup: run the same plans at sf0.001 to absorb JIT/codegen/worker
+    # startup (see module docstring); fall back to a scan-only warmup if
+    # the tiny SF is unavailable
+    warm_dir = "/root/testdata/sf0.001"
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            QUERIES[name](spark, warm_dir).collect()
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
     times: dict[str, float] = {}
