@@ -6,11 +6,18 @@ label propagation: every node starts as its own label (its id), then
 repeatedly adopts the min label among itself and its neighbors until a
 fixed point.
 
-Scale: each iteration is one join + one agg on the edge list —
-O(E) per round, O(diameter) rounds. Dedup graphs are unions of small
-cliques (diameter ~1-2), so convergence takes 2-3 rounds. Iterations
-are driven from the driver loop, but ONLY the convergence flag
-(one count) crosses to the driver — never the data.
+Scale: each iteration is one join + one agg on the edge list plus one
+label-compression join — O(E + V) per round. Plain min-label
+propagation advances ONE hop per round (O(diameter) rounds — a
+1M-node chain would need 1M rounds); the added pointer-jumping step
+(``component ← label[component]``, the path-halving trick from the
+classic PRAM algorithm, cf. Kiveris et al., "Connected Components in
+MapReduce and Beyond") doubles the collapsed distance per round, so
+convergence is O(log diameter) — 20 rounds cover a 1M-hop chain.
+Dedup graphs are unions of near-cliques (diameter 1-2) and converge
+in 2-3 rounds either way. Iterations are driven from the driver loop,
+but ONLY the convergence flag (one count) crosses to the driver —
+never the data.
 """
 
 from __future__ import annotations
@@ -31,11 +38,11 @@ def connected_components(
     ``edges`` is an undirected pair list; isolated nodes don't appear
     (callers union them in with their own id if needed).
 
-    Min-label propagation advances one hop per round, so components
-    with diameter > ``max_iter`` would come back SPLIT; with ``strict``
-    (default) the function raises instead of returning silently wrong
-    clusters — raise ``max_iter`` for long-chain graphs (dedup graphs
-    are near-cliques, diameter 1-2).
+    Min-label propagation with pointer jumping: labels reach
+    2^rounds hops per round, so components with diameter > 2^max_iter
+    would come back SPLIT; with ``strict`` (default) the function
+    raises instead of returning silently wrong clusters. The default
+    ``max_iter=20`` covers diameters up to ~10^6 hops.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -57,14 +64,28 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("_old"),
+        )
+        # Pointer jumping (path halving): component ← label[component].
+        # Every label IS a node id, so its own current label exists in
+        # the label table; following it doubles the collapsed distance
+        # per round — O(log diameter) total rounds instead of O(diameter).
+        parents = labels.select(
+            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(parents, stepped["component"] == F.col("_pnode"), "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                    F.col("component"), F.coalesce("_pcomp", F.col("component"))
                 ).alias("component"),
-                F.col("component").alias("_old"),
+                "_old",
             )
         )
         # Materialize FIRST (truncates the exponentially growing lineage

@@ -47,3 +47,59 @@ def test_pivot_row_sums_match_counts(spark, sf_dir):
     ).agg(F.sum("s")).first()[0]
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total == n_events
+
+
+def test_connected_components_log_rounds_on_chain(spark):
+    """Pointer jumping must collapse a 96-hop chain within ~log2 rounds
+    (plain one-hop propagation would need 96; strict=True raises if the
+    budget is blown, so passing PROVES the O(log d) behavior)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(96)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=10, strict=True).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 97
+
+
+def test_connected_components_matches_union_find_random(spark):
+    """Distributed result equals a pure-Python union-find on a pseudo-
+    random graph (deterministic edge set)."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    n = 200
+    edge_list = []
+    for i in range(300):
+        a, b = h(i) % n, h(i + 1000) % n
+        if a != b:
+            edge_list.append((min(a, b), max(a, b)))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    touched = {x for e in edge_list for x in e}
+    for x in touched:
+        expected[x] = find(x)
+    # canonical label = min node in component
+    comp_min = {}
+    for x, r in expected.items():
+        comp_min.setdefault(r, x)
+        comp_min[r] = min(comp_min[r], x)
+    expected = {x: comp_min[r] for x, r in expected.items()}
+
+    edges = spark.createDataFrame(edge_list, "doc_a bigint, doc_b bigint")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == expected
