@@ -52,3 +52,44 @@ def salted_agg(
     return partial.groupBy(*[F.col(k) for k in keys]).agg(
         *[_COMBINE[op](name).alias(name) for name, (op, _) in aggs.items()]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_col: Column,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spread equi-join: salt the skewed LEFT side, replicate the
+    small RIGHT side ``salts``× (one copy per salt value), join on
+    ``on + [salt]``.
+
+    A hot join key (one key = 30% of the fact) funnels into a single
+    reducer under a plain shuffle join even with AQE splitting on some
+    layouts; salting spreads every key across ``salts`` sub-partitions
+    deterministically. Result row-set is identical to the direct join:
+    each left row carries exactly ONE salt, and the right side covers
+    all salts, so multiplicity is preserved.
+
+    Only ``inner`` and ``left`` joins are valid — a right/full join
+    would surface each unmatched right row ``salts`` times. The right
+    side must be the small one (its replication is ``salts``×; if it
+    fits a broadcast, use ``broadcast_join`` instead — salting is for
+    the middle regime: too big to broadcast, too skewed to shuffle).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r}: a right/full "
+            "join would duplicate unmatched right rows across salts"
+        )
+    salt = hash_bucket(salt_col, salts).alias("_salt")
+    salted_l = left.select("*", salt)
+    replicated_r = right.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(salts - 1).cast("bigint"))
+        ).alias("_salt"),
+    )
+    return salted_l.join(replicated_r, on=on + ["_salt"], how=how).drop("_salt")

@@ -64,6 +64,7 @@ _PRIORITY = [
     "volume_shipping",
     "market_share",
     "incremental_dedup",
+    "salted_skew_join",
 ]
 
 

@@ -783,3 +783,31 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    SELECT event_id, e.event_type, w.weight
+    FROM events e
+    JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 3),
+                 ('signup', 4), ('error', 5)) w(event_type, weight)
+      ON e.event_type = w.event_type
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximally-skewed join (5 distinct keys across the whole fact)
+    routed through the salted plan (operators/skew.py:salted_join):
+    each hot key fans out over 16 salt sub-keys, the 5-row dim is
+    replicated 16×. The oracle is the PLAIN join — salting must be
+    invisible in the result."""
+    from min_flink_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        "event_type string, weight long",
+    )
+    return salted_join(
+        ev, dim, on=["event_type"], salt_col=F.col("event_id"), salts=16
+    ).select("event_id", "event_type", "weight")

@@ -109,3 +109,32 @@ def test_print_sink_reference_format(spark, capsys):
     Stream(df.coalesce(1)).print()
     bare = capsys.readouterr().out.strip().splitlines()
     assert set(bare) == {"(hello,1)", "(hello,2)"}
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zzz")], "id long, k string"
+    )
+    right = spark.createDataFrame([("a", 10), ("b", 20)], "k string, v long")
+    got = {
+        (r["id"], r["v"])
+        for r in salted_join(
+            left, right, on=["k"], salt_col=F.col("id"), salts=4, how="left"
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 20), (3, None)}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on=["k"], salt_col=F.col("id"), how="full")
