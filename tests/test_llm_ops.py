@@ -218,3 +218,48 @@ def test_repartition_by_bytes_scales_partitions(docs):
     assert small_target.rdd.getNumPartitions() == 1
     assert small_target.count() == 100  # no rows lost
     assert "_len" not in small_target.columns  # helper column dropped
+
+
+def test_parse_image_dims_png_jpeg_gif():
+    from min_flink_spark.operators.multimodal import parse_image_dims
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    assert parse_image_dims(png) == ("image/png", 640, 480)
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    assert parse_image_dims(gif) == ("image/gif", 320, 200)
+
+    # JPEG: SOI, APP0 (skipped), SOF0 with h=1080 w=1920
+    # length 16 = 2 (length field itself) + 14 payload bytes
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    jpeg = b"\xff\xd8" + app0 + sof0
+    assert parse_image_dims(jpeg) == ("image/jpeg", 1920, 1080)
+
+    assert parse_image_dims(b"not an image") is None
+    assert parse_image_dims(png[:10]) is None  # truncated header
+
+
+def test_image_dimensions_kernel(spark):
+    from min_flink_spark.operators.multimodal import image_dimensions
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (64).to_bytes(4, "big") + (32).to_bytes(4, "big")
+        + b"\x00" * 9
+    )
+    media = spark.createDataFrame(
+        [(1, png), (2, b"garbage")], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: (r["mime"], r["width"], r["height"])
+           for r in image_dimensions(media).collect()}
+    assert got == {1: ("image/png", 64, 32), 2: (None, None, None)}
