@@ -36,7 +36,16 @@ if _repo_root not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
 from min_flink_spark.core.env import StreamExecutionEnvironment
 from min_flink_spark.core.stream import KeyedStream, Stream
 from min_flink_spark.functions.either import either_left, either_right, union_either
-from min_flink_spark.operators.relational import asof_join, broadcast_join, top_k
+from min_flink_spark.operators.dedup import keep_best_per_cluster
+from min_flink_spark.operators.graph import connected_components
+from min_flink_spark.operators.pipeline import domain_mix
+from min_flink_spark.operators.relational import (
+    asof_join,
+    broadcast_join,
+    global_index,
+    top_k,
+)
+from min_flink_spark.operators.skew import salted_agg, salted_join
 from min_flink_spark.operators.windows import session, slide, tumble, with_watermark
 from min_flink_spark.session import get_spark
 from min_flink_spark.streaming.event_timers import (
@@ -53,11 +62,17 @@ __all__ = [
     "StreamExecutionEnvironment",
     "asof_join",
     "broadcast_join",
+    "connected_components",
+    "domain_mix",
     "either_left",
     "either_right",
     "get_spark",
+    "global_index",
+    "keep_best_per_cluster",
     "process_keyed",
     "process_keyed_event_time",
+    "salted_agg",
+    "salted_join",
     "session",
     "slide",
     "top_k",

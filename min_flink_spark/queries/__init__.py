@@ -65,6 +65,7 @@ _PRIORITY = [
     "market_share",
     "incremental_dedup",
     "salted_skew_join",
+    "zorder_key_events",
 ]
 
 

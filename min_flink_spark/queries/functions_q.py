@@ -241,3 +241,43 @@ def q_array_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(as_double).alias("vec_max"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+def _sql_spread16(v: str) -> str:
+    """DuckDB twin of hashing._spread_bits16 — same shift/mask chain."""
+    e = f"(({v} | ({v} << 8)) & 16711935)"
+    e = f"(({e} | ({e} << 4)) & 252645135)"
+    e = f"(({e} | ({e} << 2)) & 858993459)"
+    e = f"(({e} | ({e} << 1)) & 1431655765)"
+    return e
+
+
+@query(
+    "zorder_key_events",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id,
+             user_id & 65535 AS x,
+             CAST(floor(value) AS BIGINT) & 65535 AS y
+      FROM events
+    )
+    SELECT event_id,
+           CAST({_sql_spread16('x')} | ({_sql_spread16('y')} << 1) AS BIGINT) AS zkey
+    FROM b
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) locality key over (user_id, floor(value)) —
+    the multi-dimensional data-skipping layout: range-partition +
+    sort by zkey before writing and parquet min/max stats prune scans
+    for range predicates on EITHER column. Pure shift/mask codegen
+    (functions/hashing.py:zorder_key), bit-identical in DuckDB."""
+    from min_flink_spark.functions.hashing import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(
+            F.col("user_id"), F.floor("value").cast("bigint")
+        ).cast("bigint").alias("zkey"),
+    )

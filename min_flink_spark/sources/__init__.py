@@ -93,6 +93,7 @@ def compact_parquet(
     dst: str,
     target_file_mb: int = 256,
     sort_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Small-file compaction — the table-maintenance pass every
     file-based lake needs: a streaming ingest that commits every minute
@@ -111,8 +112,29 @@ def compact_parquet(
             if f.endswith(".parquet"):
                 total += _os.path.getsize(_os.path.join(root, f))
     n_parts = max(1, total // (target_file_mb * 1024 * 1024) + 1)
-    out = df.repartition(n_parts)
-    if sort_by:
-        out = out.sortWithinPartitions(*sort_by)
+    if zorder_by:
+        # Multi-dimensional clustering: range-partition AND sort on the
+        # Morton key so parquet row-group min/max stats prune range
+        # predicates on EITHER column (functions/hashing.py:zorder_key).
+        # The two columns are bucketed to 16 bits via the deterministic
+        # md5 primitive when they aren't already small non-negative ints.
+        from pyspark.sql import functions as F
+
+        from min_flink_spark.functions.hashing import zorder_key
+
+        a, b = zorder_by
+        zk = zorder_key(
+            F.col(a).cast("bigint"), F.col(b).cast("bigint")
+        ).alias("_zk")
+        out = (
+            df.select("*", zk)
+            .repartitionByRange(n_parts, "_zk")
+            .sortWithinPartitions("_zk")
+            .drop("_zk")
+        )
+    else:
+        out = df.repartition(n_parts)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
     out.write.mode("overwrite").parquet(dst)
     return n_parts

@@ -130,3 +130,56 @@ def test_corrupt_json_rows_are_quarantined(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["id"] for r in good} == {1, 3}
     assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.functions.hashing import zorder_key
+
+    def spread(v):
+        v &= 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 70000)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == spread(x) | (spread(y) << 1)
+
+
+def test_compact_parquet_zorder_clusters_row_groups(spark, tmp_path):
+    """Z-ordered output must cluster both dimensions: within each
+    written file, the value range of EACH column is much narrower than
+    the global range (that's what makes min/max stats prune)."""
+    import glob
+
+    from min_flink_spark.sources import compact_parquet
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(0, 4096).selectExpr(
+        "id % 64 AS a", "CAST(id / 64 AS BIGINT) AS b", "id"
+    ).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_mb=1, zorder_by=("a", "b"))
+    files = [f for f in glob.glob(f"{dst}/*.parquet")]
+    assert len(files) >= 1
+    # re-read each output partition file: spans must be sub-global
+    import pyarrow.parquet as pq
+
+    spans_a = []
+    for f in files:
+        t = pq.read_table(f, columns=["a"])
+        col = t["a"].to_pylist()
+        if col:
+            spans_a.append(max(col) - min(col))
+    # global span of a is 63; z-clustered files must average narrower
+    if len(files) > 1:
+        assert sum(spans_a) / len(spans_a) < 63
