@@ -57,6 +57,12 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, never a driver collect."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    # tf feeds THREE consumers (join leg, doclen, df). Deliberately NOT
+    # persisted: measured 1.2 s unpersisted vs 2.0 s persisted at sf0.1
+    # — the cache-write barrier costs more than re-running the map-side
+    # tokenize (which pipelines inside each consumer's stage), and AQE's
+    # ReuseExchange already dedupes the expensive (doc_id, term) shuffle.
+    # Revisit only if the corpus-side tokenize dominates (profile first).
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
     doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
