@@ -66,6 +66,7 @@ _PRIORITY = [
     "incremental_dedup",
     "salted_skew_join",
     "zorder_key_events",
+    "datetime_function_sampler",
 ]
 
 

@@ -281,3 +281,48 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id"), F.floor("value").cast("bigint")
         ).cast("bigint").alias("zkey"),
     )
+
+
+@query(
+    "datetime_function_sampler",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sunday1,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS BIGINT) AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def q_datetime_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function surface (§2.6): truncation, calendar fields,
+    interval arithmetic, day difference, formatting, epoch conversion —
+    each pinned against the DuckDB twin (dialect notes inline: Spark
+    dayofweek is Sunday=1 = DuckDB dayofweek+1; Spark date_format vs
+    strftime; Spark unix_timestamp vs epoch)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow_sunday1"),
+        F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("unix_sec"),
+    )
