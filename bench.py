@@ -54,11 +54,16 @@ def main() -> None:
     spark = get_spark(app_name="min-flink-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: run the same plans at sf0.001 to absorb JIT/codegen/worker
-    # startup (see module docstring); fall back to a scan-only warmup if
-    # the tiny SF is unavailable
-    warm_dir = "/root/testdata/sf0.001"
-    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and os.path.isdir(warm_dir):
+    # warmup: run the same plans at the sibling sf0.001 to absorb JIT/
+    # codegen/worker startup (see module docstring); skipped when it
+    # would re-run the EXACT timed inputs (benching sf0.001 itself) or
+    # when the sibling doesn't exist — falls back to scan-only warmup
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if (
+        os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
+        and os.path.isdir(warm_dir)
+        and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR)
+    ):
         for name in HEADLINE:
             QUERIES[name](spark, warm_dir).collect()
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()

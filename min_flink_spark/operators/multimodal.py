@@ -105,6 +105,9 @@ def parse_image_dims(b: bytes) -> tuple[str, int, int] | None:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None  # corrupt marker stream
+            if b[i + 1] == 0xFF:
+                i += 1  # optional 0xFF fill bytes before a marker (T.81 B.1.1.2)
+                continue
             marker = b[i + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2  # standalone marker, no length
@@ -133,7 +136,11 @@ def image_dimensions(media: DataFrame, id_col: str = "media_id", payload_col: st
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             parsed = pdf[payload_col].map(
-                lambda x: parse_image_dims(bytes(x)) or (None, None, None)
+                lambda x: (
+                    (parse_image_dims(bytes(x)) or (None, None, None))
+                    if x is not None
+                    else (None, None, None)
+                )
             )
             yield pd.DataFrame(
                 {

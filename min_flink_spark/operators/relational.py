@@ -77,6 +77,12 @@ def global_index(
 
     The result is identical to the single-partition ``row_number`` (the
     oracle replays exactly that) at O(rows/partitions) peak memory.
+
+    Block lifetime: the checkpointed input backs the returned (lazy)
+    DataFrame, so its storage blocks live as long as the result is
+    referenced — drop the result (or call ``.unpersist()`` on it) after
+    consuming it in a per-epoch loop; Spark's ContextCleaner then frees
+    the blocks. Holding N epochs' results alive pins N copies.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

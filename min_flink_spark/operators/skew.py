@@ -84,7 +84,12 @@ def salted_join(
             f"salted_join supports inner/left, got {how!r}: a right/full "
             "join would duplicate unmatched right rows across salts"
         )
-    salt = hash_bucket(salt_col, salts).alias("_salt")
+    # NULL-safe salt: hash_bucket(NULL) is NULL, which would silently
+    # drop (inner) or un-match (left) rows with a null salt column —
+    # coalesce to a sentinel so every row lands in a real salt bucket.
+    salt = hash_bucket(
+        F.coalesce(salt_col.cast("string"), F.lit("∅")), salts
+    ).alias("_salt")
     salted_l = left.select("*", salt)
     replicated_r = right.select(
         "*",

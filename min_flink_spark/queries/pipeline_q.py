@@ -470,7 +470,7 @@ MIX_TARGETS = {f"src{i}": (6 if i == 0 else 3 if i == 1 else 1) for i in range(2
       SELECT source, count(*) AS c FROM documents GROUP BY source
     ),
     tw AS (
-      SELECT * FROM (VALUES {", ".join(f"('src{i}', {w})" for i, w in ((i, 6 if i == 0 else 3 if i == 1 else 1) for i in range(20)))}) t(source, w)
+      SELECT * FROM (VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(MIX_TARGETS.items()))}) t(source, w)
     ),
     j AS (SELECT counts.source, c, w FROM counts JOIN tw USING (source)),
     scale AS (SELECT min(c * 1000 // w) AS k FROM j),

@@ -116,15 +116,31 @@ def compact_parquet(
         # Multi-dimensional clustering: range-partition AND sort on the
         # Morton key so parquet row-group min/max stats prune range
         # predicates on EITHER column (functions/hashing.py:zorder_key).
-        # The two columns are bucketed to 16 bits via the deterministic
-        # md5 primitive when they aren't already small non-negative ints.
+        # Each column is first scaled ORDER-PRESERVINGLY to 16 bits via
+        # its min/max span (one agg, 4 scalars to the driver) — hashing
+        # would destroy locality, and feeding raw wide-range values
+        # would silently Z-order only the low 16 bits (noise).
         from pyspark.sql import functions as F
 
         from min_flink_spark.functions.hashing import zorder_key
 
         a, b = zorder_by
+        stats = df.agg(
+            F.min(F.col(a).cast("double")).alias("amin"),
+            F.max(F.col(a).cast("double")).alias("amax"),
+            F.min(F.col(b).cast("double")).alias("bmin"),
+            F.max(F.col(b).cast("double")).alias("bmax"),
+        ).first()
+
+        def _scaled(col: str, lo: float, hi: float):
+            v = F.coalesce(F.col(col).cast("double"), F.lit(lo))
+            if hi is None or lo is None or hi <= lo:
+                return F.lit(0).cast("bigint")
+            return F.floor((v - lo) * 65535.0 / (hi - lo)).cast("bigint")
+
         zk = zorder_key(
-            F.col(a).cast("bigint"), F.col(b).cast("bigint")
+            _scaled(a, stats["amin"], stats["amax"]),
+            _scaled(b, stats["bmin"], stats["bmax"]),
         ).alias("_zk")
         out = (
             df.select("*", zk)

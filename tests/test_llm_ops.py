@@ -263,3 +263,25 @@ def test_image_dimensions_kernel(spark):
     got = {r["media_id"]: (r["mime"], r["width"], r["height"])
            for r in image_dimensions(media).collect()}
     assert got == {1: ("image/png", 64, 32), 2: (None, None, None)}
+
+
+def test_image_dimensions_null_payload_quarantines(spark):
+    from min_flink_spark.operators.multimodal import image_dimensions
+
+    media = spark.createDataFrame(
+        [(1, None), (2, b"\xff\xd8")], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r["mime"] for r in image_dimensions(media).collect()}
+    assert got == {1: None, 2: None}
+
+
+def test_parse_image_dims_jpeg_fill_bytes():
+    from min_flink_spark.operators.multimodal import parse_image_dims
+
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (10).to_bytes(2, "big") + (20).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    # two optional 0xFF fill bytes before the SOF marker (T.81 B.1.1.2)
+    jpeg = b"\xff\xd8" + b"\xff\xff" + sof0
+    assert parse_image_dims(jpeg) == ("image/jpeg", 20, 10)

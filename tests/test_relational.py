@@ -138,3 +138,19 @@ def test_salted_join_rejects_right_outer(spark):
     df = spark.createDataFrame([(1, "a")], "id long, k string")
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, on=["k"], salt_col=F.col("id"), how="full")
+
+
+def test_salted_join_null_salt_rows_survive(spark):
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "id long, k string"
+    )
+    right = spark.createDataFrame([("a", 10), ("b", 20)], "k string, v long")
+    got = {
+        (r["id"], r["v"])
+        for r in salted_join(left, right, on=["k"], salt_col=F.col("id"), salts=4).collect()
+    }
+    assert got == {(1, 10), (None, 20)}

@@ -183,3 +183,29 @@ def test_compact_parquet_zorder_clusters_row_groups(spark, tmp_path):
     # global span of a is 63; z-clustered files must average narrower
     if len(files) > 1:
         assert sum(spans_a) / len(spans_a) < 63
+
+
+def test_compact_parquet_zorder_wide_range_columns(spark, tmp_path):
+    """Columns far beyond 2^16 must still cluster (order-preserving
+    min/max scaling — NOT a low-16-bit mask, which would be noise)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from min_flink_spark.sources import compact_parquet
+
+    src = str(tmp_path / "wsrc")
+    dst = str(tmp_path / "wdst")
+    # a in millions, b in billions — both wide-range
+    spark.range(0, 4096).selectExpr(
+        "(id % 64) * 1000000 AS a", "CAST(id / 64 AS BIGINT) * 1000000000 AS b", "id"
+    ).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_mb=1, zorder_by=("a", "b"))
+    files = glob.glob(f"{dst}/*.parquet")
+    if len(files) > 1:
+        spans = []
+        for f in files:
+            col = pq.read_table(f, columns=["a"])["a"].to_pylist()
+            if col:
+                spans.append(max(col) - min(col))
+        assert sum(spans) / len(spans) < 63 * 1000000
