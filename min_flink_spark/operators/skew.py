@@ -98,3 +98,30 @@ def salted_join(
         ).alias("_salt"),
     )
     return salted_l.join(replicated_r, on=on + ["_salt"], how=how).drop("_salt")
+
+
+def detect_skew(
+    df: DataFrame, keys: list[str], top: int = 10
+) -> DataFrame:
+    """Skew diagnostic: the ``top`` heaviest key groups with their row
+    counts and share of the table — the number you look at before
+    choosing broadcast vs salt vs AQE for a join/agg on ``keys``.
+
+    One aggregation + a top-k (TakeOrderedAndProject); the total rides
+    the same pass via a window-free broadcast cross join, so the whole
+    diagnostic is two small jobs regardless of table size.
+    """
+    counts = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_total")).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
+        .limit(top)
+    )

@@ -67,6 +67,7 @@ _PRIORITY = [
     "salted_skew_join",
     "zorder_key_events",
     "datetime_function_sampler",
+    "top_supplier_revenue",
 ]
 
 

@@ -811,3 +811,48 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         ev, dim, on=["event_type"], salt_col=F.col("event_id"), salts=16
     ).select("event_id", "event_type", "weight")
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: revenue per supplier over one quarter, keep
+    the supplier(s) hitting the maximum. The max is a scalar from the
+    SAME aggregate (broadcast back — no second scan of lineitem, no
+    global sort); revenue uses the integer-unit exact plan so the
+    equality predicate can't be broken by float drift."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        (
+            F.sum(_acc(_cents("l_extendedprice") * (100 - _cents("l_discount"))))
+            .cast("double")
+            / 10000.0
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

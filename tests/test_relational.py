@@ -154,3 +154,14 @@ def test_salted_join_null_salt_rows_survive(spark):
         for r in salted_join(left, right, on=["k"], salt_col=F.col("id"), salts=4).collect()
     }
     assert got == {(1, 10), (None, 20)}
+
+
+def test_detect_skew_ranks_heavy_keys(spark):
+    from min_flink_spark.operators.skew import detect_skew
+
+    rows = [(i, "hot") for i in range(80)] + [(i, f"k{i % 4}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    top = detect_skew(df, ["k"], top=2).collect()
+    assert top[0]["k"] == "hot"
+    assert top[0]["n_rows"] == 80
+    assert abs(top[0]["share"] - 0.8) < 1e-9
