@@ -24,7 +24,8 @@ _PRIORITY = [
     # red in CORRECTNESS_r01 (fixed this round)
     "array_function_sampler",
     "json_props_stats",
-    # no driver row in round 1 (registry positions 51-64)
+    # ---- never-checked BATCH queries first: cheap (sub-second each),
+    # so a time-based budget covers the maximum number of rows ----
     "cross_join_status_grid",
     "range_join_price_bands",
     "window_distribution_funcs",
@@ -33,13 +34,6 @@ _PRIORITY = [
     "tumbling_window_daily",
     "sliding_window_1d_6h",
     "session_window_4h",
-    "streaming_wordcount",
-    "streaming_running_reduce",
-    "streaming_tumbling_window",
-    "streaming_static_join",
-    "streaming_session_window",
-    "streaming_sliding_window",
-    # new this round — no driver row yet
     "nested_field_sum_first_record",
     "either_tagged_union",
     "pii_redaction",
@@ -55,9 +49,6 @@ _PRIORITY = [
     "explode_outer_tokens",
     "median_and_central_tendency",
     "session_window_dynamic_gap",
-    "streaming_event_time_timer",
-    "streaming_dedup",
-    "streaming_interval_join",
     "epoch_shuffle_index",
     "domain_mix_sample",
     "dedup_keep_best",
@@ -68,6 +59,17 @@ _PRIORITY = [
     "zorder_key_events",
     "datetime_function_sampler",
     "top_supplier_revenue",
+    # ---- never-checked STREAMING queries last within the priority
+    # block: each pays multi-second Structured Streaming startup ----
+    "streaming_wordcount",
+    "streaming_running_reduce",
+    "streaming_tumbling_window",
+    "streaming_static_join",
+    "streaming_session_window",
+    "streaming_sliding_window",
+    "streaming_event_time_timer",
+    "streaming_dedup",
+    "streaming_interval_join",
 ]
 
 
