@@ -165,6 +165,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     df_cap: int | None = 1000,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Jaccard similarity over shingle sets via inverted-index join;
     emits (doc_a, doc_b, jaccard) for pairs ≥ threshold.
@@ -176,8 +177,20 @@ def ngram_jaccard_pairs(
     stop-shingle removal; set sizes are post-filter), so the self-join's
     per-shingle fan-out is bounded by df_cap². Pass ``df_cap=None`` for
     unfiltered exact Jaccard (test/small-corpus only).
+
+    ``persist_shingles``: the shingle table feeds THREE consumers (both
+    self-join sides + the size agg), so the tokenize+explode re-runs ~3×
+    without it. Measured at sf0.1 the recompute is CHEAPER than the
+    cache-write barrier (same result as the tfidf experiment, PERF.md),
+    so the default is off; flip it on when corpus tokenization dominates
+    (very large docs / very large corpus) — the classic recompute-vs-
+    materialize knob, exposed rather than hardcoded.
     """
     sh = shingles(df, text_col, id_col, shingle_n)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if df_cap is not None:
         hot = (
             sh.groupBy("shingle")

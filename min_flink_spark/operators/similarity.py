@@ -240,36 +240,28 @@ def lsh_bucket_topk(
             return _empty_topk(queries, id_col, query_id_col)
         dim = len(first[0])
 
-    def signature(vec, table: int):
-        bits = []
-        for p in range(num_planes):
-            comps = _hyperplane(table * 1000 + p, dim)
-            plane = F.array(*[F.lit(c) for c in comps])
-            bits.append(F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
     )
-    for t in range(num_tables):
-        c = c.withColumn(f"_sig{t}", signature(F.col("_cv"), t))
-        q = q.withColumn(f"_sig{t}", signature(F.col("_qv"), t))
-
-    candidates = None
-    for t in range(num_tables):
-        self_cond = (
-            F.col(id_col) != F.col(query_id_col) if exclude_self else F.lit(True)
-        )
-        probe = c.join(
-            F.broadcast(q.select(query_id_col, f"_sig{t}")),
-            on=[c[f"_sig{t}"] == q[f"_sig{t}"], self_cond],
-        ).select(query_id_col, id_col)
-        candidates = probe if candidates is None else candidates.unionByName(probe)
-    candidates = candidates.distinct()
+    # ONE exploded (id, tbl, sig) table per side — not a T-way union of
+    # per-table probes: each union arm re-scanned the corpus and re-ran
+    # all T×planes dot products (measured 36 parquet scans in the final
+    # plan); the exploded shape computes every signature in a single
+    # pass and probes all tables through ONE equi-join on (tbl, sig).
+    c_sigs = hyperplane_signatures(c, "_cv", id_col, num_planes, num_tables, dim)
+    q_sigs = hyperplane_signatures(q, "_qv", query_id_col, num_planes, num_tables, dim)
+    on = [
+        c_sigs["tbl"] == q_sigs["tbl"],
+        c_sigs["sig"] == q_sigs["sig"],
+    ]
+    if exclude_self:
+        on.append(c_sigs[id_col] != q_sigs[query_id_col])
+    candidates = (
+        c_sigs.join(F.broadcast(q_sigs), on=on)
+        .select(q_sigs[query_id_col], c_sigs[id_col])
+        .distinct()
+    )
 
     scored = candidates.join(
         F.broadcast(q.select(query_id_col, "_qv")), query_id_col
