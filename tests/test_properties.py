@@ -290,3 +290,74 @@ def test_asof_join_matches_model(spark, left, right, strict):
         ).collect()
     }
     assert got == _asof_model(left, right, strict)
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase plans must be invisible in results (arbitrary data)
+# ---------------------------------------------------------------------------
+
+
+@given(rows=rows_strategy, salts=st.sampled_from([1, 3, 16]))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_salted_agg_equals_direct_agg(spark, rows, salts):
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.skew import salted_agg
+
+    df = to_df(spark, rows)
+    got = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs={
+                "s": ("sum", "v"),
+                "n": ("count", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+            },
+            salt_col=F.col("seq"),
+            salts=salts,
+        ).collect()
+    }
+    expected = {}
+    for _, (k, v, _p) in enumerate(rows):
+        s, n, mn, mx = expected.get(k, (0, 0, None, None))
+        expected[k] = (
+            s + v,
+            n + 1,
+            v if mn is None else min(mn, v),
+            v if mx is None else max(mx, v),
+        )
+    assert got == expected
+
+
+@given(rows=rows_strategy, salts=st.sampled_from([1, 4]))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_salted_join_equals_direct_join(spark, rows, salts):
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.skew import salted_join
+
+    left = to_df(spark, rows)
+    right = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, w long"
+    )
+    direct = {
+        tuple(r) for r in left.join(right, "k", "left").select("seq", "w").collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_join(
+            left, right, on=["k"], salt_col=F.col("seq"), salts=salts, how="left"
+        ).select("seq", "w").collect()
+    }
+    assert salted == direct
