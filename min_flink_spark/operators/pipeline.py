@@ -305,3 +305,71 @@ def domain_mix(
         this = (F.col(source_col) == s) & (bucket < t)
         cond = this if cond is None else (cond | this)
     return df.filter(cond)
+
+
+def drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str],
+    key_col: str | None = None,
+) -> DataFrame:
+    """Corpus-version drift report: per numeric column, count / null
+    rate / mean / min / max for OLD and NEW plus deltas — the check a
+    recurring ingestion runs before promoting a new corpus snapshot
+    (a silent upstream change shows up as a mean/null-rate jump long
+    before it shows up in model metrics).
+
+    One aggregation pass per side (all columns in a single agg — no
+    per-column jobs), tiny output (one row per column). Columns absent
+    on one side surface with null stats rather than erroring, so schema
+    drift is VISIBLE in the same report as stats drift.
+    """
+
+    def side_stats(df: DataFrame, tag: str) -> DataFrame:
+        aggs = []
+        present = set(df.columns)
+        for c in numeric_cols:
+            if c in present:
+                col = F.col(c).cast("double")
+                aggs += [
+                    F.count(F.lit(1)).alias(f"{c}__n"),
+                    F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+                    F.avg(col).alias(f"{c}__mean"),
+                    F.min(col).alias(f"{c}__min"),
+                    F.max(col).alias(f"{c}__max"),
+                ]
+            else:
+                aggs += [
+                    F.lit(None).cast("bigint").alias(f"{c}__n"),
+                    F.lit(None).cast("bigint").alias(f"{c}__nulls"),
+                    F.lit(None).cast("double").alias(f"{c}__mean"),
+                    F.lit(None).cast("double").alias(f"{c}__min"),
+                    F.lit(None).cast("double").alias(f"{c}__max"),
+                ]
+        wide = df.agg(*aggs)
+        # unpivot the single wide row into (column, stat...) rows
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"{c}__n").alias(f"n_{tag}"),
+                    F.col(f"{c}__nulls").alias(f"nulls_{tag}"),
+                    F.col(f"{c}__mean").alias(f"mean_{tag}"),
+                    F.col(f"{c}__min").alias(f"min_{tag}"),
+                    F.col(f"{c}__max").alias(f"max_{tag}"),
+                )
+                for c in numeric_cols
+            ]
+        )
+        return wide.select(F.explode(rows).alias("_r")).select("_r.*")
+
+    o = side_stats(old, "old")
+    n = side_stats(new, "new")
+    return (
+        o.join(n, "column", "full")
+        .withColumn("mean_delta", F.col("mean_new") - F.col("mean_old"))
+        .withColumn(
+            "null_rate_delta",
+            F.col("nulls_new") / F.col("n_new") - F.col("nulls_old") / F.col("n_old"),
+        )
+    )

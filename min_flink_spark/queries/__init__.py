@@ -59,6 +59,8 @@ _PRIORITY = [
     "zorder_key_events",
     "datetime_function_sampler",
     "top_supplier_revenue",
+    "corpus_drift_report",
+    "length_bucketed_batches",
     # ---- never-checked STREAMING queries last within the priority
     # block: each pays multi-second Structured Streaming startup ----
     "streaming_wordcount",

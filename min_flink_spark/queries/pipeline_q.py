@@ -495,3 +495,135 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix(
         docs, source_col="source", id_col="doc_id", targets=MIX_TARGETS
     ).select("doc_id", "source")
+
+
+@query(
+    "corpus_drift_report",
+    oracle="""
+    WITH newc AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE length(substr(text, 1, greatest(length(text) - 25, 10)))
+             END AS n_chars
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    o AS (
+      SELECT 'n_chars' AS col_name, CAST(count(*) AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_old,
+             CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS mean_old,
+             CAST(min(n_chars) AS DOUBLE) AS min_old,
+             CAST(max(n_chars) AS DOUBLE) AS max_old
+      FROM documents
+    ),
+    nn AS (
+      SELECT 'n_chars' AS col_name, CAST(count(*) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_new,
+             CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS mean_new,
+             CAST(min(n_chars) AS DOUBLE) AS min_new,
+             CAST(max(n_chars) AS DOUBLE) AS max_new
+      FROM newc
+    )
+    SELECT o.col_name AS column_name,
+           n_old, nulls_old, mean_old, min_old, max_old,
+           n_new, nulls_new, mean_new, min_new, max_new,
+           mean_new - mean_old AS mean_delta,
+           CAST(nulls_new AS DOUBLE) / n_new - CAST(nulls_old AS DOUBLE) / n_old
+             AS null_rate_delta
+    FROM o JOIN nn ON o.col_name = nn.col_name
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus promotion gate: stats drift between the current snapshot
+    and a candidate (here: a mutated corpus with 10% of docs dropped,
+    truncated text, and nulls injected every 7th doc). One aggregation
+    pass per side, one row per audited column. Means are exact (integer
+    sums < 2^53 accumulate exactly in doubles, single final division),
+    so the report — including the deltas — is bit-stable."""
+    from min_flink_spark.operators.pipeline import drift_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("bigint"))
+            .otherwise(
+                F.length(
+                    F.substring(
+                        "text", 1, F.greatest(F.length("text") - 25, F.lit(10))
+                    )
+                ).cast("bigint")
+            )
+            .alias("n_chars"),
+        )
+    )
+    rep = drift_report(docs, new, numeric_cols=["n_chars"])
+    # avg() skips nulls in both engines; count(*) includes them
+    return rep.select(
+        F.col("column").alias("column_name"),
+        "n_old", "nulls_old", "mean_old", "min_old", "max_old",
+        "n_new", "nulls_new", "mean_new", "min_new", "max_new",
+        "mean_delta", "null_rate_delta",
+    )
+
+
+@query(
+    "length_bucketed_batches",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    cuts AS (
+      SELECT quantile_cont(n_tokens, 0.25) AS q1,
+             quantile_cont(n_tokens, 0.5)  AS q2,
+             quantile_cont(n_tokens, 0.75) AS q3
+      FROM lens
+    ),
+    assigned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= q1 THEN 0
+                  WHEN n_tokens <= q2 THEN 1
+                  WHEN n_tokens <= q3 THEN 2
+                  ELSE 3 END AS bucket
+      FROM lens, cuts
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY bucket
+    """,
+)
+def q_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching for inference/training: quartile cuts
+    over token counts (exact percentiles — the 4-scalar result rides a
+    broadcast back, never a collect of data), docs assigned to buckets,
+    per-bucket stats. Buckets of similar-length sequences minimize
+    padding waste; at 100 TB swap the exact quantile for the t-digest
+    approx (same plan shape, one pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    cuts = lens.agg(
+        F.expr("percentile(n_tokens, 0.25)").alias("q1"),
+        F.expr("percentile(n_tokens, 0.5)").alias("q2"),
+        F.expr("percentile(n_tokens, 0.75)").alias("q3"),
+    )
+    assigned = lens.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("q1"), 0)
+        .when(F.col("n_tokens") <= F.col("q2"), 1)
+        .when(F.col("n_tokens") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -203,3 +203,13 @@ def test_keep_best_per_cluster_singletons_and_ties(spark):
     }
     # cluster {1,2,3}: quality tie 30/30 between 2 and 3 -> min id 2 wins
     assert kept == {2: (1, 3), 4: (4, 1), 5: (5, 1)}
+
+
+def test_drift_report_missing_column_visible(spark):
+    from min_flink_spark.operators.pipeline import drift_report
+
+    old = spark.createDataFrame([(1, 10), (2, 20)], "id long, a long")
+    new = spark.createDataFrame([(1,)], "id long")  # column a dropped!
+    rep = {r["column"]: r for r in drift_report(old, new, ["a"]).collect()}
+    assert rep["a"]["mean_old"] == 15.0
+    assert rep["a"]["mean_new"] is None  # schema drift surfaces as nulls
