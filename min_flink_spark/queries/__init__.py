@@ -61,6 +61,7 @@ _PRIORITY = [
     "top_supplier_revenue",
     "corpus_drift_report",
     "length_bucketed_batches",
+    "weighted_sample_topk",
     # ---- never-checked STREAMING queries last within the priority
     # block: each pays multi-second Structured Streaming startup ----
     "streaming_wordcount",

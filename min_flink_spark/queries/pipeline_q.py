@@ -627,3 +627,50 @@ def q_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_tokens"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(
+               ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967297.0) / n_chars,
+               6) + 0.0 AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    key = ln(u)/w with u an md5-derived uniform in (0,1], take the
+    global top-k by key — the standard one-pass distributed weighted
+    reservoir, here weighting docs by length. Deterministic (md5, not
+    rand), so resumable and engine-replayable; the global top-k is
+    TakeOrderedAndProject (k rows per partition to the driver merge,
+    never a global sort). ln() drifts by ulps across engines, so the
+    key is rounded to 6dp on BOTH sides and doc_id breaks ties — the
+    SELECTION, not just the hash, is bit-stable."""
+    from min_flink_spark.functions.hashing import md5_prefix_int
+    from min_flink_spark.operators.relational import top_k
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        md5_prefix_int(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(4294967297.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        # "+ 0.0" on both sides: a key that rounds to zero keeps its
+        # sign bit differently across engines (Spark +0.0, DuckDB -0.0
+        # — equal under ==, DIFFERENT under repr/hash); IEEE addition
+        # of +0.0 canonicalizes -0.0 to +0.0 everywhere
+        (F.round(F.log(u) / F.col("n_chars"), 6) + F.lit(0.0)).alias("es_key"),
+    )
+    return top_k(
+        keyed, k=100, order_by=[F.col("es_key").desc(), F.col("doc_id").asc()]
+    )
