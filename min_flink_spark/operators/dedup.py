@@ -184,7 +184,11 @@ def ngram_jaccard_pairs(
     cache-write barrier (same result as the tfidf experiment, PERF.md),
     so the default is off; flip it on when corpus tokenization dominates
     (very large docs / very large corpus) — the classic recompute-vs-
-    materialize knob, exposed rather than hardcoded.
+    materialize knob, exposed rather than hardcoded. The cache entry is
+    held by Spark's CacheManager for the session (it is NOT freed when
+    the result is dropped); callers running many corpora in one session
+    should ``spark.catalog.clearCache()`` between runs, same as the
+    minhash ``persist_bands`` contract.
     """
     sh = shingles(df, text_col, id_col, shingle_n)
     if persist_shingles:

@@ -56,16 +56,24 @@ def extract_features(media: DataFrame, fake: bool = True, batch_rows: int = 1024
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # null payloads quarantine (null stats/feature) rather than
+            # failing the task — same contract as image_dimensions
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
                     "sha256": pdf["payload"].map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
                     ),
                     "feature": pdf["payload"].map(
                         lambda b: decode_image(bytes(b), fake=fake)
+                        if b is not None
+                        else None
                     ),
                 }
             )

@@ -311,7 +311,6 @@ def drift_report(
     old: DataFrame,
     new: DataFrame,
     numeric_cols: list[str],
-    key_col: str | None = None,
 ) -> DataFrame:
     """Corpus-version drift report: per numeric column, count / null
     rate / mean / min / max for OLD and NEW plus deltas — the check a

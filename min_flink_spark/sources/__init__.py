@@ -132,10 +132,26 @@ def compact_parquet(
             F.max(F.col(b).cast("double")).alias("bmax"),
         ).first()
 
-        def _scaled(col: str, lo: float, hi: float):
-            v = F.coalesce(F.col(col).cast("double"), F.lit(lo))
-            if hi is None or lo is None or hi <= lo:
+        import math as _math
+
+        def _degenerate(lo, hi) -> bool:
+            # None (all-null column), NaN (NaN-poisoned min/max), or an
+            # empty span all mean "no usable order" — fall back to a
+            # constant key instead of emitting all-null Morton keys
+            # (which would funnel the whole table into one range
+            # partition)
+            if lo is None or hi is None:
+                return True
+            if _math.isnan(lo) or _math.isnan(hi):
+                return True
+            return hi <= lo
+
+        def _scaled(col: str, lo, hi):
+            if _degenerate(lo, hi):
                 return F.lit(0).cast("bigint")
+            v = F.coalesce(
+                F.nanvl(F.col(col).cast("double"), F.lit(lo)), F.lit(lo)
+            )
             return F.floor((v - lo) * 65535.0 / (hi - lo)).cast("bigint")
 
         zk = zorder_key(

@@ -285,3 +285,16 @@ def test_parse_image_dims_jpeg_fill_bytes():
     # two optional 0xFF fill bytes before the SOF marker (T.81 B.1.1.2)
     jpeg = b"\xff\xd8" + b"\xff\xff" + sof0
     assert parse_image_dims(jpeg) == ("image/jpeg", 20, 10)
+
+
+def test_extract_features_null_payload_quarantines(spark):
+    from min_flink_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "img", b"abc"), (2, "img", None)],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r["media_id"]: (r["n_bytes"], r["sha256"] is None, r["feature"] is None)
+           for r in extract_features(media, fake=True).collect()}
+    assert got[1][0] == 3 and not got[1][1] and not got[1][2]
+    assert got[2] == (None, True, True)

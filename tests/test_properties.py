@@ -351,13 +351,17 @@ def test_salted_join_equals_direct_join(spark, rows, salts):
     right = spark.createDataFrame(
         [("a", 1), ("b", 2)], "k string, w long"
     )
-    direct = {
+    from collections import Counter
+
+    # multiset compare: a bug that duplicates a left row per matching
+    # salt replica would vanish under a plain set()
+    direct = Counter(
         tuple(r) for r in left.join(right, "k", "left").select("seq", "w").collect()
-    }
-    salted = {
+    )
+    salted = Counter(
         tuple(r)
         for r in salted_join(
             left, right, on=["k"], salt_col=F.col("seq"), salts=salts, how="left"
         ).select("seq", "w").collect()
-    }
+    )
     assert salted == direct

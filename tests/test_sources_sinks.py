@@ -209,3 +209,19 @@ def test_compact_parquet_zorder_wide_range_columns(spark, tmp_path):
             if col:
                 spans.append(max(col) - min(col))
         assert sum(spans) / len(spans) < 63 * 1000000
+
+
+def test_compact_parquet_zorder_nan_column_survives(spark, tmp_path):
+    """A NaN in a zorder column must not poison the scaling into
+    all-null keys (single giant partition); the write must succeed."""
+    from min_flink_spark.sources import compact_parquet
+
+    src = str(tmp_path / "nansrc")
+    dst = str(tmp_path / "nandst")
+    spark.range(0, 100).selectExpr(
+        "CAST(id AS DOUBLE) AS a",
+        "CASE WHEN id = 7 THEN CAST('NaN' AS DOUBLE) ELSE CAST(id AS DOUBLE) END AS b",
+        "id",
+    ).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_mb=1, zorder_by=("a", "b"))
+    assert spark.read.parquet(dst).count() == 100
