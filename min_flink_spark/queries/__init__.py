@@ -62,6 +62,7 @@ _PRIORITY = [
     "corpus_drift_report",
     "length_bucketed_batches",
     "weighted_sample_topk",
+    "unigram_surprisal_score",
     # ---- never-checked STREAMING queries last within the priority
     # block: each pays multi-second Structured Streaming startup ----
     "streaming_wordcount",

@@ -674,3 +674,59 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(
         keyed, k=100, order_by=[F.col("es_key").desc(), F.col("doc_id").asc()]
     )
+
+
+@query(
+    "unigram_surprisal_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    freq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(round(-ln(CAST(freq.cnt AS DOUBLE) / n.total) * 1000000)
+                  AS BIGINT) AS s_u
+      FROM tok JOIN freq ON tok.term = freq.term CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(s_u) AS DOUBLE) / 1000000.0 / count(*) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-proxy quality score: per-doc mean unigram
+    surprisal -ln p(token) under the corpus's own unigram distribution
+    (the KenLM-perplexity-lite every curation stack runs — high
+    surprisal = rare-token soup, low = boilerplate). Per-token
+    surprisal is quantized to exact integer micro-units BEFORE the
+    per-doc sum (FIXTURES §3 toolbox #1): a double sum of ln values is
+    accumulation-order-dependent, a bigint sum is exact, so the score
+    is bit-stable. Frequencies broadcast back; corpus token total rides
+    a broadcast scalar — no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    n = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(F.col("cnt").cast("double") / F.col("total")) * 1000000
+            )
+            .cast("bigint")
+            .alias("s_u"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("s_u").cast("double") / 1000000.0 / F.count(F.lit(1))).alias(
+            "avg_surprisal"
+        ),
+    )
