@@ -11,7 +11,10 @@ bucketed packing; no collects, no cartesians):
       → exact dedup (md5 fingerprint, min-id canonical)
       → near-dup dedup (MinHash+LSH candidates → cluster → keep min id)
       → benchmark decontamination (8-gram overlap)
+      → domain mixing to target source proportions
+      → drift gate vs the raw snapshot (promotion check)
       → token counting + greedy sequence packing into 512-token bins
+      → deterministic epoch shuffle (seeded global permutation index)
       → parquet shards
 
 Run: python examples/curation_pipeline.py [sf_dir]
@@ -36,10 +39,13 @@ from min_flink_spark.operators.dedup import (
 from min_flink_spark.operators.graph import connected_components
 from min_flink_spark.operators.pipeline import (
     contamination_overlap,
+    domain_mix,
+    drift_report,
     pack_sequences,
     quality_filter,
     redact_pii,
 )
+from min_flink_spark.operators.relational import global_index
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
@@ -84,18 +90,51 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     final = train.join(contaminated, "doc_id", "left_anti")
     n4 = final.count()
 
-    # 6. token counts + packing into 512-token training bins
-    counted = final.select(
+    # 6. domain mixing: rebalance sources to target proportions
+    # (waterfilling — never upsamples; deterministic hash rows)
+    sourced = final.join(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source"),
+        "doc_id",
+    )
+    targets = {f"src{i}": (3 if i < 5 else 1) for i in range(20)}
+    mixed = domain_mix(sourced, "source", "doc_id", targets)
+    n5 = mixed.count()
+
+    # 7. drift gate: sanity-check the curated snapshot against raw
+    # before promoting (nulls / mean length shifts surface here)
+    raw_lens = docs.select("doc_id", F.length("text").cast("bigint").alias("len"))
+    cur_lens = mixed.select("doc_id", F.length("text").cast("bigint").alias("len"))
+    drift = drift_report(raw_lens, cur_lens, ["len"]).first()
+
+    # 8. token counts + packing into 512-token training bins
+    counted = mixed.select(
         "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
     )
     packed = pack_sequences(counted, capacity=512, num_buckets=16)
     n_bins = packed.select("bucket", "bin").distinct().count()
 
+    # 9. deterministic epoch shuffle: reproducible global order for the
+    # training loader (never a one-task window)
+    shuffled = global_index(
+        mixed.select("doc_id"),
+        order_by=[
+            F.md5(F.concat(F.lit("epoch-0:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        ],
+        index_col="epoch_pos",
+    )
+
     out = tempfile.mkdtemp(prefix="curated_")
-    final.join(packed, "doc_id").write.mode("overwrite").parquet(out)
+    (
+        mixed.join(packed, "doc_id")
+        .join(shuffled, "doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
 
     print(f"raw={n0} quality_kept={n1} exact_deduped={n2} "
-          f"near_deduped={n3} decontaminated={n4} bins={n_bins}")
+          f"near_deduped={n3} decontaminated={n4} mixed={n5} bins={n_bins} "
+          f"len_drift={drift['mean_delta']:.1f}")
     print(f"shards: {out}")
 
 
