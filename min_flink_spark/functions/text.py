@@ -118,3 +118,19 @@ def normalize_whitespace(text: Column) -> Column:
     ICU and stays out of the engine core."""
     no_ctl = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", " ")
     return F.trim(F.regexp_replace(no_ctl, "\\s+", " "))
+
+
+URL_RE = r"https?://[a-zA-Z0-9.-]+(?:/[^\s]*)?"
+HOST_RE = r"https?://([a-zA-Z0-9.-]+)"
+
+
+def extract_domains(text: Column) -> Column:
+    """All normalized domains mentioned in the text: extract URL hosts,
+    lowercase, strip a leading ``www.``. Pure codegen regex (RE2 ∩ Java
+    subset; DuckDB twin replays it verbatim). Returns array<string>
+    in match order (may contain duplicates — callers dedupe)."""
+    hosts = F.regexp_extract_all(text, F.lit(HOST_RE), 1)
+    return F.transform(
+        hosts,
+        lambda h: F.regexp_replace(F.lower(h), "^www\\.", ""),
+    )

@@ -63,6 +63,7 @@ _PRIORITY = [
     "length_bucketed_batches",
     "weighted_sample_topk",
     "unigram_surprisal_score",
+    "url_domain_filter",
     # ---- never-checked STREAMING queries last within the priority
     # block: each pays multi-second Structured Streaming startup ----
     "streaming_wordcount",

@@ -730,3 +730,73 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_surprisal"
         ),
     )
+
+
+# URL-bearing corpus: deterministic synthetic links appended to docs
+# (the synthetic corpus has no URLs of its own). Kept verbatim in both
+# engines; every 4th doc gets a blocklisted host.
+SQL_URL_CORPUS = """
+  SELECT doc_id,
+         text || ' see https://WWW.Example' || (doc_id % 10)
+              || '.com/page/' || doc_id
+              || CASE WHEN doc_id % 4 = 0
+                      THEN ' and http://spam.bad-site.net/x?y=' || doc_id
+                      ELSE '' END AS text
+  FROM documents
+"""
+
+
+@query(
+    "url_domain_filter",
+    oracle=f"""
+    WITH corpus AS ({SQL_URL_CORPUS}),
+    extracted AS (
+      SELECT doc_id,
+             list_transform(
+               regexp_extract_all(text, 'https?://([a-zA-Z0-9.-]+)', 1),
+               h -> regexp_replace(lower(h), '^www\\.', '')
+             ) AS domains
+      FROM corpus
+    ),
+    flagged AS (
+      SELECT doc_id,
+             CAST(len(domains) AS BIGINT) AS n_urls,
+             list_sort(list_distinct(domains)) AS uniq,
+             len(list_filter(domains, d -> d = 'spam.bad-site.net')) > 0
+               AS blocked
+      FROM extracted
+    )
+    SELECT doc_id, n_urls, array_to_string(uniq, ',') AS domains_csv
+    FROM flagged WHERE NOT blocked
+    """,
+)
+def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus hygiene: extract+normalize URL domains (lowercase,
+    strip www.), drop docs citing a blocklisted host — the standard
+    domain-blocklist pass of a crawl pipeline. Pure codegen regex/array
+    exprs; the domain list is serialized sorted-distinct-CSV for the
+    gate (the driver's canonicalizer cannot sort list cells)."""
+    from min_flink_spark.functions.text import extract_domains
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://WWW.Example"), F.col("doc_id") % 10,
+            F.lit(".com/page/"), F.col("doc_id"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" and http://spam.bad-site.net/x?y="), F.col("doc_id")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    extracted = docs.select("doc_id", extract_domains(F.col("text")).alias("domains"))
+    flagged = extracted.select(
+        "doc_id",
+        F.size("domains").cast("bigint").alias("n_urls"),
+        F.array_sort(F.array_distinct("domains")).alias("uniq"),
+        F.exists("domains", lambda d: d == F.lit("spam.bad-site.net")).alias("blocked"),
+    )
+    return flagged.filter(~F.col("blocked")).select(
+        "doc_id", "n_urls", F.concat_ws(",", "uniq").alias("domains_csv")
+    )
