@@ -36,9 +36,11 @@ if _repo_root not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
 from min_flink_spark.core.env import StreamExecutionEnvironment
 from min_flink_spark.core.stream import KeyedStream, Stream
 from min_flink_spark.functions.either import either_left, either_right, union_either
+from min_flink_spark.functions.hashing import hash_bucket, zorder_key
 from min_flink_spark.operators.dedup import keep_best_per_cluster
 from min_flink_spark.operators.graph import connected_components
-from min_flink_spark.operators.pipeline import domain_mix
+from min_flink_spark.operators.pipeline import domain_mix, drift_report
+from min_flink_spark.operators.skew import detect_skew
 from min_flink_spark.operators.relational import (
     asof_join,
     broadcast_join,
@@ -63,11 +65,14 @@ __all__ = [
     "asof_join",
     "broadcast_join",
     "connected_components",
+    "detect_skew",
     "domain_mix",
+    "drift_report",
     "either_left",
     "either_right",
     "get_spark",
     "global_index",
+    "hash_bucket",
     "keep_best_per_cluster",
     "process_keyed",
     "process_keyed_event_time",
@@ -79,6 +84,7 @@ __all__ = [
     "tumble",
     "union_either",
     "with_watermark",
+    "zorder_key",
 ]
 
 __version__ = "0.1.0"

@@ -365,3 +365,31 @@ def test_salted_join_equals_direct_join(spark, rows, salts):
         ).select("seq", "w").collect()
     )
     assert salted == direct
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True),
+    parts=st.sampled_from([1, 3, 7]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_index_property(spark, ids, parts):
+    """Positions equal sorted-enumerate of the md5-keyed order on
+    arbitrary unique id sets and partition counts."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.relational import global_index
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    key = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in global_index(df, key, num_partitions=parts).collect()
+    }
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert got == {doc: pos + 1 for pos, doc in enumerate(order)}
