@@ -64,6 +64,7 @@ _PRIORITY = [
     "weighted_sample_topk",
     "unigram_surprisal_score",
     "url_domain_filter",
+    "resample_1h_forward_fill",
     # ---- never-checked STREAMING queries last within the priority
     # block: each pays multi-second Structured Streaming startup ----
     "streaming_wordcount",

@@ -146,3 +146,87 @@ def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "resample_1h_forward_fill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts,
+             CAST(round(value * 1000000) AS BIGINT) AS v_u
+      FROM events WHERE user_id < 20
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(sum(v_u) AS BIGINT) AS v_u
+      FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.user_id, s.hour, h.v_u,
+             CASE WHEN h.v_u IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM spine s LEFT JOIN hourly h
+        ON s.user_id = h.user_id AND s.hour = h.hour
+    )
+    SELECT user_id, hour,
+           last_value(v_u IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 1000000.0 AS value_filled,
+           CAST(observed AS BIGINT) AS observed
+    FROM joined
+    """,
+)
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per-user hourly spine
+    (sequence+explode between each user's own bounds — the spine never
+    materializes driver-side and a sparse user costs only their span),
+    left join of hourly totals, forward fill via last-non-null window
+    carry (the same primitive as the as-of join). Hour totals
+    accumulate in exact micro-units so the filled series is bit-stable;
+    ``observed`` distinguishes measured hours from filled ones.
+
+    Scale: one shuffle for the hourly agg, one for the spine join, one
+    window pass per user — all keyed on user_id, no global ordering."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_u"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum("v_u").alias("v_u"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        "v_u",
+        F.when(F.col("v_u").isNotNull(), 1).otherwise(0).cast("bigint").alias("observed"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        (F.last("v_u", ignorenulls=True).over(w) / 1000000.0).alias("value_filled"),
+        "observed",
+    )
