@@ -91,13 +91,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n4 = final.count()
 
     # 6. domain mixing: rebalance sources to target proportions
-    # (waterfilling — never upsamples; deterministic hash rows)
+    # (waterfilling — never upsamples; deterministic hash rows).
+    # Targets are built from the sources that SURVIVED curation — a
+    # fully-filtered source must drop out of the mix, not crash it.
     sourced = final.join(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source"),
         "doc_id",
     )
-    targets = {f"src{i}": (3 if i < 5 else 1) for i in range(20)}
+    present = sorted(r["source"] for r in sourced.select("source").distinct().collect())
+    targets = {s: (3 if s in ("src0", "src1", "src2", "src3", "src4") else 1)
+               for s in present}
     mixed = domain_mix(sourced, "source", "doc_id", targets)
+    # the curated lineage above (LSH dedup + components + decontam) is
+    # expensive; checkpoint once so the 4 downstream consumers (count,
+    # drift, packing, final write) don't each re-run it
+    mixed = mixed.localCheckpoint(eager=True)
     n5 = mixed.count()
 
     # 7. drift gate: sanity-check the curated snapshot against raw

@@ -120,15 +120,19 @@ def normalize_whitespace(text: Column) -> Column:
     return F.trim(F.regexp_replace(no_ctl, "\\s+", " "))
 
 
-URL_RE = r"https?://[a-zA-Z0-9.-]+(?:/[^\s]*)?"
-HOST_RE = r"https?://([a-zA-Z0-9.-]+)"
+# Host = dot-joined alnum/hyphen labels (a trailing sentence period is
+# structurally excluded — each '.' must be followed by another label);
+# optional userinfo ('user:pass@') is skipped so the REAL host is
+# captured, not the username. RE2 ∩ Java subset.
+HOST_RE = r"https?://(?:[^/\s@]+@)?([a-zA-Z0-9-]+(?:\.[a-zA-Z0-9-]+)*)"
 
 
 def extract_domains(text: Column) -> Column:
-    """All normalized domains mentioned in the text: extract URL hosts,
-    lowercase, strip a leading ``www.``. Pure codegen regex (RE2 ∩ Java
-    subset; DuckDB twin replays it verbatim). Returns array<string>
-    in match order (may contain duplicates — callers dedupe)."""
+    """All normalized domains mentioned in the text: extract URL hosts
+    (userinfo-aware, trailing-punctuation-safe), lowercase, strip a
+    leading ``www.``. Pure codegen regex (DuckDB twin replays it
+    verbatim). Returns array<string> in match order (may contain
+    duplicates — callers dedupe)."""
     hosts = F.regexp_extract_all(text, F.lit(HOST_RE), 1)
     return F.transform(
         hosts,

@@ -753,7 +753,8 @@ SQL_URL_CORPUS = """
     extracted AS (
       SELECT doc_id,
              list_transform(
-               regexp_extract_all(text, 'https?://([a-zA-Z0-9.-]+)', 1),
+               regexp_extract_all(text,
+                 'https?://(?:[^/\\s@]+@)?([a-zA-Z0-9-]+(?:\\.[a-zA-Z0-9-]+)*)', 1),
                h -> regexp_replace(lower(h), '^www\\.', '')
              ) AS domains
       FROM corpus
