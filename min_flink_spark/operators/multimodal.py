@@ -247,3 +247,58 @@ def repartition_by_bytes(
     return sized.repartitionByRange(n_parts, F.col("_len"), F.col("media_id")).drop(
         "_len"
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, mime string, out_width int, out_height int, payload binary"
+)
+
+
+def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Stub resize kernel: real pipelines plug PIL/torchvision here.
+    ``fake=True`` produces a deterministic stand-in (sha256 of input ||
+    target dims, repeated to a size proportional to the target area) so
+    the Spark-side plumbing — batching, schema, byte passthrough — is
+    fully testable without codecs."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass fake=True for the deterministic test kernel"
+        )
+    seed = hashlib.sha256(payload + f"|{width}x{height}".encode()).digest()
+    n = max(1, (width * height) // 64)
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Batch image resize over binary columns via Arrow ``mapInPandas``
+    — the standard thumbnail/normalization pass of a multimodal
+    pipeline. Only rows whose payload parses as a real image (PNG/JPEG/
+    GIF header) are resized; others (and null payloads) quarantine with
+    null output bytes. Pair with ``repartition_by_bytes`` upstream so a
+    partition's decode budget is byte-bounded."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, outs = [], []
+            for b in pdf["payload"]:
+                parsed = parse_image_dims(bytes(b)) if b is not None else None
+                if parsed is None:
+                    mimes.append(None)
+                    outs.append(None)
+                else:
+                    mimes.append(parsed[0])
+                    outs.append(resize_image(bytes(b), width, height, fake=fake))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": mimes,
+                    "out_width": width,
+                    "out_height": height,
+                    "payload": outs,
+                }
+            )
+
+    return media.mapInPandas(_kernel, schema=RESIZED_SCHEMA)

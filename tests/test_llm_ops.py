@@ -298,3 +298,33 @@ def test_extract_features_null_payload_quarantines(spark):
            for r in extract_features(media, fake=True).collect()}
     assert got[1][0] == 3 and not got[1][1] and not got[1][2]
     assert got[2] == (None, True, True)
+
+
+def test_resize_images_plumbing(spark):
+    from min_flink_spark.operators.multimodal import resize_image, resize_images
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (64).to_bytes(4, "big") + (32).to_bytes(4, "big")
+        + b"\x00" * 9
+    )
+    media = spark.createDataFrame(
+        [(1, png), (2, b"not an image"), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in resize_images(media, 16, 16).collect()}
+    assert got[1]["mime"] == "image/png"
+    assert bytes(got[1]["payload"]) == resize_image(png, 16, 16, fake=True)
+    assert got[1]["out_width"] == 16 and got[1]["out_height"] == 16
+    assert got[2]["mime"] is None and got[2]["payload"] is None
+    assert got[3]["mime"] is None and got[3]["payload"] is None
+
+
+def test_resize_image_real_kernel_is_stubbed():
+    import pytest as _pytest
+
+    from min_flink_spark.operators.multimodal import resize_image
+
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 8, 8, fake=False)
