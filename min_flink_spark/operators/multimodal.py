@@ -216,7 +216,10 @@ def chunk_audio(
     chunk table is exact and engine-replayable."""
     d = F.col(duration_col).cast("bigint")
     n_chunks = F.ceil(d / F.lit(chunk_ms)).cast("int")
-    return media.select(
+    return media.filter(d.isNotNull() & (d > 0)).select(
+        # rows with null/zero duration (non-audio media) emit NO chunks —
+        # greatest/least silently skip NULLs and would otherwise invent a
+        # [0, chunk_ms) chunk for a text document
         F.col(id_col),
         d.alias("_d"),
         F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))).alias(
@@ -233,7 +236,10 @@ def chunk_audio(
 
 
 def repartition_by_bytes(
-    media: DataFrame, target_mb: int = 256, payload_col: str = "payload"
+    media: DataFrame,
+    target_mb: int = 256,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
 ) -> DataFrame:
     """Size partitions by BYTE volume, not row count: media rows vary by
     orders of magnitude, and row-count partitioning puts ten 4K videos
@@ -244,7 +250,7 @@ def repartition_by_bytes(
     sized = media.withColumn("_len", F.length(F.col(payload_col)).cast("bigint"))
     total = sized.agg(F.sum("_len")).first()[0] or 0
     n_parts = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
-    return sized.repartitionByRange(n_parts, F.col("_len"), F.col("media_id")).drop(
+    return sized.repartitionByRange(n_parts, F.col("_len"), F.col(id_col)).drop(
         "_len"
     )
 

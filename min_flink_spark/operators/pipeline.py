@@ -203,7 +203,13 @@ def pack_sequences(
         F.col(token_col),
         hash_bucket(F.col(id_col), num_buckets).alias("bucket"),
     )
-    schema = f"{id_col} bigint, {token_col} bigint, bucket bigint, bin bigint, offset bigint"
+    # derive the output schema from the INPUT column types — hardcoding
+    # bigint breaks string/uuid doc ids (the common corpus key)
+    in_types = dict(df.dtypes)
+    schema = (
+        f"{id_col} {in_types[id_col]}, {token_col} {in_types[token_col]}, "
+        "bucket bigint, bin bigint, offset bigint"
+    )
     return bucketed.groupBy("bucket").applyInPandas(_pack, schema)
 
 
@@ -226,10 +232,18 @@ def dedup_paragraphs(
     window sort. Two shuffles total (df agg + per-doc regroup), both on
     keys with bounded payloads; nothing quadratic, no driver data.
     """
+    import re as _re
+
+    # F.split treats the separator as a REGEX; callers pass a literal
+    # ('\n\n', '|', '...') — escape it so metacharacters don't shred
+    # the text. re.escape only backslash-escapes non-alphanumerics,
+    # which Java regex accepts.
     paras = (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+                "_pos", "_para"
+            ),
         )
         .filter(F.length(F.trim(F.col("_para"))) >= min_chars)
         .withColumn("_pkey", F.md5(F.trim(F.col("_para"))))
@@ -253,7 +267,17 @@ def dedup_paragraphs(
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_paras_kept"),
     )
-    return rebuilt
+    # a doc whose EVERY paragraph was boilerplate must survive as an
+    # empty doc, not vanish from the corpus — silent row loss in a
+    # cleanup pass is how datasets shrink unexplained
+    all_ids = df.select(id_col).distinct()
+    return all_ids.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce(F.col("n_paras_kept"), F.lit(0).cast("bigint")).alias(
+            "n_paras_kept"
+        ),
+    )
 
 
 def domain_mix(

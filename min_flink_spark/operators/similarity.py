@@ -116,7 +116,7 @@ def near_dup_pairs(
         )
 
     if dim is None:
-        first = df.select(vec_col).first()
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if first is None:
             return df.sparkSession.createDataFrame(
                 [], f"id_a {dict(df.dtypes).get(id_col, 'bigint')}, "
@@ -235,7 +235,7 @@ def lsh_bucket_topk(
     in tests, not an SQL oracle. ``exclude_self``: shared contract, see
     module docstring."""
     if dim is None:
-        first = queries.select(vec_col).first()
+        first = queries.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if first is None:  # no queries → empty result, not a crash
             return _empty_topk(queries, id_col, query_id_col)
         dim = len(first[0])
@@ -304,7 +304,7 @@ def ivf_topk(
     from min_flink_spark.functions.hashing import hash_bucket
 
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    first = c.select("_v").first()
+    first = c.select("_v").filter(F.col("_v").isNotNull()).first()
     if first is None:  # empty corpus → empty result, not a crash
         return _empty_topk(corpus, id_col, query_id_col)
     dim = len(first[0])
@@ -415,7 +415,7 @@ def project_embeddings(
     (project once, index the short vectors).
     """
     if dim is None:
-        first = df.select(vec_col).first()
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if first is None:
             return df.select("*", *[F.lit(0.0).alias(f"{prefix}{k}") for k in range(out_dim)])
         dim = len(first[0])

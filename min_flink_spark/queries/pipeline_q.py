@@ -296,6 +296,17 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tr_tok, LATERAL (SELECT unnest(generate_series(0, greatest(len(toks) - 8, 0))) AS i) g
       WHERE i + 8 <= len(toks)
     ),
+    -- replay the operator's df_cap=1000 stop-shingle filter: a shingle
+    -- in >1000 train docs is dropped BEFORE counting on the Spark side,
+    -- so the oracle must drop it too (latent divergence at scale even
+    -- though no sf0.01 shingle reaches the cap)
+    hot AS (
+      SELECT shingle FROM tr_sh GROUP BY shingle HAVING count(*) > 1000
+    ),
+    tr_kept AS (
+      SELECT t.* FROM tr_sh t LEFT JOIN hot h ON t.shingle = h.shingle
+      WHERE h.shingle IS NULL
+    ),
     ev_tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM eval_docs),
     ev_sh AS (
       SELECT DISTINCT
@@ -309,7 +320,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
            sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE) AS overlap_frac
-    FROM tr_sh t LEFT JOIN ev_sh e ON t.shingle = e.shingle
+    FROM tr_kept t LEFT JOIN ev_sh e ON t.shingle = e.shingle
     GROUP BY t.doc_id
     """,
 )
@@ -403,11 +414,17 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
       SELECT p.* FROM paras p LEFT JOIN hot h ON p.pkey = h.pkey
       WHERE h.pkey IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(para, '<P>' ORDER BY pos) AS text,
+             CAST(count(*) AS BIGINT) AS n_paras_kept
+      FROM kept GROUP BY doc_id
     )
-    SELECT doc_id,
-           string_agg(para, '<P>' ORDER BY pos) AS text,
-           CAST(count(*) AS BIGINT) AS n_paras_kept
-    FROM kept GROUP BY doc_id
+    SELECT c.doc_id, coalesce(a.text, '') AS text,
+           CAST(coalesce(a.n_paras_kept, 0) AS BIGINT) AS n_paras_kept
+    FROM (SELECT DISTINCT doc_id FROM corpus) c
+    LEFT JOIN agg a ON c.doc_id = a.doc_id
     """,
 )
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,7 +104,20 @@ class EventTimeProcessFunction:
 
 
 def _n_user_fields(fn: EventTimeProcessFunction) -> int:
-    return len([f for f in fn.state_schema.split(",") if f.strip()])
+    # count TOP-LEVEL commas only: types like decimal(10,2) or
+    # map<string,bigint> contain commas that must not split fields
+    s = fn.state_schema.strip()
+    if not s:
+        return 0
+    depth, n = 0, 1
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
 
 
 def process_keyed_event_time(
@@ -130,7 +143,7 @@ def process_keyed_event_time(
     n_user = _n_user_fields(fn)
     state_schema = fn.state_schema.strip()
     full_schema = (state_schema + ", " if state_schema else "") + (
-        "_timers array<bigint>, _atime bigint"
+        "_timers array<bigint>, _atime bigint, _present boolean"
     )
 
     def _split(raw: tuple | None, now_ms: int):
@@ -140,7 +153,10 @@ def process_keyed_event_time(
         user = tuple(raw[:n_user])
         timers = set(raw[n_user] or [])
         atime = raw[n_user + 1]
-        if user and all(v is None for v in user):
+        # explicit presence flag: a legitimately stored all-None user
+        # tuple must read back as PRESENT (Flink ValueState distinguishes
+        # update(null) from clear()); only _present=False means absent
+        if not raw[n_user + 2]:
             user = None
         if (
             user is not None
@@ -151,17 +167,30 @@ def process_keyed_event_time(
             user = None  # expired: visible as absent, like StateTtlConfig
         return user, timers
 
-    def _store(state: GroupState, user: tuple | None, timers: set[int], now_ms: int):
+    def _store(
+        state: GroupState,
+        user: tuple | None,
+        timers: set[int],
+        now_ms: int,
+        wm_ms: int,
+    ):
         if user is None and not timers:
             if state.exists:
                 state.remove()
             return
         user_part = tuple(user) if user is not None else (None,) * n_user
-        state.update(user_part + (sorted(timers), now_ms))
+        state.update(user_part + (sorted(timers), now_ms, user is not None))
         if timers:
             # one engine timeout arms the earliest timer; later ones
-            # re-arm as earlier ones fire
-            state.setTimeoutTimestamp(min(timers))
+            # re-arm as earlier ones fire. Spark REJECTS a timeout at or
+            # below the current watermark, but a pending timer can
+            # legitimately sit there (late rows arrived for this key
+            # after other keys advanced the watermark past its timer) —
+            # clamp to wm+1 so the group wakes on the next watermark
+            # advance and the due timer fires then, matching the
+            # reference's "fire on next watermark" for late timers
+            # (InternalTimerServiceImpl.java:206-216).
+            state.setTimeoutTimestamp(max(min(timers), wm_ms + 1))
 
     def _handle(key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
         raw = tuple(state.get) if state.exists else None
@@ -182,7 +211,7 @@ def process_keyed_event_time(
                 timers = ctx._timers
                 if out is not None and len(out):
                     yield out
-            _store(state, user, timers, now)
+            _store(state, user, timers, now, wm)
             return
 
         chunks = [p for p in pdf_iter if len(p)]
@@ -193,7 +222,7 @@ def process_keyed_event_time(
             timers = ctx._timers
             if out is not None and len(out):
                 yield out
-        _store(state, user, timers, now)
+        _store(state, user, timers, now, wm)
 
     return df.groupBy(*keys).applyInPandasWithState(
         _handle,

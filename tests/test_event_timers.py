@@ -230,3 +230,34 @@ def test_event_timer_survives_checkpoint_restart(spark, tmp_path):
     # watermark past 10:01 → the RESTORED timer fires
     run([(99, dt.datetime(2024, 1, 1, 10, 5, 0))])
     assert [g[0] for g in got] == [1]
+
+
+def test_late_rows_after_watermark_passed_timer(spark):
+    """Regression: a key receiving DATA in a later batch while its
+    armed timer already sits below the watermark must not crash the
+    query (Spark rejects setTimeoutTimestamp <= watermark; the backend
+    clamps to wm+1 so the timer fires on the next watermark advance)."""
+    import datetime as dt
+
+    schema = "k bigint, ts timestamp"
+    d = os.path.join(tempfile.mkdtemp(prefix="et_late_"), "in")
+    # batch 1: k=1 arms timer at 10:00:10; k=99 pushes watermark to ~10:59:59
+    spark.createDataFrame(
+        [
+            (1, dt.datetime.fromisoformat("2024-01-01 10:00:00")),
+            (99, dt.datetime.fromisoformat("2024-01-01 11:00:00")),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+    # batch 2: NEW data for k=1 — its pending 10:00:10 timer is now far
+    # below the watermark; also advances the watermark further
+    spark.createDataFrame(
+        [(1, dt.datetime.fromisoformat("2024-01-01 11:30:00"))], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    s = stream_parquet(spark, d, schema, max_files_per_trigger=1).withWatermark(
+        "ts", "1 second"
+    )
+    got = _drive(spark, s, _OneTimer(10_000), expected=2, timeout_sec=60)
+    fired = {g[0] for g in got}
+    assert 1 in fired  # the late-data key's timer fired instead of crashing

@@ -328,3 +328,16 @@ def test_resize_image_real_kernel_is_stubbed():
 
     with _pytest.raises(NotImplementedError):
         resize_image(b"\x89PNG", 8, 8, fake=False)
+
+
+def test_chunk_audio_null_duration_emits_no_chunks(spark):
+    from min_flink_spark.operators.multimodal import chunk_audio
+
+    media = spark.createDataFrame(
+        [(1, 65_000), (2, None), (3, 0)],
+        "media_id long, duration long",
+    )
+    got = chunk_audio(media, chunk_ms=30_000, duration_col="duration").collect()
+    ids = {r["media_id"] for r in got}
+    assert ids == {1}          # null/zero-duration rows invent no chunks
+    assert len(got) == 3       # 65s -> 3 chunks of 30s/30s/5s

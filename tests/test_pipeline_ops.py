@@ -233,3 +233,32 @@ def test_extract_domains_hard_cases(spark):
     assert got[2] == ["spam.bad-site.net"]
     assert got[3] == ["example.com", "a.b.c"]
     assert got[4] == []
+
+
+def test_pack_sequences_string_ids(spark):
+    from min_flink_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [("url-a", 100), ("url-b", 500), ("url-c", 50)],
+        "doc_id string, n_tokens bigint",
+    )
+    got = {r["doc_id"]: r["bin"] for r in pack_sequences(df, capacity=512).collect()}
+    assert set(got) == {"url-a", "url-b", "url-c"}
+
+
+def test_dedup_paragraphs_regex_sep_and_empty_docs(spark):
+    from min_flink_spark.operators.pipeline import dedup_paragraphs
+
+    # '|' is a regex metachar — must be treated literally; doc 3 is
+    # ENTIRELY boilerplate and must survive as an empty doc
+    rows = [
+        (1, "boiler|unique one here"),
+        (2, "boiler|another unique text"),
+        (3, "boiler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_paras_kept"])
+           for r in dedup_paragraphs(df, sep="|", df_cap=1).collect()}
+    assert got[1] == ("unique one here", 1)
+    assert got[2] == ("another unique text", 1)
+    assert got[3] == ("", 0)
