@@ -283,26 +283,34 @@ def resize_images(
     — the standard thumbnail/normalization pass of a multimodal
     pipeline. Only rows whose payload parses as a real image (PNG/JPEG/
     GIF header) are resized; others (and null payloads) quarantine with
-    null output bytes. Pair with ``repartition_by_bytes`` upstream so a
-    partition's decode budget is byte-bounded."""
+    EVERY output column null (mime, out_width, out_height, payload) so
+    any single column identifies the quarantine set. Pair with
+    ``repartition_by_bytes`` upstream so a partition's decode budget is
+    byte-bounded."""
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mimes, outs = [], []
+            mimes, outs, ws, hs = [], [], [], []
             for b in pdf["payload"]:
                 parsed = parse_image_dims(bytes(b)) if b is not None else None
                 if parsed is None:
                     mimes.append(None)
                     outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
                 else:
                     mimes.append(parsed[0])
                     outs.append(resize_image(bytes(b), width, height, fake=fake))
+                    ws.append(width)
+                    hs.append(height)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": mimes,
-                    "out_width": width,
-                    "out_height": height,
+                    # nullable Int32 (like image_dimensions), not int64 —
+                    # quarantined rows carry nulls, not fake sizes
+                    "out_width": pd.array(ws, dtype="Int32"),
+                    "out_height": pd.array(hs, dtype="Int32"),
                     "payload": outs,
                 }
             )

@@ -308,6 +308,14 @@ def domain_mix(
     """
     from min_flink_spark.functions.hashing import hash_bucket
 
+    if unit <= 0:
+        raise ValueError(f"unit must be positive, got {unit}")
+    bad = {s: w for s, w in targets.items() if w <= 0}
+    if bad:
+        raise ValueError(
+            f"target weights must be positive, got {bad} — a zero weight "
+            "divides by zero and a negative one silently drops the source"
+        )
     counts = {
         r["s"]: r["c"]
         for r in df.groupBy(F.col(source_col).alias("s"))

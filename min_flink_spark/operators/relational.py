@@ -78,11 +78,14 @@ def global_index(
     The result is identical to the single-partition ``row_number`` (the
     oracle replays exactly that) at O(rows/partitions) peak memory.
 
-    Block lifetime: the checkpointed input backs the returned (lazy)
-    DataFrame, so its storage blocks live as long as the result is
-    referenced — drop the result (or call ``.unpersist()`` on it) after
-    consuming it in a per-epoch loop; Spark's ContextCleaner then frees
-    the blocks. Holding N epochs' results alive pins N copies.
+    Block lifetime: the checkpoint blocks belong to the INTERNAL ranged
+    frame, not the returned DataFrame — ``.unpersist()`` on the result
+    is a no-op. The backing frame is exposed as
+    ``result._graft_backing``: in a per-epoch loop call
+    ``result._graft_backing.unpersist()`` after consuming each epoch to
+    free its blocks deterministically; otherwise they are freed only
+    when the result's last reference drops and the ContextCleaner runs.
+    Holding N epochs' results alive pins N copies.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -118,6 +121,7 @@ def global_index(
             yield pdf[out_cols]
 
     out = ranged.mapInPandas(_index, schema=out_schema)
+    out._graft_backing = ranged  # for deterministic block release (see docstring)
     return out
 
 

@@ -45,6 +45,11 @@ def salted_agg(
     stable, roughly-uniform column (e.g. the row's id). Decomposable
     ops only — avg must be expressed as sum/count by the caller.
     """
+    if "_salt" in keys:
+        raise ValueError(
+            "salted_agg: '_salt' is the operator's working column — "
+            "rename the grouping key"
+        )
     salt = hash_bucket(salt_col, salts).alias("_salt")
     partial = df.groupBy(*[F.col(k) for k in keys], salt).agg(
         *[_PARTIAL[op](col).alias(name) for name, (op, col) in aggs.items()]
@@ -84,6 +89,15 @@ def salted_join(
             f"salted_join supports inner/left, got {how!r}: a right/full "
             "join would duplicate unmatched right rows across salts"
         )
+    # The working column must not shadow a user column: select('*', salt)
+    # would create a duplicate '_salt' and the final drop would silently
+    # remove the user's — refuse loudly instead.
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        if "_salt" in cols:
+            raise ValueError(
+                f"salted_join: {side} input already has a '_salt' column — "
+                "rename it; the operator uses '_salt' as its working column"
+            )
     # NULL-safe salt: hash_bucket(NULL) is NULL, which would silently
     # drop (inner) or un-match (left) rows with a null salt column —
     # coalesce to a sentinel so every row lands in a real salt bucket.

@@ -62,17 +62,48 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_aggregates")  # rows-only: sketch results are engine-specific
+@query(
+    "approx_aggregates",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS approx_users_ok,
+           TRUE AS approx_p50_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB path for distincts/percentiles
-    (HLL / t-digest: mergeable, single-pass, bounded memory). No SQL
-    oracle because sketch estimates are engine-specific; the error
-    bound vs exact is asserted in tests/test_analytics.py."""
+    (HLL / t-digest: mergeable, single-pass, bounded memory). Sketch
+    estimates are engine-specific, so the driver row is an error-bound
+    CERTIFICATE: exact counts (genuinely replayed by the oracle) plus
+    booleans asserting |approx − exact| within the sketch's bound —
+    HLL at rsd 0.02 stays far inside 10%, t-digest accuracy 1000 far
+    inside 5% of the exact median. A sketch regression flips a boolean
+    and reds the row."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("_ap50"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.5)").alias("_p50"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n",
+        (
+            F.abs(F.col("_au") - F.col("exact_users")).cast("double")
+            / F.col("exact_users")
+            <= 0.10
+        ).alias("approx_users_ok"),
+        (
+            F.abs(F.col("_ap50") - F.col("_p50"))
+            / (F.abs(F.col("_p50")) + F.lit(1e-9))
+            <= 0.05
+        ).alias("approx_p50_ok"),
     )
 
 

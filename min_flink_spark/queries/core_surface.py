@@ -215,7 +215,7 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            min(event_id) AS event_id,
-           sum(vu) AS meta_value_u,
+           CAST(sum(vu) AS BIGINT) AS meta_value_u,
            arg_min(event_type, event_id) AS meta_event_type
     FROM m GROUP BY user_id
     """,

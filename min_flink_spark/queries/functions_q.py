@@ -76,7 +76,8 @@ def q_scalar_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_stats",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / count(*) AS k_avg,
            CAST(count(*) AS BIGINT) AS n

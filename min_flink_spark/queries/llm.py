@@ -397,15 +397,73 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
-@query("ann_lsh_topk")  # approximate by design → rows-only check
+# Brute-force top-5 neighbor lists per query vector, replayed genuinely in
+# DuckDB — the SQL-checkable half of the ANN recall certificates below.
+SQL_BF_TOP5 = """
+    bf AS (
+      SELECT query_id, list(vec_id ORDER BY vec_id) AS bf_ids FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) DESC,
+                          c.vec_id ASC) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+      ) t WHERE rn <= 5 GROUP BY query_id
+    )
+"""
+
+
+def _ann_recall_certificate(
+    emb: DataFrame, ann: DataFrame, bound: float
+) -> DataFrame:
+    """(query_id, bf_ids, recall_ok): per-query brute-force top-5 id
+    lists (the oracle replays these exactly in SQL) plus one corpus-wide
+    micro-recall flag for the approximate result. The driver's hash
+    match therefore verifies BOTH that Spark's brute force agrees with
+    DuckDB's and that the ANN index achieves recall ≥ bound — a real
+    gate on an intentionally approximate operator."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = brute_force_topk(emb, queries, k=5)
+    marked = bf.select("query_id", "vec_id").join(
+        ann.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    recall = marked.agg(
+        (
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+            >= F.lit(bound)
+        ).alias("recall_ok")
+    )
+    return (
+        bf.groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("bf_ids"))
+        .crossJoin(F.broadcast(recall))
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {SQL_BF_TOP5}
+    SELECT query_id, bf_ids, TRUE AS recall_ok FROM bf
+    """,
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (recall measured vs brute force in
-    tests — no SQL oracle because the result is intentionally
-    approximate)."""
+    """LSH-bucketed approximate top-k, driver-checked via a recall
+    certificate (see _ann_recall_certificate): 8 tables × 4 planes on
+    near-uniform vectors measures micro-recall 0.52-0.82 across SFs;
+    the gate sits at 0.45 so a genuine index regression reds the row
+    while sub-ulp environment drift cannot (tests/test_llm_ops.py:85
+    asserts the tighter aggregate bound)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(
+    ann = lsh_bucket_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=4, num_tables=8, dim=64
     )
+    return _ann_recall_certificate(emb, ann, bound=0.45)
 
 
 # ---------------------------------------------------------------------------
@@ -429,17 +487,28 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True).select("media_id", "n_bytes", "sha256")
 
 
-@query("ann_ivf_topk")  # approximate by design → rows-only check
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {SQL_BF_TOP5}
+    SELECT query_id, bf_ids, TRUE AS recall_ok FROM bf
+    """,
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (deterministic k-means-lite coarse
-    quantizer, n_probe cells per query) — the big-corpus ANN path;
-    recall vs brute force asserted in tests."""
+    quantizer, n_probe cells per query) — the big-corpus ANN path,
+    driver-checked via the recall certificate (4/16 cells probed
+    measures micro-recall 0.44-0.68 across SFs; the gate sits at 0.35
+    so a genuine quantizer regression reds the row while k-means avg
+    summation-order drift under a different partitioning cannot;
+    tests/test_llm_ops.py:111 asserts the tighter aggregate bound)."""
     from min_flink_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
+    ann = ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, num_centroids=16, n_probe=4
     )
+    return _ann_recall_certificate(emb, ann, bound=0.35)
 
 
 @query(

@@ -52,9 +52,14 @@ SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> leng
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. Shuffle budget: one on
-    (doc, term), one on term (df — broadcast back), one on doc for the
-    top-k window; the document-count scalar rides a broadcast cross
-    join, never a driver collect."""
+    (doc, term), one on term (df), one on doc for the top-k window; the
+    document-count scalar rides a broadcast cross join, never a driver
+    collect. The df (per-term document frequency) join carries NO
+    broadcast hint: its cardinality is the vocabulary, which is
+    unbounded on a web corpus (10^8-10^9 terms at 100 TB) — a forced
+    hint would OOM every executor there. AQE broadcasts it when it
+    measures small, and otherwise shuffles on `term`, which is cheap
+    because tf is already hash-partitioned by (doc_id, term)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     # tf feeds THREE consumers (join leg, doclen, df). Deliberately NOT
@@ -69,7 +74,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count(F.lit(1)).alias("total"))
     scored = (
         tf.join(doclen, "doc_id")
-        .join(F.broadcast(df_), "term")
+        .join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -723,14 +728,17 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     surprisal is quantized to exact integer micro-units BEFORE the
     per-doc sum (FIXTURES §3 toolbox #1): a double sum of ln values is
     accumulation-order-dependent, a bigint sum is exact, so the score
-    is bit-stable. Frequencies broadcast back; corpus token total rides
-    a broadcast scalar — no collect."""
+    is bit-stable. The corpus token total rides a broadcast scalar — no
+    collect. The freq join carries NO broadcast hint: the unigram table
+    is vocabulary-sized (unbounded on a web corpus), so a forced hint
+    is a 100 TB OOM — AQE broadcasts it while small and shuffles on
+    `term` when not."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     n = tok.agg(F.count(F.lit(1)).alias("total"))
     scored = (
-        tok.join(F.broadcast(freq), "term")
+        tok.join(freq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

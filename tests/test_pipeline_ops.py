@@ -150,6 +150,22 @@ def test_global_index_is_repartition_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_domain_mix_rejects_invalid_targets(spark, sf_dir):
+    """Zero/negative weights or unit must fail fast with a descriptive
+    error, not ZeroDivisionError / silent source drop (ADVICE r2)."""
+    import pytest as _pytest
+
+    from min_flink_spark.operators.pipeline import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError, match="positive"):
+        domain_mix(docs, "source", "doc_id", {"src0": 0})
+    with _pytest.raises(ValueError, match="positive"):
+        domain_mix(docs, "source", "doc_id", {"src0": -2, "src1": 1})
+    with _pytest.raises(ValueError, match="unit"):
+        domain_mix(docs, "source", "doc_id", {"src0": 1}, unit=0)
+
+
 def test_domain_mix_respects_waterfilling_rates(spark, sf_dir):
     from min_flink_spark.operators.pipeline import domain_mix
 

@@ -78,6 +78,34 @@ def test_market_share_plan_part_filter_prunes_fact(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["embedding_cosine_topk", "top3_orders_per_priority", "tfidf_top_terms"]
+)
+def test_topk_plans_keep_window_group_limit(spark, sf_dir, name):
+    """Per-group top-k queries rely on Spark ≥3.5's WindowGroupLimit
+    rewrite (partial limit BEFORE the shuffle) for their scale story —
+    without it every group's full candidate list crosses the wire and
+    sorts. Lock it so a Spark upgrade or query edit can't silently
+    degrade to a full window sort (VERDICT r2 item 7)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_no_forced_vocabulary_broadcast(spark, sf_dir):
+    """The df/freq joins in the TF-IDF family must NOT carry a broadcast
+    HINT: the vocabulary side is unbounded at 100 TB, and a forced hint
+    blocks AQE from falling back to a shuffle join (VERDICT r2 item 3).
+    AQE may still CHOOSE a broadcast at test scale — the lock is on the
+    logical plan carrying no hint, not on the physical join choice.
+    Exactly ONE hint is allowed per query: the 1-row corpus-total scalar
+    (bounded by construction)."""
+    for name in ("tfidf_top_terms", "unigram_surprisal_score"):
+        df = QUERIES[name](spark, sf_dir)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        n_hints = logical.count("ResolvedHint")
+        assert n_hints <= 1, f"{name}: {n_hints} broadcast hints (max 1, the scalar)"
+
+
 def test_global_index_no_single_partition_exchange(spark, sf_dir):
     """The epoch-shuffle index must never collapse to one partition
     (SinglePartition exchange = the 100 TB scale-killer)."""

@@ -140,6 +140,23 @@ def test_salted_join_rejects_right_outer(spark):
         salted_join(df, df, on=["k"], salt_col=F.col("id"), how="full")
 
 
+def test_salted_join_rejects_salt_column_collision(spark):
+    """A pre-existing '_salt' column would be silently dropped by the
+    operator's cleanup — must refuse loudly instead (ADVICE r2)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.skew import salted_agg, salted_join
+
+    clean = spark.createDataFrame([(1, "a")], "id long, k string")
+    dirty = spark.createDataFrame([(1, "a", 9)], "id long, k string, _salt long")
+    for l, r in ((dirty, clean), (clean, dirty)):
+        with _pytest.raises(ValueError, match="_salt"):
+            salted_join(l, r, on=["k"], salt_col=F.col("id"))
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_agg(dirty, ["_salt"], {"n": ("count", "id")}, salt_col=F.col("id"))
+
+
 def test_salted_join_null_salt_rows_survive(spark):
     from pyspark.sql import functions as F
 

@@ -27,6 +27,43 @@ from min_flink_spark.sources import TABLES
 STRICT = False
 
 
+def _is_pd_na(v) -> bool:
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        return False
+    # NaN in a float column IS SQL NULL here: fetchdf materializes
+    # DuckDB NULL doubles as NaN (the null mask is lost), and no query
+    # emits a genuine NaN — verified green against the driver, which
+    # makes the same equation. Int-vs-float dtype sensitivity (the
+    # HUGEINT class) is preserved for non-null values.
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _from_pd(v):
+    """Normalize a pandas cell to the Python type Spark's collect() yields."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.ndarray):
+        return [_from_pd(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_from_pd(x) for x in v]
+    return v
+
+
 def canon_value(v):
     if v is None:
         return "∅"
@@ -93,8 +130,16 @@ def main() -> int:
             continue
         try:
             cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # fetchdf (pandas) is dtype-faithful: DuckDB HUGEINT (the
+            # result type of sum(BIGINT)) materializes as float64 here,
+            # exactly as in the driver's gate — fetchall() would hide it
+            # by converting HUGEINT to Python int.
+            odf = cur.fetchdf()
+            ocols = list(odf.columns)
+            orows = [
+                tuple(None if _is_pd_na(v) else _from_pd(v) for v in rec)
+                for rec in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
