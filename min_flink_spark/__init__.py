@@ -50,6 +50,11 @@ from min_flink_spark.operators.relational import (
 from min_flink_spark.operators.skew import salted_agg, salted_join
 from min_flink_spark.operators.windows import session, slide, tumble, with_watermark
 from min_flink_spark.session import get_spark
+from min_flink_spark.sources.bucketed import (
+    cobucket_join,
+    read_bucketed,
+    write_bucketed,
+)
 from min_flink_spark.streaming.event_timers import (
     EventTimeProcessFunction,
     process_keyed_event_time,
@@ -64,6 +69,7 @@ __all__ = [
     "StreamExecutionEnvironment",
     "asof_join",
     "broadcast_join",
+    "cobucket_join",
     "connected_components",
     "detect_skew",
     "domain_mix",
@@ -76,6 +82,7 @@ __all__ = [
     "keep_best_per_cluster",
     "process_keyed",
     "process_keyed_event_time",
+    "read_bucketed",
     "salted_agg",
     "salted_join",
     "session",
@@ -84,6 +91,7 @@ __all__ = [
     "tumble",
     "union_either",
     "with_watermark",
+    "write_bucketed",
     "zorder_key",
 ]
 
