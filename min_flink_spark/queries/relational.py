@@ -188,20 +188,30 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle join on the shared key; AQE handles skew at scale.
-    Quantity sums ride the integer-unit money plan (``_acc``: bigint
-    per-row value, decimal(28,0) accumulator — measured 2× faster than
-    decimal(18,2) operands, still bit-exact; quantities are integral in
-    TPC-H and the testdata)."""
+    """Aggregation pushed BELOW the join — the 100 TB plan. The naive
+    shape (join both full tables, then group by orderkey) shuffles
+    |lineitem| rows into the join and again into the aggregate; since
+    the group key IS the join key, aggregating lineitem first shrinks
+    the join input by the fan-in factor (~4× in TPC-H) and makes the
+    join 1:1-narrow. Catalyst does not perform this rewrite itself —
+    it's a semantic choice the query author owns. Quantity sums ride
+    the integer-unit money plan (``_acc``: bigint per-row value,
+    decimal(28,0) accumulator — 2× faster than decimal operands, still
+    bit-exact; quantities are integral in TPC-H and the testdata)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     qty = F.round(F.col("l_quantity")).cast("bigint")
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(qty)).alias("_q"),
+    )
     return (
-        orders.join(lineitem, on=F.col("o_orderkey") == F.col("l_orderkey"), how="left")
-        .groupBy("o_orderkey", "o_totalprice")
-        .agg(
-            F.count("l_orderkey").alias("n_items"),
-            F.coalesce(F.sum(_acc(qty)).cast("double"), F.lit(0.0)).alias("total_qty"),
+        orders.join(items, on=F.col("o_orderkey") == F.col("l_orderkey"), how="left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_items"),
+            F.coalesce(F.col("_q").cast("double"), F.lit(0.0)).alias("total_qty"),
         )
     )
 
