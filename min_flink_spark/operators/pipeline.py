@@ -17,7 +17,7 @@ replay them verbatim.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from min_flink_spark.functions.text import tokens
@@ -277,6 +277,43 @@ def dedup_paragraphs(
         F.coalesce(F.col("n_paras_kept"), F.lit(0).cast("bigint")).alias(
             "n_paras_kept"
         ),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    prefer: Column | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — the per-domain document cap
+    every curation stack applies so one crawler seed can't dominate the
+    mixture (domain_mix reweights proportions; this bounds absolutes).
+
+    Selection is a DETERMINISTIC uniform draw: rows rank by
+    md5(id) within their group (``prefer`` overrides — e.g. quality
+    score descending — with the md5 rank as tiebreak), reproducible on
+    retry/replay and replayable by any engine with md5.
+
+    Scale: one shuffle on the group key; Spark ≥3.5's WindowGroupLimit
+    inserts the per-partition top-k BEFORE the exchange, so only
+    ~k·partitions rows per group cross the wire — never the full group
+    (locked in tests/test_plan_assertions.py).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    rank_cols = [
+        F.md5(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),  # md5-collision tiebreak: total order
+    ]
+    if prefer is not None:
+        rank_cols = [prefer] + rank_cols
+    w = Window.partitionBy(*group_cols).orderBy(*rank_cols)
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= k)
+        .drop("_cap_rn")
     )
 
 

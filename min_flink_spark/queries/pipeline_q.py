@@ -137,6 +137,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "per_domain_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      FROM documents
+    ) t WHERE rn <= 10
+    """,
+)
+def q_per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute per-source document cap (operators/pipeline.cap_per_group):
+    at most 10 docs per source by deterministic md5 rank — bounds any
+    single domain regardless of its share (domain_mix handles ratios).
+    WindowGroupLimit keeps the per-group top-k ahead of the shuffle."""
+    from min_flink_spark.operators.pipeline import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, ["source"], "doc_id", k=10).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: PII / repetition / quality / decontamination /
 # packing (operators/pipeline.py)

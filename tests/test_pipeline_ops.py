@@ -150,6 +150,45 @@ def test_global_index_is_repartition_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_cap_per_group_bounds_and_prefers(spark, sf_dir):
+    """cap_per_group keeps ≤k rows per group; with prefer= the kept set
+    is the top-k by that column (md5 rank only breaks ties)."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.pipeline import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = cap_per_group(docs, ["source"], "doc_id", k=3)
+    sizes = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes and all(n <= 3 for n in sizes.values())
+    # deterministic: same selection on rerun
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in cap_per_group(docs, ["source"], "doc_id", k=3).collect())
+    assert a == b
+    # prefer: keep the k LONGEST docs per source
+    best = cap_per_group(docs, ["source"], "doc_id", k=2, prefer=F.col("n_chars").desc())
+    for src, rows in (
+        (r["source"], r["mins"])
+        for r in best.groupBy("source").agg(F.min("n_chars").alias("mins")).collect()
+    ):
+        kept_min = rows
+        dropped_max = (
+            docs.filter(F.col("source") == src)
+            .join(best.select("doc_id"), "doc_id", "left_anti")
+            .agg(F.max("n_chars"))
+            .first()[0]
+        )
+        assert dropped_max is None or dropped_max <= kept_min
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        cap_per_group(docs, ["source"], "doc_id", k=0)
+
+
 def test_domain_mix_rejects_invalid_targets(spark, sf_dir):
     """Zero/negative weights or unit must fail fast with a descriptive
     error, not ZeroDivisionError / silent source drop (ADVICE r2)."""

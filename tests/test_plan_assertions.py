@@ -79,7 +79,13 @@ def test_market_share_plan_part_filter_prunes_fact(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["embedding_cosine_topk", "top3_orders_per_priority", "tfidf_top_terms"]
+    "name",
+    [
+        "embedding_cosine_topk",
+        "top3_orders_per_priority",
+        "tfidf_top_terms",
+        "per_domain_cap",
+    ],
 )
 def test_topk_plans_keep_window_group_limit(spark, sf_dir, name):
     """Per-group top-k queries rely on Spark ≥3.5's WindowGroupLimit
