@@ -1,4 +1,6 @@
-"""Bucketed-table co-located joins: the write-once-shuffle-never path.
+"""Bucketed-table co-located joins via the public API (write_bucketed /
+read_bucketed / cobucket_join); tests/test_bucketing.py covers the raw
+fact-vs-fact writer path.
 
 The plan assertions are the point: a bucketed fact⋈fact join must scan
 both sides WITHOUT an Exchange (the shuffle was paid at write time),
@@ -31,14 +33,14 @@ def bucketed_pair(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_items"))
     )
     write_bucketed(
-        orders, "b_orders", ["o_orderkey"], 8, path=f"{warehouse}/b_orders"
+        orders, "b3_orders", ["o_orderkey"], 8, path=f"{warehouse}/b3_orders"
     )
     write_bucketed(
-        items, "b_items", ["l_orderkey"], 8, path=f"{warehouse}/b_items"
+        items, "b3_items", ["l_orderkey"], 8, path=f"{warehouse}/b3_items"
     )
-    yield "b_orders", "b_items"
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_items")
+    yield "b3_orders", "b3_items"
+    spark.sql("DROP TABLE IF EXISTS b3_orders")
+    spark.sql("DROP TABLE IF EXISTS b3_items")
     shutil.rmtree(warehouse, ignore_errors=True)
 
 

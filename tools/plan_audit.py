@@ -41,6 +41,8 @@ EXPECTED_CROSS = {
     # quadratic: the broadcast side is k queries / a scalar count row
     "embedding_cosine_topk",    # k query vectors broadcast into the corpus
     "ann_ivf_topk",             # probed-cell centroid set broadcast
+    "ann_lsh_topk",             # 1-row recall-certificate scalar cross join
+                                # (r3 certificate; + k query vectors broadcast)
     "tfidf_top_terms",          # single-row doc-count scalar cross join
     "length_bucketed_batches",  # single-row quartile-cuts scalar cross join
     "unigram_surprisal_score",  # single-row corpus-token-total scalar cross join
