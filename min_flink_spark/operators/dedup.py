@@ -57,6 +57,99 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Span-level exact-substring dedup (the ExactSubstr technique):
+    every ``k``-token substring that repeats ANYWHERE in the corpus is
+    kept only at its first occurrence (ordered by ``(doc_id, pos)``) —
+    all later occurrences have their token span removed and the
+    documents are rebuilt around the holes. Catches the cross-document
+    boilerplate that document- and paragraph-level dedup miss (shared
+    footers, license blocks, quoted chunks).
+
+    Returns ``(id, text, n_kept, n_tokens)``; rebuilt text is
+    whitespace-normalized (single spaces) by construction. Overlapping
+    duplicated spans merge naturally: coverage is a DISTINCT set of
+    token positions, not intervals.
+
+    Scale shape: one shingle explosion → hash-agg occurrence counts →
+    per-shingle first-occurrence window bounded by ``df_cap`` (shingles
+    repeating more than ``df_cap`` times are boilerplate left to
+    paragraph dedup / repetition signals — an unbounded hot shingle
+    would otherwise funnel one window partition), then position-level
+    anti-join + per-doc rebuild. Never all-pairs, never a driver
+    collect.
+    """
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    # 1-based shingle start positions; sequence() DESCENDS when end <
+    # start, so short docs need the explicit empty-array guard
+    pos_arr = F.when(
+        F.size("_toks") >= k, F.sequence(F.lit(1), F.size("_toks") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks_df.select(
+        F.col(id_col), "_toks", F.explode(pos_arr).alias("pos")
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(" ", F.slice("_toks", F.col("pos"), k)).alias("shingle"),
+    )
+    dup_shingles = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= df_cap))
+        .select("shingle")
+    )
+    w = Window.partitionBy("shingle").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup_occ = (
+        sh.join(dup_shingles, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "pos")
+    )
+    covered = dup_occ.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("cpos"),
+    ).distinct()
+    toks_pos = toks_df.select(
+        F.col(id_col), F.posexplode("_toks").alias("_i0", "tok")
+    ).select(F.col(id_col), (F.col("_i0") + 1).alias("pos"), "tok")
+    kept = toks_pos.join(
+        covered,
+        on=[
+            toks_pos[id_col] == covered[id_col],
+            toks_pos["pos"] == covered["cpos"],
+        ],
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = toks_df.select(
+        F.col(id_col), F.size("_toks").cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("_n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            "n_tokens",
+        )
+    )
+
+
 MINHASH_PRIME = 2147483647  # 2^31 − 1
 
 

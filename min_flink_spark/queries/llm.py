@@ -397,6 +397,68 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
+@query(
+    "substring_dedup",
+    oracle=f"""
+    WITH corpus AS ({SQL_CORPUS_NEAR}),
+    tk AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM corpus
+    ),
+    shpos AS (
+      SELECT doc_id, toks,
+             unnest(range(1, CASE WHEN len(toks) >= 8
+                                  THEN len(toks) - 8 + 2 ELSE 1 END)) AS pos
+      FROM tk
+    ),
+    sh AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS shingle
+      FROM shpos
+    ),
+    counts AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+    dup_occ AS (
+      SELECT doc_id, pos FROM (
+        SELECT s.doc_id, s.pos,
+               row_number() OVER (PARTITION BY s.shingle
+                                  ORDER BY s.doc_id, s.pos) AS rn
+        FROM sh s JOIN counts c ON s.shingle = c.shingle
+                                AND c.c BETWEEN 2 AND 1000
+      ) WHERE rn > 1
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(0, 8)) + pos AS cpos FROM dup_occ
+    ),
+    tpos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM tk
+    ),
+    toks_pos AS (SELECT doc_id, pos, toks[pos] AS tok FROM tpos),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toks_pos t
+      LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT tk.doc_id AS doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text,
+           CAST(count(k.tok) AS BIGINT) AS n_kept,
+           CAST(len(tk.toks) AS BIGINT) AS n_tokens
+    FROM tk LEFT JOIN kept k ON tk.doc_id = k.doc_id
+    GROUP BY tk.doc_id, len(tk.toks)
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (operators/dedup.dedup_substrings):
+    repeated 8-token substrings keep only their first corpus occurrence;
+    later occurrences are cut and the documents rebuilt around the
+    holes. Run over the near-dup corpus (originals ∪ tail-truncated
+    copies) so each copy's shared prefix is removed while originals
+    survive intact. The oracle replays the whole pipeline — shingle
+    counts, first-occurrence window, position coverage, rebuild — in
+    SQL."""
+    from min_flink_spark.operators.dedup import dedup_substrings
+
+    corpus = _spark_near_corpus(spark, sf_dir)
+    return dedup_substrings(corpus, k=8, df_cap=1000)
+
+
 # Brute-force top-5 neighbor lists per query vector, replayed genuinely in
 # DuckDB — the SQL-checkable half of the ANN recall certificates below.
 SQL_BF_TOP5 = """

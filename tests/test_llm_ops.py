@@ -300,6 +300,43 @@ def test_extract_features_null_payload_quarantines(spark):
     assert got[2] == (None, True, True)
 
 
+def test_dedup_substrings_removes_later_occurrences(spark):
+    """ExactSubstr semantics: a repeated k-token span survives only at
+    its first (doc_id, pos) occurrence; overlapping spans merge via
+    position coverage; docs shorter than k pass through untouched."""
+    from min_flink_spark.operators.dedup import dedup_substrings
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "intro words then the quick brown fox jumps over the lazy dog and more"),
+            (3, "completely unrelated text with no repeats at all here"),
+            (4, "tiny doc"),  # shorter than k — no shingles, kept whole
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_substrings(df, k=5).collect()}
+    assert got[1]["text"] == "the quick brown fox jumps over the lazy dog today"
+    # doc 2 loses the whole 9-token repeated span (overlapping 5-gram
+    # occurrences merge), keeping only its unique frame
+    assert got[2]["text"] == "intro words then and more"
+    assert got[2]["n_kept"] == 5 and got[2]["n_tokens"] == 14
+    assert got[3]["n_kept"] == got[3]["n_tokens"]
+    assert got[4]["text"] == "tiny doc" and got[4]["n_tokens"] == 2
+
+
+def test_dedup_substrings_df_cap_skips_hot_shingles(spark):
+    """Shingles above df_cap are left alone (boilerplate belongs to
+    paragraph dedup) — the skew bound must not silently remove them."""
+    from min_flink_spark.operators.dedup import dedup_substrings
+
+    rows = [(i, "common phrase here again and again") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_substrings(df, k=3, df_cap=3).collect()}
+    # 5 occurrences of every shingle > cap 3 → nothing removed anywhere
+    assert all(r["n_kept"] == r["n_tokens"] for r in out.values())
+
+
 def test_resize_images_plumbing(spark):
     from min_flink_spark.operators.multimodal import resize_image, resize_images
 
