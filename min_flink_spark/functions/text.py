@@ -120,6 +120,36 @@ def normalize_whitespace(text: Column) -> Column:
     return F.trim(F.regexp_replace(no_ctl, "\\s+", " "))
 
 
+# HTML → text extraction (the first pass of every web-corpus pipeline).
+# All patterns are RE2 ∩ Java (no backrefs/lookaround), so the DuckDB
+# oracle replays them verbatim. [\s\S] stands in for dotall — neither
+# engine needs an (?s) flag that the other lacks.
+SCRIPT_STYLE_RE = r"(?i)<(?:script|style)[^>]*>[\s\S]*?</(?:script|style)>"
+TAG_RE = r"<[^>]*>"
+_ENTITIES = [  # decode order matters: &amp; LAST or it re-creates entities
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(text: Column) -> Column:
+    """Extract visible text from HTML: drop <script>/<style> blocks
+    with their contents, strip remaining tags, decode the common
+    entities, collapse whitespace. Pure codegen regex chain — no
+    parser dependency, linear per row, scan-parallel at any corpus
+    size. (A spec-complete HTML5 parser is out of engine scope; this
+    is the CommonCrawl-style fast path.)"""
+    t = F.regexp_replace(text, SCRIPT_STYLE_RE, " ")
+    t = F.regexp_replace(t, TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, "\\s+", " "))
+
+
 # Host = dot-joined alnum/hyphen labels (a trailing sentence period is
 # structurally excluded — each '.' must be followed by another label);
 # optional userinfo ('user:pass@') is skipped so the REAL host is

@@ -33,6 +33,7 @@ _PRIORITY = [
     "left_join_order_item_stats",
     "per_domain_cap",  # new in round 3 — never driver-checked
     "substring_dedup",  # new in round 3 — never driver-checked
+    "html_text_extraction",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

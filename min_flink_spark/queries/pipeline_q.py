@@ -782,6 +782,79 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HTML-wrapped corpus: deterministic synthetic markup around each doc
+# (the synthetic corpus is plain text). Every 3rd doc carries a script
+# block; the entity tail exercises decode order (&amp; last).
+SQL_HTML_CORPUS = """
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id
+         || '</title><STYLE>p { color: red; }</STYLE></head><body><h1>Heading '
+         || doc_id || '</h1><p>' || text || '</p>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<script type="text/javascript">var x = ' || doc_id || ';</script>'
+                 ELSE '' END
+         || '<p>Fish &amp; chips &lt;b&gt; &quot;q&quot; &#39;s&nbsp;end</p></body></html>'
+           AS html
+  FROM documents
+"""
+
+
+@query(
+    "html_text_extraction",
+    oracle=f"""
+    WITH corpus AS ({SQL_HTML_CORPUS}),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(html,
+                     '(?i)<(?:script|style)[^>]*>[\\s\\S]*?</(?:script|style)>',
+                     ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 '&nbsp;', ' '), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS text
+      FROM corpus
+    )
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM stripped
+    """,
+)
+def q_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text (functions/text.strip_html): script/style
+    blocks dropped with contents, tags stripped, common entities
+    decoded (&amp; last so it can't re-create entities), whitespace
+    collapsed — the CommonCrawl-style extraction fast path, pure
+    codegen regex. The oracle replays the identical regex chain."""
+    from min_flink_spark.functions.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id"),
+        F.lit("</title><STYLE>p { color: red; }</STYLE></head><body><h1>Heading "),
+        F.col("doc_id"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<script type="text/javascript">var x = '),
+                F.col("doc_id"),
+                F.lit(";</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<p>Fish &amp; chips &lt;b&gt; &quot;q&quot; &#39;s&nbsp;end</p></body></html>"),
+    )
+    clean = strip_html(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("text"),
+        F.length(clean).cast("bigint").alias("n_chars"),
+    )
+
+
 # URL-bearing corpus: deterministic synthetic links appended to docs
 # (the synthetic corpus has no URLs of its own). Kept verbatim in both
 # engines; every 4th doc gets a blocklisted host.

@@ -270,6 +270,36 @@ def test_drift_report_missing_column_visible(spark):
     assert rep["a"]["mean_new"] is None  # schema drift surfaces as nulls
 
 
+def test_strip_html_hard_cases(spark):
+    """Script/style contents must vanish (not just the tags), entity
+    decode order must not re-create entities (&amp;lt; → &lt; not <),
+    uppercase tags strip, attributes with > inside quotes are the
+    documented fast-path limitation (not asserted)."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.functions.text import strip_html
+
+    cases = [
+        (1, "<p>hello <b>world</b></p>", "hello world"),
+        (2, "<SCRIPT>var hidden = 'secret';</SCRIPT>visible", "visible"),
+        (3, "<style>body { display: none }</style>shown", "shown"),
+        (4, "Fish &amp; chips", "Fish & chips"),
+        # &amp;lt; decodes to the literal text "&lt;" — NOT to "<"
+        (5, "escaped: &amp;lt;tag&amp;gt;", "escaped: &lt;tag&gt;"),
+        (6, "a\n\n  b\tc", "a b c"),
+        (7, "<div class='x'>nested <span>deep</span> text</div>", "nested deep text"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "id long, html string"
+    )
+    got = {
+        r["id"]: r["out"]
+        for r in df.select("id", strip_html(F.col("html")).alias("out")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_extract_domains_hard_cases(spark):
     from pyspark.sql import functions as F
 
