@@ -393,3 +393,59 @@ def test_global_index_property(spark, ids, parts):
     }
     order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     assert got == {doc: pos + 1 for pos, doc in enumerate(order)}
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup vs pure-Python model (arbitrary corpora)
+# ---------------------------------------------------------------------------
+
+
+def _substr_model(docs, k, df_cap):
+    """Reference model of dedup_substrings: global shingle counts,
+    first-(doc,pos) occurrence kept, later occurrences' spans covered,
+    docs rebuilt from uncovered positions."""
+    toks = {d: t.split() if t else [] for d, t in docs}
+    occ = {}
+    for d, t in sorted(toks.items()):
+        for p in range(len(t) - k + 1):
+            occ.setdefault(" ".join(t[p : p + k]), []).append((d, p))
+    covered = {d: set() for d in toks}
+    for sh, places in occ.items():
+        if 2 <= len(places) <= df_cap:
+            for d, p in sorted(places)[1:]:
+                covered[d].update(range(p, p + k))
+    out = {}
+    for d, t in toks.items():
+        kept = [tok for i, tok in enumerate(t) if i not in covered[d]]
+        out[d] = (" ".join(kept), len(kept), len(t))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),
+            st.lists(
+                st.sampled_from("abcdefg"), min_size=0, max_size=20
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_dedup_substrings_matches_model(spark, docs, k):
+    from min_flink_spark.operators.dedup import dedup_substrings
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_tokens"])
+        for r in dedup_substrings(df, k=k, df_cap=1000).collect()
+    }
+    assert got == _substr_model(docs, k, 1000)
