@@ -34,6 +34,7 @@ _PRIORITY = [
     "per_domain_cap",  # new in round 3 — never driver-checked
     "substring_dedup",  # new in round 3 — never driver-checked
     "html_text_extraction",  # new in round 3 — never driver-checked
+    "set_ops_all_multiset",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -282,6 +282,31 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_ops_all_multiset",
+    oracle="""
+    SELECT event_type FROM (
+      SELECT event_type FROM events WHERE value > 100
+      INTERSECT ALL
+      SELECT event_type FROM events WHERE user_id % 2 = 0
+    ) t
+    EXCEPT ALL
+    SELECT event_type FROM events WHERE value > 150
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (INTERSECT ALL / EXCEPT ALL): duplicates carry
+    multiplicity — intersect keeps min(count_a, count_b) copies per
+    row, except keeps count_a − count_b. Spark plans both as a single
+    hash aggregation per op (count per side, generate), never a
+    row-pairing join."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 100).select("event_type")
+    b = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    c = ev.filter(F.col("value") > 150).select("event_type")
+    return a.intersectAll(b).exceptAll(c)
+
+
+@query(
     "window_rank_lag",
     oracle="""
     SELECT user_id, event_id, value,
