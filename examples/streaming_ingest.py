@@ -1,0 +1,104 @@
+"""End-to-end streaming ingestion pipeline.
+
+The continuous half of the corpus lifecycle (the batch half is
+examples/curation_pipeline.py): documents arrive as files, and each
+micro-batch is cleaned, de-duplicated against EVERYTHING already
+ingested, and appended exactly once — then the accumulated small files
+are compacted for scan efficiency. Every stage is the operator a real
+cluster would run:
+
+    file stream (schema-pinned, N files/trigger)
+      → HTML strip + whitespace normalize (codegen regex)
+      → quality gate (length bounds)
+      → per-batch exact dedup + incremental dedup vs the fingerprint
+        index of ALL previously-ingested docs (anti-join on the narrow
+        md5 index — the corpus itself is never rescanned)
+      → exactly-once append (idempotent_foreach_batch: batch-id ledger
+        makes replays no-ops)
+      → fingerprint index update (same transaction scope as the append)
+      → small-file compaction (byte-derived partition count)
+
+Run: python examples/streaming_ingest.py [sf_dir]
+"""
+
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from min_flink_spark import get_spark
+from min_flink_spark.functions.text import fingerprint, normalize_whitespace, strip_html
+from min_flink_spark.operators.dedup import exact_dedup
+from min_flink_spark.sources import compact_parquet
+from min_flink_spark.streaming.runner import (
+    idempotent_foreach_batch,
+    run_foreach_batch,
+    shuffle_partitions,
+    stream_files,
+)
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark(app_name="streaming-ingest-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="ingest_")
+    corpus_dir = os.path.join(work, "corpus")
+    index_dir = os.path.join(work, "fp_index")
+    ledger_dir = os.path.join(work, "ledger")
+    ckpt_dir = os.path.join(work, "ckpt")
+
+    src = stream_files(
+        spark, f"{sf_dir}/documents.parquet", DOCS_SCHEMA, "parquet",
+        max_files_per_trigger=1,
+    )
+
+    cleaned = (
+        src.withColumn("text", normalize_whitespace(strip_html(F.col("text"))))
+        .filter(F.length("text").between(20, 1_000_000))
+    )
+
+    def ingest(batch_df, batch_id: int):
+        spark_ = batch_df.sparkSession
+        # per-batch exact dedup first (cheap), then the incremental
+        # anti-join against the persistent fingerprint index
+        batch = exact_dedup(batch_df, "text", "doc_id").withColumn(
+            "_fp", fingerprint(F.col("text"))
+        )
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ):
+            seen = spark_.read.parquet(index_dir)
+            batch = batch.join(seen, batch["_fp"] == seen["fp"], "left_anti")
+        batch = batch.localCheckpoint(eager=True)  # index write must not
+        # re-read corpus_dir mid-append
+        batch.drop("_fp").write.mode("append").parquet(corpus_dir)
+        batch.select(F.col("_fp").alias("fp")).write.mode("append").parquet(index_dir)
+
+    with shuffle_partitions(spark, 8):
+        run_foreach_batch(
+            cleaned,
+            idempotent_foreach_batch(ingest, ledger_dir),
+            output_mode="append",
+            checkpoint_dir=ckpt_dir,
+        )
+
+    n_docs = spark.read.parquet(corpus_dir).count()
+    n_fp = spark.read.parquet(index_dir).count()
+
+    # table maintenance: collapse the per-batch small files
+    compacted = os.path.join(work, "corpus_compacted")
+    n_parts = compact_parquet(spark, corpus_dir, compacted, target_file_mb=256)
+
+    print(f"ingested={n_docs} fingerprints={n_fp} compacted_partitions={n_parts}")
+    print(f"corpus: {compacted}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
