@@ -35,6 +35,7 @@ _PRIORITY = [
     "substring_dedup",  # new in round 3 — never driver-checked
     "html_text_extraction",  # new in round 3 — never driver-checked
     "set_ops_all_multiset",  # new in round 3 — never driver-checked
+    "heavy_hitter_terms",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

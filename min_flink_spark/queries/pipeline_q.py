@@ -782,6 +782,45 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "heavy_hitter_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKS}) AS term FROM documents
+    )
+    SELECT term, cnt, TRUE AS in_sketch FROM (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+      FROM tok GROUP BY term
+    ) t WHERE rn <= 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: exact global top-20 terms (one hash-agg + top-k)
+    PLUS a sketch certificate: `in_sketch` asserts each exact heavy
+    hitter appears in Spark's one-pass bounded-memory `freqItems`
+    superset (Karp-Papadimitriou-Shenker, ≤1/support candidates held).
+    KPS guarantees every item with frequency > support·N is returned,
+    and the rank-20 term sits at ~3.3% ≫ the 1% support, so a FALSE
+    can only mean the sketch path broke. At 100 TB the sketch runs
+    first and the exact count runs only over its ≤1/support candidates;
+    here both run in full so the driver checks them against each
+    other."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    exact = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(20)  # TakeOrderedAndProject: k-heap per partition, no global sort
+    )
+    # bounded driver footprint: ≤ 1/support = 100 candidate terms
+    sketch = set(tok.freqItems(["term"], support=0.01).first()[0])
+    return exact.select(
+        "term", "cnt", F.col("term").isin(sketch).alias("in_sketch")
+    )
+
+
 # HTML-wrapped corpus: deterministic synthetic markup around each doc
 # (the synthetic corpus is plain text). Every 3rd doc carries a script
 # block; the entity tail exercises decode order (&amp; last).
