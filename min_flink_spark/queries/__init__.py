@@ -36,6 +36,7 @@ _PRIORITY = [
     "html_text_extraction",  # new in round 3 — never driver-checked
     "set_ops_all_multiset",  # new in round 3 — never driver-checked
     "heavy_hitter_terms",  # new in round 3 — never driver-checked
+    "map_function_sampler",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

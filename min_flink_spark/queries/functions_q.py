@@ -244,6 +244,58 @@ def q_array_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "map_function_sampler",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             MAP {'type': event_type,
+                  'uid': CAST(user_id AS VARCHAR),
+                  'val': CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)} AS mp
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           map_extract(mp, 'type')[1] AS type_val,
+           CAST(cardinality(mp) AS BIGINT) AS n_entries,
+           array_to_string(list_sort(map_keys(mp)), ',') AS keys_sorted,
+           array_to_string(list_sort(map_values(mp)), ',') AS values_sorted,
+           CAST(len(list_filter(map_keys(mp), k -> length(k) = 3)) AS BIGINT)
+             AS n_short_keys,
+           upper(map_extract(mp, 'type')[1]) AS type_upper,
+           coalesce(map_extract(mp, 'missing')[1], 'absent') AS missing_default
+    FROM m
+    """,
+)
+def q_map_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column function surface (§2.6 — the MapTypeInfo analog of
+    SURVEY §1.2): construction, element_at with a present and an absent
+    key, size, map_keys/map_values (emitted as sorted joined strings —
+    the gate canonicalizer cannot hash raw map cells), map_filter, and
+    transform via element access. All codegen; the DuckDB twin drives
+    its native MAP functions on the same construction."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    mp = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("val"), F.round(F.col("value") * 100).cast("bigint").cast("string"),
+    )
+    m = ev.select("event_id", mp.alias("mp"))
+    return m.select(
+        "event_id",
+        F.element_at("mp", "type").alias("type_val"),
+        F.size("mp").cast("bigint").alias("n_entries"),
+        F.concat_ws(",", F.sort_array(F.map_keys("mp"))).alias("keys_sorted"),
+        F.concat_ws(",", F.sort_array(F.map_values("mp"))).alias("values_sorted"),
+        F.size(F.map_filter("mp", lambda k, v: F.length(k) == 3))
+        .cast("bigint")
+        .alias("n_short_keys"),
+        F.upper(F.element_at("mp", "type")).alias("type_upper"),
+        F.coalesce(F.element_at("mp", "missing"), F.lit("absent")).alias(
+            "missing_default"
+        ),
+    )
+
+
 def _sql_spread16(v: str) -> str:
     """DuckDB twin of hashing._spread_bits16 — same shift/mask chain."""
     e = f"(({v} | ({v} << 8)) & 16711935)"
