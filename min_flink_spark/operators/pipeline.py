@@ -280,6 +280,40 @@ def dedup_paragraphs(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp ``value_col`` to its [lower, upper] quantile band —
+    per-group when ``group_cols`` is given — the standard outlier
+    treatment before computing means/z-scores on heavy-tailed signals
+    (doc lengths, quality scores, request latencies).
+
+    Plan: ONE aggregation computes the exact interpolated cut points
+    (per group or global), joined back (a per-group cuts table is
+    group-cardinality-sized — AQE broadcasts it while small), then a
+    codegen clamp. The aggregation is the only shuffle. At 100 TB
+    swap ``percentile`` for ``approx_percentile`` (t-digest, one pass,
+    mergeable) — the operator shape is unchanged.
+    """
+    out = out_col or value_col
+    lo_c, hi_c = F.expr(f"percentile({value_col}, {lower})"), F.expr(
+        f"percentile({value_col}, {upper})"
+    )
+    if group_cols:
+        cuts = df.groupBy(*group_cols).agg(lo_c.alias("_lo"), hi_c.alias("_hi"))
+        joined = df.join(cuts, group_cols)
+    else:
+        cuts = df.agg(lo_c.alias("_lo"), hi_c.alias("_hi"))
+        joined = df.crossJoin(F.broadcast(cuts))  # 1-row scalar
+    clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return joined.withColumn(out, clamped).drop("_lo", "_hi")
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -37,6 +37,7 @@ _PRIORITY = [
     "set_ops_all_multiset",  # new in round 3 — never driver-checked
     "heavy_hitter_terms",  # new in round 3 — never driver-checked
     "map_function_sampler",  # new in round 3 — never driver-checked
+    "winsorized_values",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

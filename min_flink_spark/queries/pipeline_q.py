@@ -783,6 +783,33 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorized_values",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           least(greatest(e.value, c.lo), c.hi) AS value
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    """,
+)
+def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/pipeline.winsorize): values
+    clamped to the [p05, p95] band of their event_type — exact
+    interpolated cut points (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, bit-identical), one aggregation + clamp."""
+    from min_flink_spark.operators.pipeline import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return winsorize(ev, "value", ["event_type"], 0.05, 0.95)
+
+
+@query(
     "heavy_hitter_terms",
     oracle=f"""
     WITH tok AS (

@@ -150,6 +150,27 @@ def test_global_index_is_repartition_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_winsorize_clamps_to_quantile_band(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.pipeline import winsorize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    out = winsorize(ev, "value", lower=0.1, upper=0.9, out_col="w")
+    lo, hi = ev.selectExpr(
+        "percentile(value, 0.1)", "percentile(value, 0.9)"
+    ).first()
+    stats = out.agg(
+        F.min("w").alias("mn"), F.max("w").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("w") != F.col("value")).cast("int")).alias("n_clamped"),
+    ).first()
+    assert stats["mn"] == lo and stats["mx"] == hi
+    assert stats["n"] == ev.count()  # row-preserving
+    # ~20% of rows sit outside the [p10, p90] band
+    assert 0.05 < stats["n_clamped"] / stats["n"] < 0.35
+
+
 def test_cap_per_group_bounds_and_prefers(spark, sf_dir):
     """cap_per_group keeps ≤k rows per group; with prefer= the kept set
     is the top-k by that column (md5 rank only breaks ties)."""
