@@ -38,6 +38,8 @@ _PRIORITY = [
     "heavy_hitter_terms",  # new in round 3 — never driver-checked
     "map_function_sampler",  # new in round 3 — never driver-checked
     "winsorized_values",  # new in round 3 — never driver-checked
+    "positional_tokens",  # new in round 3 — never driver-checked
+    "null_semantics_sampler",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

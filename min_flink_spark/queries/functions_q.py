@@ -296,6 +296,81 @@ def q_map_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "positional_tokens",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    tpos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM tk
+    )
+    SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, toks[pos] AS term
+    FROM tpos
+    """,
+)
+def q_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional table function (posexplode — the UDTF-with-ordinality
+    surface): token stream with 0-based position, the input shape for
+    span-level ops (substring dedup, sequence labeling). DuckDB twin
+    rides the unnest(range(len)) idiom."""
+    from min_flink_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "term")
+
+
+@query(
+    "null_semantics_sampler",
+    oracle="""
+    WITH n AS (
+      SELECT event_id,
+             nullif(event_type, 'error') AS maybe_type,
+             CASE WHEN value > 150 THEN NULL ELSE value END AS maybe_value
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           coalesce(maybe_type, 'fallback') AS type_or_fallback,
+           CAST(maybe_type IS NULL AS BOOLEAN) AS type_nulled,
+           CAST(maybe_type IS NOT DISTINCT FROM 'click' AS BOOLEAN) AS nullsafe_eq_click,
+           CAST(maybe_value IS NOT DISTINCT FROM maybe_value AS BOOLEAN) AS self_nullsafe,
+           CASE WHEN maybe_type IS NOT NULL THEN 'kept' ELSE 'dropped' END AS nvl2_like,
+           coalesce(maybe_value, -1.0) AS value_or_sentinel
+    FROM n
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: nullif/coalesce, IS NULL, null-safe
+    equality (Spark ``<=>`` ≡ SQL IS NOT DISTINCT FROM — true on
+    NULL=NULL where ``=`` yields NULL), nvl2-style branching. The
+    reference has no NULL story at all (Java objects, NPE on null
+    keys); an engine needs one."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    n = ev.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("maybe_type"),
+        F.when(F.col("value") > 150, F.lit(None)).otherwise(F.col("value")).alias(
+            "maybe_value"
+        ),
+    )
+    return n.select(
+        "event_id",
+        F.coalesce("maybe_type", F.lit("fallback")).alias("type_or_fallback"),
+        F.col("maybe_type").isNull().alias("type_nulled"),
+        F.col("maybe_type").eqNullSafe(F.lit("click")).alias("nullsafe_eq_click"),
+        F.col("maybe_value").eqNullSafe(F.col("maybe_value")).alias("self_nullsafe"),
+        F.when(F.col("maybe_type").isNotNull(), "kept")
+        .otherwise("dropped")
+        .alias("nvl2_like"),
+        F.coalesce("maybe_value", F.lit(-1.0)).alias("value_or_sentinel"),
+    )
+
+
 def _sql_spread16(v: str) -> str:
     """DuckDB twin of hashing._spread_bits16 — same shift/mask chain."""
     e = f"(({v} | ({v} << 8)) & 16711935)"
