@@ -50,6 +50,7 @@ from min_flink_spark.operators.relational import (
 from min_flink_spark.operators.skew import salted_agg, salted_join
 from min_flink_spark.operators.windows import session, slide, tumble, with_watermark
 from min_flink_spark.session import get_spark
+from min_flink_spark.sources import write_partitioned
 from min_flink_spark.sources.bucketed import (
     cobucket_join,
     read_bucketed,
@@ -92,6 +93,7 @@ __all__ = [
     "union_either",
     "with_watermark",
     "write_bucketed",
+    "write_partitioned",
     "zorder_key",
 ]
 

@@ -87,6 +87,27 @@ def read_orc(spark: SparkSession, path: str) -> "_stream.Stream":
     return _stream.Stream(spark.read.orc(path))
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: "list[str]",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (``path/col=value/...``) —
+    the directory-level pruning complement to bucketing's hash
+    clustering. A filter on a partition column prunes whole directories
+    before any file is opened (static pruning), and a join against a
+    filtered dimension prunes at RUNTIME via dynamic partition pruning
+    (Spark inserts a subquery filter on the partition column) — both
+    asserted in tests/test_partitioned.py.
+
+    Sizing at scale: partition by LOW-cardinality columns only (date,
+    region — not user_id): each distinct value is a directory, and
+    millions of tiny directories destroy listing performance. Combine
+    with bucketing inside partitions for two-level pruning."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
