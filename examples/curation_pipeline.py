@@ -31,13 +31,16 @@ from pyspark.sql import functions as F
 
 from min_flink_spark import get_spark
 from min_flink_spark.functions.text import token_count
+from min_flink_spark.functions.text import normalize_whitespace, strip_html
 from min_flink_spark.operators.dedup import (
+    dedup_substrings,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
 from min_flink_spark.operators.graph import connected_components
 from min_flink_spark.operators.pipeline import (
+    cap_per_group,
     contamination_overlap,
     domain_mix,
     drift_report,
@@ -54,6 +57,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n0 = docs.count()
+
+    # 0. extraction + normalization: HTML → visible text (no-op on an
+    # already-clean corpus; the pass every web crawl needs), collapse
+    # whitespace — pure codegen, no shuffle
+    docs = docs.withColumn("text", normalize_whitespace(strip_html(F.col("text"))))
 
     # 1. quality filter — keep decision with auditable per-rule flags
     q = quality_filter(docs)
@@ -82,6 +90,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     deduped = exact.join(drop, "doc_id", "left_anti")
     n3 = deduped.count()
 
+    # 4b. span-level pass: cut cross-document repeated 8-token
+    # substrings (shared boilerplate survives document-level dedup)
+    deduped = dedup_substrings(deduped, "text", "doc_id", k=8).select(
+        "doc_id", "text"
+    )
+
     # 5. decontamination vs a held-out eval slice
     evalset = docs.filter(F.col("doc_id") % 97 == 0)
     train = deduped.filter(F.col("doc_id") % 97 != 0)
@@ -102,6 +116,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     targets = {s: (3 if s in ("src0", "src1", "src2", "src3", "src4") else 1)
                for s in present}
     mixed = domain_mix(sourced, "source", "doc_id", targets)
+    # absolute per-domain cap on top of the ratio mix (one crawler seed
+    # must not dominate regardless of proportions)
+    mixed = cap_per_group(mixed, ["source"], "doc_id", k=100)
     # the curated lineage above (LSH dedup + components + decontam) is
     # expensive; checkpoint once so the 4 downstream consumers (count,
     # drift, packing, final write) don't each re-run it
