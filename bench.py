@@ -13,8 +13,11 @@ timing — per-query times then reflect steady-state execution, which is
 what a long-running cluster actually sees (cold-start costs are fixed,
 not proportional to data). Set SPARK_GRAFT_WARMUP=0 to time cold.
 
-Each query is timed SPARK_GRAFT_REPS times (default 2, full-set passes,
-not back-to-back reps) and the per-query minimum is reported. Rationale
+Each query is timed SPARK_GRAFT_REPS times (full-set passes, not
+back-to-back reps; default 2, or 1 when SPARK_GRAFT_WARMUP=0 — a
+second pass would run warm and min() would silently report steady-state
+under a cold-timing request) and the per-query minimum is reported.
+Rationale
 (round-3 methodology fix): single-shot timings on a shared 32-core JVM
 jitter ±15-40% from GC pauses and scheduling beats inherited from
 whichever query ran before — r2's text_stats "+41% regression" was
@@ -78,7 +81,8 @@ def main() -> None:
             QUERIES[name](spark, warm_dir).collect()
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
+    cold = os.environ.get("SPARK_GRAFT_WARMUP", "1") == "0"
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "1" if cold else "2")))
     times: dict[str, float] = {}
     for _ in range(reps):
         for name in HEADLINE:

@@ -90,10 +90,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     deduped = exact.join(drop, "doc_id", "left_anti")
     n3 = deduped.count()
 
-    # 4b. span-level pass: cut cross-document repeated 8-token
-    # substrings (shared boilerplate survives document-level dedup)
-    deduped = dedup_substrings(deduped, "text", "doc_id", k=8).select(
-        "doc_id", "text"
+    # 4b. span-level pass: dedup_substrings rebuilds text in NORMALIZED
+    # token space (case/punctuation gone), so here it is used as a
+    # duplication SCORE — drop docs that are mostly repeated spans,
+    # keep the ORIGINAL text of the survivors
+    span_scores = dedup_substrings(deduped, "text", "doc_id", k=8).select(
+        "doc_id",
+        (F.col("n_kept") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
+            "_unique_frac"
+        ),
+    )
+    deduped = (
+        deduped.join(span_scores, "doc_id")
+        .filter(F.col("_unique_frac") >= 0.3)
+        .drop("_unique_frac")
     )
 
     # 5. decontamination vs a held-out eval slice

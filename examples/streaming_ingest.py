@@ -13,9 +13,17 @@ cluster would run:
       → per-batch exact dedup + incremental dedup vs the fingerprint
         index of ALL previously-ingested docs (anti-join on the narrow
         md5 index — the corpus itself is never rescanned)
-      → exactly-once append (idempotent_foreach_batch: batch-id ledger
-        makes replays no-ops)
-      → fingerprint index update (same transaction scope as the append)
+      → exactly-once append, two independent layers:
+        (a) every batch writes to its OWN batch=<id> directory with
+            overwrite semantics, so a replayed batch rewrites the same
+            directory instead of appending duplicates (the fn itself is
+            idempotent — Structured Streaming redelivers a batch after
+            a crash between sink write and offset commit);
+        (b) idempotent_foreach_batch's ledger skips fully-delivered
+            batches without re-running them at all.
+        The index anti-join reads every batch directory EXCEPT the
+        current one, so a replay cannot anti-join its own half-written
+        fingerprints and lose the batch.
       → small-file compaction (byte-derived partition count)
 
 Run: python examples/streaming_ingest.py [sf_dir]
@@ -67,19 +75,29 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     def ingest(batch_df, batch_id: int):
         spark_ = batch_df.sparkSession
         # per-batch exact dedup first (cheap), then the incremental
-        # anti-join against the persistent fingerprint index
+        # anti-join against the persistent fingerprint index — reading
+        # every PRIOR batch's directory but never the current one (a
+        # replayed batch must not anti-join its own partial write)
         batch = exact_dedup(batch_df, "text", "doc_id").withColumn(
             "_fp", fingerprint(F.col("text"))
         )
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ):
-            seen = spark_.read.parquet(index_dir)
+        prior = [
+            os.path.join(index_dir, d)
+            for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ]
+        if prior:
+            seen = spark_.read.parquet(*prior)
             batch = batch.join(seen, batch["_fp"] == seen["fp"], "left_anti")
-        batch = batch.localCheckpoint(eager=True)  # index write must not
-        # re-read corpus_dir mid-append
-        batch.drop("_fp").write.mode("append").parquet(corpus_dir)
-        batch.select(F.col("_fp").alias("fp")).write.mode("append").parquet(index_dir)
+        batch = batch.localCheckpoint(eager=True)  # pin the anti-joined
+        # content: both writes below must see the same rows
+        # batch-scoped OVERWRITE directories = idempotent on redelivery
+        batch.drop("_fp").write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch={batch_id}"
+        )
+        batch.select(F.col("_fp").alias("fp")).write.mode("overwrite").parquet(
+            f"{index_dir}/batch={batch_id}"
+        )
 
     with shuffle_partitions(spark, 8):
         run_foreach_batch(
@@ -89,10 +107,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             checkpoint_dir=ckpt_dir,
         )
 
-    n_docs = spark.read.parquet(corpus_dir).count()
-    n_fp = spark.read.parquet(index_dir).count()
+    # glob the batch dirs directly (no hive partition-discovery column)
+    n_docs = spark.read.parquet(f"{corpus_dir}/batch=*").count()
+    n_fp = spark.read.parquet(f"{index_dir}/batch=*").count()
 
-    # table maintenance: collapse the per-batch small files
+    # table maintenance: collapse the per-batch small files (partition
+    # discovery keeps batch as a lineage column in the compacted table)
     compacted = os.path.join(work, "corpus_compacted")
     n_parts = compact_parquet(spark, corpus_dir, compacted, target_file_mb=256)
 

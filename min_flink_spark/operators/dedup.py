@@ -72,10 +72,15 @@ def dedup_substrings(
     boilerplate that document- and paragraph-level dedup miss (shared
     footers, license blocks, quoted chunks).
 
-    Returns ``(id, text, n_kept, n_tokens)``; rebuilt text is
-    whitespace-normalized (single spaces) by construction. Overlapping
-    duplicated spans merge naturally: coverage is a DISTINCT set of
-    token positions, not intervals.
+    Returns ``(id, text, n_kept, n_tokens)``. The rebuilt ``text`` is
+    in NORMALIZED token space — ``tokens()`` lowercases and splits on
+    non-alphanumerics, so casing and punctuation are gone even for
+    documents with no duplicated spans. Use the rebuilt text when the
+    downstream consumer tokenizes anyway (training shards), or use
+    ``n_kept / n_tokens`` as a duplication score to FILTER documents
+    while keeping their original text (the curation-pipeline example
+    does the latter). Overlapping duplicated spans merge naturally:
+    coverage is a DISTINCT set of token positions, not intervals.
 
     Scale shape: one shingle explosion → hash-agg occurrence counts →
     per-shingle first-occurrence window bounded by ``df_cap`` (shingles

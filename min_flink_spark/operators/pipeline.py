@@ -300,17 +300,29 @@ def winsorize(
     swap ``percentile`` for ``approx_percentile`` (t-digest, one pass,
     mergeable) — the operator shape is unchanged.
     """
+    for c in ("_lo", "_hi"):
+        if c in df.columns:
+            raise ValueError(
+                f"winsorize: {c!r} is the operator's working column — rename it"
+            )
     out = out_col or value_col
     lo_c, hi_c = F.expr(f"percentile({value_col}, {lower})"), F.expr(
         f"percentile({value_col}, {upper})"
     )
     if group_cols:
         cuts = df.groupBy(*group_cols).agg(lo_c.alias("_lo"), hi_c.alias("_hi"))
-        joined = df.join(cuts, group_cols)
+        # null-SAFE join keys: a NULL group must keep its rows (and gets
+        # its own cuts) — a plain equi-join would silently drop them
+        cond = [df[c].eqNullSafe(cuts[c]) for c in group_cols]
+        joined = df.join(cuts, cond).drop(*[cuts[c] for c in group_cols])
     else:
         cuts = df.agg(lo_c.alias("_lo"), hi_c.alias("_hi"))
         joined = df.crossJoin(F.broadcast(cuts))  # 1-row scalar
-    clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    # least/greatest SKIP nulls, which would impute NULL values to the
+    # lower cut — preserve them explicitly
+    clamped = F.when(
+        F.col(value_col).isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")))
     return joined.withColumn(out, clamped).drop("_lo", "_hi")
 
 
@@ -337,6 +349,10 @@ def cap_per_group(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if "_cap_rn" in df.columns:
+        raise ValueError(
+            "cap_per_group: '_cap_rn' is the operator's working column — rename it"
+        )
     rank_cols = [
         F.md5(F.col(id_col).cast("string")).asc(),
         F.col(id_col).asc(),  # md5-collision tiebreak: total order

@@ -171,6 +171,42 @@ def test_winsorize_clamps_to_quantile_band(spark, sf_dir):
     assert 0.05 < stats["n_clamped"] / stats["n"] < 0.35
 
 
+def test_winsorize_preserves_nulls_and_null_groups(spark):
+    """Review findings (r3): NULL values must stay NULL (least/greatest
+    would impute them to the lower cut) and NULL group keys must keep
+    their rows (plain equi-join would drop them)."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.pipeline import winsorize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 100.0), (None, 5.0), ("a", None)],
+        "g string, value double",
+    )
+    out = winsorize(df, "value", ["g"], lower=0.25, upper=0.75, out_col="w")
+    rows = out.collect()
+    assert len(rows) == 5  # row-preserving, incl. the NULL group
+    assert any(r["g"] is None and r["w"] == 5.0 for r in rows)
+    assert any(r["g"] == "a" and r["value"] is None and r["w"] is None for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_lo"):
+        winsorize(df.withColumn("_lo", F.lit(1)), "value")
+
+
+def test_cap_per_group_rejects_working_column_collision(spark, sf_dir):
+    import pytest as _pytest
+
+    from min_flink_spark.operators.pipeline import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "_cap_rn", F.lit(1)
+    )
+    with _pytest.raises(ValueError, match="_cap_rn"):
+        cap_per_group(docs, ["source"], "doc_id", k=3)
+
+
 def test_cap_per_group_bounds_and_prefers(spark, sf_dir):
     """cap_per_group keeps ≤k rows per group; with prefer= the kept set
     is the top-k by that column (md5 rank only breaks ties)."""
