@@ -280,6 +280,50 @@ def dedup_paragraphs(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window text chunking — the context-window prep step for
+    embedding/RAG pipelines: each document yields overlapping chunks of
+    ``chunk_tokens`` tokens starting every ``stride`` tokens (overlap =
+    chunk_tokens − stride). Emits ``(id, chunk_id, chunk_text,
+    n_tokens)``; the tail chunk may be short; empty docs yield no rows.
+
+    Pure codegen: one tokens() projection, start positions via
+    sequence(step), posexplode, slice — no Python in the hot path, no
+    shuffle at all (narrow op; chunk fan-out ≈ size/stride per doc).
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError(
+            f"chunk_tokens and stride must be positive, got "
+            f"{chunk_tokens}/{stride}"
+        )
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    starts = F.when(
+        F.size("_toks") > 0,
+        F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        toks_df.select(
+            F.col(id_col), "_toks", F.posexplode(starts).alias("chunk_id", "_start")
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice("_toks", F.col("_start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size("_toks") - F.col("_start")
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

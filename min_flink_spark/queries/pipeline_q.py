@@ -783,6 +783,37 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunking",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM tk
+    ),
+    numbered AS (
+      SELECT doc_id, toks, start,
+             row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_id
+      FROM st
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(toks[start + 1:start + 64], ' ') AS chunk_text,
+           CAST(least(64, len(toks) - start) AS BIGINT) AS n_tokens
+    FROM numbered
+    """,
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/pipeline.chunk_text): 64-token
+    windows every 48 tokens (16-token overlap) — the context-window
+    prep for embedding/RAG pipelines. Narrow codegen op, no shuffle;
+    the oracle replays starts/slices with DuckDB range+list slicing."""
+    from min_flink_spark.operators.pipeline import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text(docs, "text", "doc_id", chunk_tokens=64, stride=48)
+
+
+@query(
     "winsorized_values",
     oracle="""
     WITH cuts AS (

@@ -221,3 +221,44 @@ def test_either_union_branches(spark):
         get_right(F.col("either")).alias("v")
     ).collect()
     assert [r["v"] for r in rights] == ["s3"]
+
+
+def test_python_udtf_matches_codegen_chunker(spark):
+    """§2.10 UDTF surface via Spark 4's native Python UDTF API: a
+    table-function chunker must agree exactly with the codegen
+    chunk_text operator (which stays the hot path — the UDTF exists to
+    pin the API, Arrow batching, and lateral-join plumbing)."""
+    from pyspark.sql.functions import col, lit, udtf
+
+    from min_flink_spark.operators.pipeline import chunk_text
+
+    @udtf(returnType="chunk_id bigint, chunk_text string, n_tokens bigint")
+    class Chunker:
+        def eval(self, text: str, chunk_tokens: int, stride: int):
+            import re
+
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            for i, start in enumerate(range(0, len(toks), stride)):
+                window = toks[start : start + chunk_tokens]
+                yield i, " ".join(window), len(window)
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "short doc"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in df.lateralJoin(
+            Chunker(col("text").outer(), lit(5), lit(3))
+        ).select("doc_id", "chunk_id", "chunk_text", "n_tokens").collect()
+        if r["chunk_id"] is not None
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_text(df, chunk_tokens=5, stride=3).collect()
+    }
+    assert got == want and len(want) > 3
