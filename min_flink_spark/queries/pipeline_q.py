@@ -814,6 +814,106 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_retrieval_topk",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM tk
+    ),
+    chunks AS (
+      SELECT doc_id * 1000 + (row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1)
+               AS chunk_key,
+             doc_id,
+             toks[start + 1:start + 64] AS ctoks
+      FROM st
+    ),
+    sig AS (
+      SELECT chunk_key, doc_id,
+             ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 16 AS b,
+             CASE WHEN ('0x' || substr(md5(t.tok), 9, 1))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM chunks, unnest(ctoks) AS t(tok)
+    ),
+    vec AS (
+      SELECT c.chunk_key, c.doc_id,
+             list(CAST(coalesce(cell.v, 0.0) AS DOUBLE) ORDER BY r.i) AS v
+      FROM chunks c
+      CROSS JOIN range(0, 16) r(i)
+      LEFT JOIN (
+        SELECT chunk_key, b, sum(s) AS v FROM sig GROUP BY chunk_key, b
+      ) cell ON cell.chunk_key = c.chunk_key AND cell.b = r.i
+      GROUP BY c.chunk_key, c.doc_id
+    ),
+    q AS (SELECT * FROM vec WHERE doc_id < 3
+            AND sqrt(list_dot_product(v, v)) > 0),
+    c AS (SELECT * FROM vec WHERE doc_id >= 3
+            AND sqrt(list_dot_product(v, v)) > 0)
+    SELECT query_id, chunk_key, round(cos_sim, 6) AS cos_sim FROM (
+      SELECT q.chunk_key AS query_id, c.chunk_key AS chunk_key,
+             list_cosine_similarity(q.v, c.v) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.chunk_key
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                        c.chunk_key ASC) AS rn
+      FROM q JOIN c ON true
+    ) t WHERE rn <= 3
+    """,
+)
+def q_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval pipeline in one plan: sliding-window chunking
+    (chunk_text) → deterministic hashing-trick embeddings (one md5 per
+    token, ±1 votes into 16 buckets — exact integer-valued doubles, so
+    the sums are engine-exact) → brute-force cosine top-3 of corpus
+    chunks per query chunk (docs 0-2 query, the rest corpus; zero-norm
+    vectors excluded from both sides). Every stage replayed in SQL —
+    chunking, feature hashing, ranking. Swap the hash embed for a real
+    model and LSH/IVF for brute force at scale; the plan shape is
+    unchanged."""
+    from min_flink_spark.functions.hashing import md5_prefix_int
+    from min_flink_spark.operators.pipeline import chunk_text
+    from min_flink_spark.operators.similarity import brute_force_topk, norm
+
+    dim = 16
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "text", "doc_id", chunk_tokens=64, stride=48).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        "doc_id",
+        "chunk_text",
+    )
+
+    def step(acc, t):
+        b = md5_prefix_int(t) % dim
+        s = F.when(
+            F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("bigint") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        return F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, i: x + F.when(i.cast("bigint") == b, s).otherwise(F.lit(0.0)),
+        )
+
+    vec = chunks.select(
+        "chunk_key",
+        "doc_id",
+        F.aggregate(
+            tokens(F.col("chunk_text")),
+            F.array_repeat(F.lit(0.0), dim),
+            step,
+        ).alias("v"),
+    ).filter(norm(F.col("v")) > 0)
+    q = vec.filter(F.col("doc_id") < 3)
+    c = vec.filter(F.col("doc_id") >= 3)
+    out = brute_force_topk(
+        c, q, k=3, id_col="chunk_key", vec_col="v",
+        query_id_col="query_id", exclude_self=False,
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+@query(
     "winsorized_values",
     oracle="""
     WITH cuts AS (
