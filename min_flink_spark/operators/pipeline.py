@@ -280,6 +280,35 @@ def dedup_paragraphs(
     )
 
 
+def split_train_val_test(
+    df: DataFrame,
+    id_col: str,
+    weights: tuple[int, int, int] = (90, 5, 5),
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic 3-way corpus split: every row gets exactly one of
+    'train'/'val'/'test' by md5-bucket of its id against integer weight
+    thresholds — disjoint and exhaustive by construction, reproducible
+    across runs/engines/cluster sizes, and stable under corpus growth
+    (a doc's split never changes when OTHER docs are added — the
+    property random shuffles lack, and the reason eval sets stay
+    uncontaminated across corpus versions). Pure codegen, no shuffle.
+    """
+    from min_flink_spark.functions.hashing import hash_bucket
+
+    w_train, w_val, w_test = weights
+    if min(weights) < 0 or w_train + w_val + w_test <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    total = w_train + w_val + w_test
+    b = hash_bucket(F.col(id_col), total)
+    return df.withColumn(
+        out_col,
+        F.when(b < w_train, "train")
+        .when(b < w_train + w_val, "val")
+        .otherwise("test"),
+    )
+
+
 def chunk_text(
     df: DataFrame,
     text_col: str = "text",

@@ -42,6 +42,7 @@ _PRIORITY = [
     "null_semantics_sampler",  # new in round 3 — never driver-checked
     "text_chunking",  # new in round 3 — never driver-checked
     "chunk_retrieval_topk",  # new in round 3 — never driver-checked
+    "train_val_test_split",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -814,6 +814,32 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bk < 90 THEN 'train'
+                WHEN bk < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 corpus split (operators/pipeline.
+    split_train_val_test): disjoint + exhaustive by construction, and a
+    doc's split never changes when other docs are added — the
+    eval-contamination safety property random shuffles lack."""
+    from min_flink_spark.operators.pipeline import split_train_val_test
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_train_val_test(docs, "doc_id", (90, 5, 5))
+
+
+@query(
     "chunk_retrieval_topk",
     oracle=f"""
     WITH tk AS (
