@@ -280,6 +280,43 @@ def dedup_paragraphs(
     )
 
 
+def normalize_minmax(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Min-max scale ``value_col`` to [0, 1] (per group when
+    ``group_cols`` given) — the feature-prep normalizer whose output is
+    ENGINE-EXACT: min/max are order-independent and the single IEEE
+    division of identical doubles is bit-identical everywhere (unlike
+    mean/std, which need exact-sum plumbing). Degenerate groups
+    (max == min) map to 0.5; NULL values stay NULL. One aggregation +
+    codegen arithmetic; same shape as ``winsorize``."""
+    for c in ("_mn", "_mx"):
+        if c in df.columns:
+            raise ValueError(
+                f"normalize_minmax: {c!r} is the operator's working column — rename it"
+            )
+    out = out_col or value_col
+    aggs = [F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")]
+    if group_cols:
+        cuts = df.groupBy(*group_cols).agg(*aggs)
+        cond = [df[c].eqNullSafe(cuts[c]) for c in group_cols]
+        joined = df.join(cuts, cond).drop(*[cuts[c] for c in group_cols])
+    else:
+        cuts = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(cuts))
+    scaled = (
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("double"))
+        .when(F.col("_mx") == F.col("_mn"), F.lit(0.5))
+        .otherwise(
+            (F.col(value_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+        )
+    )
+    return joined.withColumn(out, scaled).drop("_mn", "_mx")
+
+
 def split_train_val_test(
     df: DataFrame,
     id_col: str,

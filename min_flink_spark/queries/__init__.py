@@ -43,6 +43,7 @@ _PRIORITY = [
     "text_chunking",  # new in round 3 — never driver-checked
     "chunk_retrieval_topk",  # new in round 3 — never driver-checked
     "train_val_test_split",  # new in round 3 — never driver-checked
+    "minmax_normalized_values",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -814,6 +814,33 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minmax_normalized_values",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN c.mx = c.mn THEN 0.5
+                ELSE (e.value - c.mn) / (c.mx - c.mn) END AS value_01
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    """,
+)
+def q_minmax_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max scaling (operators/pipeline.normalize_minmax):
+    bit-exact across engines without any rounding — min/max are
+    order-independent and the single division is IEEE-exact."""
+    from min_flink_spark.operators.pipeline import normalize_minmax
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return normalize_minmax(ev, "value", ["event_type"], out_col="value_01").select(
+        "event_id", "event_type", "value_01"
+    )
+
+
+@query(
     "train_val_test_split",
     oracle="""
     WITH b AS (
