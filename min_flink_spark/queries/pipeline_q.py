@@ -814,6 +814,64 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zscore_standardized_values",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 1000000) AS BIGINT) AS vu
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(sum(CAST(vu AS DECIMAL(18,0))) AS DOUBLE)
+               / count(*) / 1000000.0 AS mu,
+             CAST(sum(CAST(vu * vu AS DECIMAL(28,0))) AS DOUBLE)
+               / count(*) / 1000000000000.0 AS msq
+      FROM u GROUP BY event_type
+    )
+    SELECT u.event_id, u.event_type,
+           CASE WHEN s.msq - s.mu * s.mu <= 0 THEN 0.0
+                ELSE (u.value - s.mu) / sqrt(s.msq - s.mu * s.mu) END AS z
+    FROM u JOIN stats s ON u.event_type = s.event_type
+    """,
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization with ENGINE-EXACT moments:
+    sums ride the integer micro-unit plan (bigint per-row, decimal
+    accumulator — a double sum is accumulation-order-dependent and
+    would drift), then mean/variance/σ/z are derived through the
+    IDENTICAL double op tree on both sides, so even sqrt and the final
+    division are bit-identical with no rounding. Population variance;
+    degenerate groups (σ² ≤ 0 after cancellation) emit z = 0."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    vu = F.round(F.col("value") * 1000000).cast("bigint")
+    u = ev.withColumn("vu", vu)
+    n = F.count(F.lit(1))
+    stats = u.groupBy("event_type").agg(
+        (F.sum(F.col("vu").cast("decimal(18,0)")).cast("double") / n / 1000000.0)
+        .alias("mu"),
+        (
+            F.sum((F.col("vu") * F.col("vu")).cast("decimal(28,0)")).cast("double")
+            / n
+            / 1000000000000.0
+        ).alias("msq"),
+    )
+    var = F.col("msq") - F.col("mu") * F.col("mu")
+    return (
+        u.join(stats, "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(var <= 0, F.lit(0.0))
+            .otherwise((F.col("value") - F.col("mu")) / F.sqrt(var))
+            .alias("z"),
+        )
+    )
+
+
+@query(
     "minmax_normalized_values",
     oracle="""
     WITH cuts AS (
