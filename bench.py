@@ -71,17 +71,20 @@ def main() -> None:
     # codegen/worker startup (see module docstring); skipped when it
     # would re-run the EXACT timed inputs (benching sf0.001 itself) or
     # when the sibling doesn't exist — falls back to scan-only warmup
+    cold = os.environ.get("SPARK_GRAFT_WARMUP", "1") == "0"
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if (
-        os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
+        not cold
         and os.path.isdir(warm_dir)
         and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR)
     ):
         for name in HEADLINE:
             QUERIES[name](spark, warm_dir).collect()
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    if not cold:  # scan pre-touch belongs to warm mode only — in cold
+        # mode it would pre-warm the FS cache/reader for every
+        # lineitem-based query, contradicting the cold request
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
-    cold = os.environ.get("SPARK_GRAFT_WARMUP", "1") == "0"
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "1" if cold else "2")))
     times: dict[str, float] = {}
     for _ in range(reps):

@@ -88,6 +88,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         canonical, clusters["component"] == canonical["component"]
     ).filter(F.col("node") != F.col("keep_id")).select(F.col("node").alias("doc_id"))
     deduped = exact.join(drop, "doc_id", "left_anti")
+    # pin the expensive lineage (LSH + components) ONCE: step 4b joins
+    # a derived frame back onto this one, which would otherwise re-run
+    # the whole dedup lineage twice inside a single plan
+    deduped = deduped.localCheckpoint(eager=True)
     n3 = deduped.count()
 
     # 4b. span-level pass: dedup_substrings rebuilds text in NORMALIZED
@@ -99,11 +103,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         (F.col("n_kept") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
             "_unique_frac"
         ),
+        (F.col("n_tokens") == 0).alias("_no_tokens"),
     )
     deduped = (
         deduped.join(span_scores, "doc_id")
-        .filter(F.col("_unique_frac") >= 0.3)
-        .drop("_unique_frac")
+        # zero-token docs have no spans at all — 0/0 must not read as
+        # "fully duplicated"
+        .filter((F.col("_unique_frac") >= 0.3) | F.col("_no_tokens"))
+        .drop("_unique_frac", "_no_tokens")
     )
 
     # 5. decontamination vs a held-out eval slice

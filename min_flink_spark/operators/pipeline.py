@@ -280,6 +280,30 @@ def dedup_paragraphs(
     )
 
 
+def _require_free_columns(df: DataFrame, cols: tuple[str, ...], op: str) -> None:
+    """Refuse loudly when an input already carries one of the operator's
+    working columns — select/withColumn would silently shadow/destroy
+    the user's column (same convention as operators/skew.py)."""
+    for c in cols:
+        if c in df.columns:
+            raise ValueError(
+                f"{op}: {c!r} is the operator's working column — rename it"
+            )
+
+
+def _join_group_cuts(
+    df: DataFrame, cuts: DataFrame, group_cols: list[str] | None
+) -> DataFrame:
+    """Attach a per-group stats frame back onto its source: null-SAFE
+    equality per key (a NULL group must keep its rows and meet its own
+    stats — a plain equi-join drops them), cuts' key copies dropped;
+    the no-group case is a 1-row broadcast scalar."""
+    if group_cols:
+        cond = [df[c].eqNullSafe(cuts[c]) for c in group_cols]
+        return df.join(cuts, cond).drop(*[cuts[c] for c in group_cols])
+    return df.crossJoin(F.broadcast(cuts))
+
+
 def normalize_minmax(
     df: DataFrame,
     value_col: str,
@@ -293,20 +317,11 @@ def normalize_minmax(
     mean/std, which need exact-sum plumbing). Degenerate groups
     (max == min) map to 0.5; NULL values stay NULL. One aggregation +
     codegen arithmetic; same shape as ``winsorize``."""
-    for c in ("_mn", "_mx"):
-        if c in df.columns:
-            raise ValueError(
-                f"normalize_minmax: {c!r} is the operator's working column — rename it"
-            )
+    _require_free_columns(df, ("_mn", "_mx"), "normalize_minmax")
     out = out_col or value_col
     aggs = [F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")]
-    if group_cols:
-        cuts = df.groupBy(*group_cols).agg(*aggs)
-        cond = [df[c].eqNullSafe(cuts[c]) for c in group_cols]
-        joined = df.join(cuts, cond).drop(*[cuts[c] for c in group_cols])
-    else:
-        cuts = df.agg(*aggs)
-        joined = df.crossJoin(F.broadcast(cuts))
+    cuts = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+    joined = _join_group_cuts(df, cuts, group_cols)
     scaled = (
         F.when(F.col(value_col).isNull(), F.lit(None).cast("double"))
         .when(F.col("_mx") == F.col("_mn"), F.lit(0.5))
@@ -358,6 +373,10 @@ def chunk_text(
     ``chunk_tokens`` tokens starting every ``stride`` tokens (overlap =
     chunk_tokens − stride). Emits ``(id, chunk_id, chunk_text,
     n_tokens)``; the tail chunk may be short; empty docs yield no rows.
+    A start position whose PREVIOUS window already reached the end of
+    the document is suppressed — it would be a strict subset of that
+    window, and a duplicate-content chunk inflates the embedding index
+    and can occupy two retrieval slots for the same passage.
 
     Pure codegen: one tokens() projection, start positions via
     sequence(step), posexplode, slice — no Python in the hot path, no
@@ -369,10 +388,17 @@ def chunk_text(
             f"{chunk_tokens}/{stride}"
         )
     toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    starts = F.when(
+    raw_starts = F.when(
         F.size("_toks") > 0,
         F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
+    # keep a start only if it's the first window or the previous window
+    # did NOT already cover the end (see docstring)
+    starts = F.filter(
+        raw_starts,
+        lambda s: (s == 0)
+        | (s - stride + chunk_tokens < F.size("_toks")),
+    )
     return (
         toks_df.select(
             F.col(id_col), "_toks", F.posexplode(starts).alias("chunk_id", "_start")
@@ -410,24 +436,14 @@ def winsorize(
     swap ``percentile`` for ``approx_percentile`` (t-digest, one pass,
     mergeable) — the operator shape is unchanged.
     """
-    for c in ("_lo", "_hi"):
-        if c in df.columns:
-            raise ValueError(
-                f"winsorize: {c!r} is the operator's working column — rename it"
-            )
+    _require_free_columns(df, ("_lo", "_hi"), "winsorize")
     out = out_col or value_col
-    lo_c, hi_c = F.expr(f"percentile({value_col}, {lower})"), F.expr(
-        f"percentile({value_col}, {upper})"
-    )
-    if group_cols:
-        cuts = df.groupBy(*group_cols).agg(lo_c.alias("_lo"), hi_c.alias("_hi"))
-        # null-SAFE join keys: a NULL group must keep its rows (and gets
-        # its own cuts) — a plain equi-join would silently drop them
-        cond = [df[c].eqNullSafe(cuts[c]) for c in group_cols]
-        joined = df.join(cuts, cond).drop(*[cuts[c] for c in group_cols])
-    else:
-        cuts = df.agg(lo_c.alias("_lo"), hi_c.alias("_hi"))
-        joined = df.crossJoin(F.broadcast(cuts))  # 1-row scalar
+    aggs = [
+        F.expr(f"percentile({value_col}, {lower})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("_hi"),
+    ]
+    cuts = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+    joined = _join_group_cuts(df, cuts, group_cols)
     # least/greatest SKIP nulls, which would impute NULL values to the
     # lower cut — preserve them explicitly
     clamped = F.when(
@@ -459,10 +475,7 @@ def cap_per_group(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    if "_cap_rn" in df.columns:
-        raise ValueError(
-            "cap_per_group: '_cap_rn' is the operator's working column — rename it"
-        )
+    _require_free_columns(df, ("_cap_rn",), "cap_per_group")
     rank_cols = [
         F.md5(F.col(id_col).cast("string")).asc(),
         F.col(id_col).asc(),  # md5-collision tiebreak: total order

@@ -791,10 +791,12 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM tk
     ),
+    -- suppress a start whose previous window already covered the end
+    -- (its chunk would be a strict subset of the previous chunk)
     numbered AS (
       SELECT doc_id, toks, start,
              row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_id
-      FROM st
+      FROM st WHERE start = 0 OR start - 48 + 64 < len(toks)
     )
     SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
            array_to_string(toks[start + 1:start + 64], ' ') AS chunk_text,
@@ -825,7 +827,10 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(sum(CAST(vu AS DECIMAL(18,0))) AS DOUBLE)
                / count(*) / 1000000.0 AS mu,
-             CAST(sum(CAST(vu * vu AS DECIMAL(28,0))) AS DOUBLE)
+             -- cast BEFORE multiplying: bigint vu*vu overflows int64
+             -- for |value| > ~3037 (vu > 3.04e9)
+             CAST(sum(CAST(vu AS DECIMAL(18,0)) * CAST(vu AS DECIMAL(18,0)))
+                  AS DOUBLE)
                / count(*) / 1000000000000.0 AS msq
       FROM u GROUP BY event_type
     )
@@ -853,7 +858,11 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("vu").cast("decimal(18,0)")).cast("double") / n / 1000000.0)
         .alias("mu"),
         (
-            F.sum((F.col("vu") * F.col("vu")).cast("decimal(28,0)")).cast("double")
+            # decimal operands BEFORE the multiply — bigint vu*vu wraps
+            # silently for |value| > ~3037
+            F.sum(
+                F.col("vu").cast("decimal(18,0)") * F.col("vu").cast("decimal(18,0)")
+            ).cast("double")
             / n
             / 1000000000000.0
         ).alias("msq"),
@@ -881,7 +890,10 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type,
            CASE WHEN c.mx = c.mn THEN 0.5
                 ELSE (e.value - c.mn) / (c.mx - c.mn) END AS value_01
-    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    FROM events e
+    -- null-SAFE join: the operator keeps NULL group keys (eqNullSafe),
+    -- so the oracle must too
+    JOIN cuts c ON e.event_type IS NOT DISTINCT FROM c.event_type
     """,
 )
 def q_minmax_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,7 +950,7 @@ def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS chunk_key,
              doc_id,
              toks[start + 1:start + 64] AS ctoks
-      FROM st
+      FROM st WHERE start = 0 OR start - 48 + 64 < len(toks)
     ),
     sig AS (
       SELECT chunk_key, doc_id,

@@ -238,7 +238,13 @@ def test_python_udtf_matches_codegen_chunker(spark):
             import re
 
             toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
-            for i, start in enumerate(range(0, len(toks), stride)):
+            starts = [
+                s
+                for s in range(0, len(toks), stride)
+                # previous window already reached the end → subset chunk
+                if s == 0 or s - stride + chunk_tokens < len(toks)
+            ]
+            for i, start in enumerate(starts):
                 window = toks[start : start + chunk_tokens]
                 yield i, " ".join(window), len(window)
 
