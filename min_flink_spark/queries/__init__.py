@@ -52,6 +52,9 @@ _PRIORITY = [
     "train_val_test_split",  # new in round 3 — never driver-checked
     "minmax_normalized_values",  # new in round 3 — never driver-checked
     "zscore_standardized_values",  # new in round 3 — never driver-checked
+    "vocab_oov_rate",  # new in round 3 — never driver-checked
+    "bigram_top_pairs",  # new in round 3 — never driver-checked
+    "conversation_assembly",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -759,3 +759,39 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, "fp", "left_anti"
     )
     return fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "fp")
+
+
+@query(
+    "conversation_assembly",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS convo,
+           min(ts) AS started_at,
+           max(ts) AS ended_at
+    FROM events GROUP BY user_id
+    """,
+)
+def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat/fine-tune data assembly: collapse a user's event stream into
+    ONE ordered conversation record (the per-thread "messages" array of
+    an SFT corpus).  Spark's ``collect_list`` has no intra-group order
+    guarantee, so the canonical pattern is collect structs keyed by
+    (ts, event_id) and ``array_sort`` them — struct comparison is
+    lexicographic by field position, and event_id is unique, so the
+    order is total and deterministic under any partitioning.
+
+    Scale: one shuffle on user_id; per-group state is one conversation,
+    which is bounded by definition of the use case (a thread must fit
+    in a training example).  The sorted array never crosses executors
+    un-aggregated."""
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(ordered, lambda x: x["event_type"]), ">"
+        ).alias("convo"),
+        F.min("ts").alias("started_at"),
+        F.max("ts").alias("ended_at"),
+    )

@@ -1244,3 +1244,99 @@ def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter(~F.col("blocked")).select(
         "doc_id", "n_urls", F.concat_ws(",", "uniq").alias("domains_csv")
     )
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    vocab AS (SELECT term FROM tc ORDER BY cnt DESC, term ASC LIMIT 500)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary construction + per-doc OOV rate: build
+    the top-V corpus vocabulary (V=500, count-desc/term-asc total order
+    so the cut is deterministic), then score every document's
+    out-of-vocabulary token rate — the standard coverage check before
+    training a tokenizer / choosing V.
+
+    Scale: term counts are one hash-agg on ``term``; the top-V cut is
+    TakeOrderedAndProject (partial top-V per partition, V rows to the
+    driver plan — never a global sort).  The vocab join IS broadcast,
+    and unlike the TF-IDF df table this is safe at any corpus size: the
+    broadcast side is bounded at V=500 rows BY CONSTRUCTION, not by
+    data statistics.  The per-doc agg shuffles on doc_id once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        tc.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(500)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("bigint")
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("oov_tokens"),
+            F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "bigram_top_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM d
+    ),
+    bg AS (
+      SELECT a.term || ' ' || b.term AS bigram
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY 1
+    ORDER BY cnt DESC, bigram ASC LIMIT 20
+    """,
+)
+def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (top-20): the first step of any
+    n-gram language model / contamination fingerprint.  Adjacent-pair
+    construction happens INSIDE the token array via a positional
+    ``transform`` lambda — purely map-side, no positional self-join and
+    no shuffle until the count agg (the oracle replays it as a
+    pos+1 self-join, which is the relational equivalent).  One hash-agg
+    on ``bigram`` + TakeOrderedAndProject for the top-20; ties at the
+    cut break on bigram text, so row membership is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (t, i) -> concat(t, ' ', toks[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
