@@ -897,3 +897,54 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             max(cnt) AS max_cnt
+      FROM per_key
+    ),
+    top AS (
+      SELECT user_id, cnt FROM per_key ORDER BY cnt DESC, user_id ASC LIMIT 10
+    )
+    SELECT t.user_id, t.cnt,
+           round(CAST(t.cnt AS DOUBLE) / total, 6) AS share,
+           round(CAST(max_cnt * n_keys AS DOUBLE) / total, 6) AS skew_ratio
+    FROM top t CROSS JOIN tot
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics: the pre-flight check you run BEFORE picking
+    a join/agg strategy at scale — top-10 heaviest keys with their share
+    of all rows, plus the global skew ratio (max key count over the mean;
+    1.0 = uniform, >>1 = salt or AQE-skew-join territory).
+
+    Scale: one hash-agg on the key, a scalar second agg, and a
+    TakeOrderedAndProject for the top-10 — never a global sort, and the
+    per-key table itself never leaves the executors.  skew_ratio
+    multiplies exact bigints (max*n_keys) before its single double
+    division, so the oracle matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per_key.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = per_key.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(10)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(
+            (F.col("max_cnt") * F.col("n_keys")).cast("double") / F.col("total"), 6
+        ).alias("skew_ratio"),
+    )
