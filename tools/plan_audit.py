@@ -46,6 +46,8 @@ EXPECTED_CROSS = {
     "tfidf_top_terms",          # single-row doc-count scalar cross join
     "length_bucketed_batches",  # single-row quartile-cuts scalar cross join
     "unigram_surprisal_score",  # single-row corpus-token-total scalar cross join
+    "chunk_retrieval_topk",     # k query vectors broadcast into the chunk corpus
+    "skew_report",              # single-row totals scalar cross join
 }
 EXPECTED_SINGLE_PARTITION = {
     "global_sort_expensive_orders",  # the query IS a global sort
