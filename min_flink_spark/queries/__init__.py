@@ -56,6 +56,8 @@ _PRIORITY = [
     "bigram_top_pairs",  # new in round 3 — never driver-checked
     "conversation_assembly",  # new in round 3 — never driver-checked
     "skew_report",  # new in round 3 — never driver-checked
+    "promo_revenue_share",  # new in round 3 — never driver-checked
+    "returned_item_customers",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

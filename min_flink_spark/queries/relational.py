@@ -948,3 +948,108 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_cnt") * F.col("n_keys")).cast("double") / F.col("total"), 6
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+             p_type LIKE 'PROMO%' AS is_promo
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    )
+    SELECT 100.0 * CAST(sum(CASE WHEN is_promo THEN CAST(rev_u AS DECIMAL(18,0))
+                                 ELSE CAST(0 AS DECIMAL(18,0)) END) AS DOUBLE)
+             / CAST(sum(CAST(rev_u AS DECIMAL(18,0))) AS DOUBLE) AS promo_share_pct,
+           CAST(sum(CAST(rev_u AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
+             AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM c
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: promo-type revenue share for one ship month.
+    The month filter reaches the lineitem scan (partition-prunable on a
+    date-partitioned layout); the part join carries NO broadcast hint —
+    part grows with SF in TPC-H, so the choice belongs to AQE (broadcast
+    at bench scale, shuffle on p_partkey at 100 TB).  Revenue
+    accumulates in exact integer cents² units (decimal(28,0)
+    accumulator), so the single double division — the only inexact op —
+    runs over bit-identical operands on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev_u = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        rev_u.alias("rev_u"), F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    promo = F.sum(
+        F.when(F.col("is_promo"), _acc(F.col("rev_u"))).otherwise(
+            _acc(F.lit(0))
+        )
+    ).cast("double")
+    total = F.sum(_acc(F.col("rev_u"))).cast("double")
+    return joined.agg(
+        (F.lit(100.0) * promo / total).alias("promo_share_pct"),
+        (total / 10000.0).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "returned_item_customers",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT c.o_custkey AS c_custkey, n_name,
+           CAST(sum(CAST(rev_u AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM c
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter.  Returnflag filter pushes to the lineitem scan; orders
+    (date-filtered) joins on the shared orderkey; customer/nation dims
+    broadcast; the cut is TakeOrderedAndProject with a custkey tiebreak
+    so row membership at the boundary is deterministic.  Revenue is
+    exact integer cents² with a decimal(28,0) accumulator."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_u = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_custkey", rev_u.alias("rev_u")
+    )
+    return (
+        fact.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"), F.col("n_name"))
+        .agg(
+            (F.sum(_acc(F.col("rev_u"))).cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

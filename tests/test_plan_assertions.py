@@ -126,3 +126,52 @@ def test_global_index_no_single_partition_exchange(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert out.rdd.getNumPartitions() > 1
+
+
+def _shuffles(plan: str) -> int:
+    return (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+    )
+
+
+def test_bigram_plan_is_map_side_until_count(spark, sf_dir):
+    """Bigram construction must stay inside the token array (positional
+    transform + explode) — the only shuffle allowed is the count agg's,
+    plus the top-20 cut as TakeOrderedAndProject. A positional self-join
+    (the oracle's relational formulation) would add a join shuffle."""
+    plan = _plan(spark, sf_dir, "bigram_top_pairs")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert _shuffles(plan) <= 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_oov_plan_bounded_broadcast(spark, sf_dir):
+    """The vocab join must broadcast (the build side is bounded at V=500
+    rows BY CONSTRUCTION — unlike the TF-IDF df table this hint is
+    legitimate at any corpus size) and the top-V cut must be
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, sf_dir, "vocab_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conversation_assembly_single_shuffle(spark, sf_dir):
+    """Ordered collect must be ONE two-phase object-hash aggregate on
+    the thread key — a sort-based fallback or an extra exchange means
+    the array_sort pattern regressed to a global sort."""
+    plan = _plan(spark, sf_dir, "conversation_assembly")
+    assert "ObjectHashAggregate" in plan
+    assert _shuffles(plan) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_no_global_sort(spark, sf_dir):
+    """The heavy-key cut must be TakeOrderedAndProject over the per-key
+    counts; the only single-partition exchange allowed is the 1-row
+    totals scalar."""
+    plan = _plan(spark, sf_dir, "skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("SinglePartition") <= 2  # scalar agg + its broadcast
