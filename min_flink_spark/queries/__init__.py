@@ -58,6 +58,7 @@ _PRIORITY = [
     "skew_report",  # new in round 3 — never driver-checked
     "promo_revenue_share",  # new in round 3 — never driver-checked
     "returned_item_customers",  # new in round 3 — never driver-checked
+    "streaming_outer_interval_join",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

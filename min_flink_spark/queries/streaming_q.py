@@ -405,3 +405,87 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
     with shuffle_partitions(spark, 8):
         return run_to_completion(joined, output_mode="append")
+
+
+@query(
+    "streaming_outer_interval_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM clicks),
+                   (SELECT max(ts) FROM purchases))
+             - INTERVAL 1 HOUR AS w
+    )
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+    FROM clicks a JOIN purchases b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    UNION ALL
+    SELECT a.user_id, a.event_id AS click_id, -1 AS purchase_id
+    FROM clicks a CROSS JOIN wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM purchases b
+        WHERE b.user_id = a.user_id
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+      )
+      AND a.ts + INTERVAL 2 HOUR < wm.w
+    """,
+)
+def q_streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM **left outer** interval join: matches emit as they
+    arrive; an unmatched click emits (click_id, NULL) only once the
+    watermark proves no purchase can still arrive — i.e. when
+    ``click_ts + 2h`` falls behind the final watermark
+    (min over both sources of max event-time − 1 h delay).  AvailableNow
+    runs one extra no-data batch after the last input so eligible state
+    actually flushes.  The oracle replays BOTH halves: the plain batch
+    interval join, plus the eviction predicate for the null rows —
+    unmatched clicks still inside the watermark horizon correctly appear
+    on NEITHER side."""
+    from min_flink_spark.streaming.runner import shuffle_partitions
+
+    s1 = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    s2 = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    clicks = (
+        s1.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        s2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        on=[
+            F.col("c_user") == F.col("p_user"),
+            F.col("p_ts") >= F.col("c_ts"),
+            F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS"),
+        ],
+        how="leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        # -1 sentinel for "watermark-confirmed no purchase": a nullable
+        # BIGINT output column is gate-hazardous (DuckDB NULL-able ints
+        # materialize as float64 in pandas, so non-null cells hash as
+        # 5.0 vs Spark's 5 — the HUGEINT dtype class). The join itself
+        # emits genuine NULLs; only the gate surface encodes them.
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+    )
+    with shuffle_partitions(spark, 8):
+        return run_to_completion(joined, output_mode="append")
