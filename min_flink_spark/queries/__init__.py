@@ -19,12 +19,12 @@ from min_flink_spark.queries import windows  # noqa: F401
 # driver row (ADVICE r2: semantic rewrites must always get a fresh row),
 # then (b) the longest-unchecked queries (last driver row = round 1);
 # queries with a fresh round-2 green row and no change since sort last.
-# NEXT-ROUND ROTATION NOTE: the 24 round-3 queries consume roughly half
-# the 50-slot prefix, so ~13 round-1-checked queries (the tail of block
-# (b): simhash_docs..deterministic_sample and a few before) get no
-# fresh row this round — in round 4, promote exactly those into the
-# prefix ahead of anything round-3-green, unless changed queries exist
-# (changed always first). All 112 stay strict-green in the LOCAL gate
+# NEXT-ROUND ROTATION NOTE: the 30 round-3 queries consume over half
+# the 50-slot prefix, so ~23 round-1-checked queries (the tail of block
+# (b): roughly running_reduce_sum..deterministic_sample) get no fresh
+# row this round — in round 4, promote exactly those into the prefix
+# ahead of anything round-3-green, unless changed queries exist
+# (changed always first). All 119 stay strict-green in the LOCAL gate
 # at sf0.01 and sf0.1 regardless (tools/run_all.py stage 1).
 _PRIORITY = [
     # ---- (a) changed in round 3: red-row oracle fixes (dtype CASTs),

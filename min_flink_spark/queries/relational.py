@@ -1043,7 +1043,10 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", rev_u.alias("rev_u")
     )
     return (
-        fact.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # NO hint on customer: it scales with SF (15 B rows at the 100 TB
+        # point) — AQE broadcasts at bench scale, shuffles on custkey at
+        # scale. nation is 25 rows, bounded by construction.
+        fact.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("o_custkey").alias("c_custkey"), F.col("n_name"))
         .agg(
