@@ -19,12 +19,12 @@ from min_flink_spark.queries import windows  # noqa: F401
 # driver row (ADVICE r2: semantic rewrites must always get a fresh row),
 # then (b) the longest-unchecked queries (last driver row = round 1);
 # queries with a fresh round-2 green row and no change since sort last.
-# NEXT-ROUND ROTATION NOTE: the 30 round-3 queries consume over half
-# the 50-slot prefix, so ~23 round-1-checked queries (the tail of block
+# NEXT-ROUND ROTATION NOTE: the 31 round-3 queries consume over half
+# the 50-slot prefix, so ~24 round-1-checked queries (the tail of block
 # (b): roughly running_reduce_sum..deterministic_sample) get no fresh
 # row this round — in round 4, promote exactly those into the prefix
 # ahead of anything round-3-green, unless changed queries exist
-# (changed always first). All 119 stay strict-green in the LOCAL gate
+# (changed always first). All 120 stay strict-green in the LOCAL gate
 # at sf0.01 and sf0.1 regardless (tools/run_all.py stage 1).
 _PRIORITY = [
     # ---- (a) changed in round 3: red-row oracle fixes (dtype CASTs),
@@ -59,6 +59,7 @@ _PRIORITY = [
     "promo_revenue_share",  # new in round 3 — never driver-checked
     "returned_item_customers",  # new in round 3 — never driver-checked
     "streaming_outer_interval_join",  # new in round 3 — never driver-checked
+    "recency_decay_weights",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

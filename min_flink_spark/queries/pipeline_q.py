@@ -1340,3 +1340,70 @@ def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@query(
+    "recency_decay_weights",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS anchor FROM events),
+    w AS (
+      SELECT event_type,
+             CAST(round(exp(-(date_diff('microsecond', ts, anchor.anchor))
+                            / 2592000000000.0) * 1000000) AS BIGINT) AS wu
+      FROM events CROSS JOIN anchor
+    ),
+    per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(wu) AS BIGINT) AS mass_u
+      FROM w GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(mass_u) AS BIGINT) AS total FROM per)
+    SELECT event_type, n, mass_u,
+           round(CAST(mass_u AS DOUBLE) / total, 6) AS share
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted corpus mixing: each record's sampling mass decays
+    exponentially with age (30-day half-life-ish constant), aggregated
+    per source — the freshness-weighting step of a data-mixing pipeline
+    that prefers recent crawl over stale.
+
+    Exactness: the decay weight is quantized to integer micro-units at
+    the ROW level (round(exp·1e6) → bigint) so every aggregate above it
+    is an exact integer sum — the only cross-engine float op is exp()
+    itself, whose ulp-level engine differences are absorbed by the
+    quantization except on measure-zero boundaries (same contract as
+    unigram surprisal). Age rides exact integer MICROseconds: Spark's
+    timestampdiff(SECOND) measures elapsed seconds while DuckDB's
+    date_diff('second') counts boundary crossings, so sub-second
+    timestamps disagree at whole-second granularity — at microsecond
+    granularity (the storage unit) both are the exact difference. No
+    timestamp-to-double casts (TIMESTAMP_NTZ-safe).
+
+    Scale: two scalar broadcasts (anchor row, totals row — both 1 row
+    by construction), one hash-agg on the source key."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    wu = (
+        F.round(
+            F.exp(
+                -F.expr("timestampdiff(MICROSECOND, ts, anchor)")
+                / F.lit(2592000000000.0)
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("wu")
+    )
+    w = ev.crossJoin(F.broadcast(anchor)).select("event_type", wu)
+    per = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("wu").alias("mass_u")
+    )
+    tot = per.agg(F.sum("mass_u").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "mass_u",
+        F.round(F.col("mass_u").cast("double") / F.col("total"), 6).alias("share"),
+    )

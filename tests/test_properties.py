@@ -449,3 +449,31 @@ def test_dedup_substrings_matches_model(spark, docs, k):
         for r in dedup_substrings(df, k=k, df_cap=1000).collect()
     }
     assert got == _substr_model(docs, k, 1000)
+
+
+def test_conversation_assembly_partition_invariant(spark, sf_dir):
+    """The ordered-collect pattern (collect structs + array_sort) must
+    yield the SAME conversation string under any physical partitioning —
+    the whole point of sorting inside the array instead of relying on
+    collect_list order."""
+    from min_flink_spark.queries import QUERIES
+
+    base = {
+        r["user_id"]: r["convo"]
+        for r in QUERIES["conversation_assembly"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(7, "event_type")
+    from pyspark.sql import functions as F
+
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    redo = {
+        r["user_id"]: r["convo"]
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda x: x["event_type"]), ">"
+            ).alias("convo")
+        )
+        .collect()
+    }
+    assert base == redo

@@ -48,6 +48,7 @@ EXPECTED_CROSS = {
     "unigram_surprisal_score",  # single-row corpus-token-total scalar cross join
     "chunk_retrieval_topk",     # k query vectors broadcast into the chunk corpus
     "skew_report",              # single-row totals scalar cross join
+    "recency_decay_weights",    # 1-row anchor + 1-row totals scalar cross joins
 }
 EXPECTED_SINGLE_PARTITION = {
     "global_sort_expensive_orders",  # the query IS a global sort
