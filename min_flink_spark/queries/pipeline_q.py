@@ -1381,8 +1381,9 @@ def q_recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity (the storage unit) both are the exact difference. No
     timestamp-to-double casts (TIMESTAMP_NTZ-safe).
 
-    Scale: two scalar broadcasts (anchor row, totals row — both 1 row
-    by construction), one hash-agg on the source key."""
+    Scale: one scalar broadcast (the 1-row anchor), one hash-agg on the
+    source key, and a whole-frame window over the per-source rows for
+    the grand total — the fact is scanned exactly once."""
     ev = load_table(spark, sf_dir, "events")
     anchor = ev.agg(F.max("ts").alias("anchor"))
     wu = (
@@ -1400,10 +1401,15 @@ def q_recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = w.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("wu").alias("mass_u")
     )
-    tot = per.agg(F.sum("mass_u").alias("total"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    # the grand total rides a whole-frame window over `per` — per is one
+    # row PER SOURCE (bounded small by definition), so the implied
+    # single-partition exchange moves a handful of rows and the corpus
+    # pipeline runs ONCE (a scalar-agg cross join would re-derive `per`
+    # and re-scan the fact for the totals leg)
+    total = F.sum("mass_u").over(Window.partitionBy())
+    return per.select(
         "event_type",
         "n",
         "mass_u",
-        F.round(F.col("mass_u").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(F.col("mass_u").cast("double") / total, 6).alias("share"),
     )
