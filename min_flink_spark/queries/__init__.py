@@ -10,6 +10,7 @@ from min_flink_spark.queries import llm  # noqa: F401
 from min_flink_spark.queries import pipeline_q  # noqa: F401
 from min_flink_spark.queries import relational  # noqa: F401
 from min_flink_spark.queries import streaming_q  # noqa: F401
+from min_flink_spark.queries import subqueries_q  # noqa: F401
 from min_flink_spark.queries import windows  # noqa: F401
 
 # The driver's correctness gate checks registry queries in dict order and
@@ -60,6 +61,12 @@ _PRIORITY = [
     "returned_item_customers",  # new in round 3 — never driver-checked
     "streaming_outer_interval_join",  # new in round 3 — never driver-checked
     "recency_decay_weights",  # new in round 3 — never driver-checked
+    "customer_order_distribution",  # new in round 3 — never driver-checked
+    "small_quantity_revenue",  # new in round 3 — never driver-checked
+    "large_volume_customers",  # new in round 3 — never driver-checked
+    "idle_rich_customers",  # new in round 3 — never driver-checked
+    "part_value_concentration",  # new in round 3 — never driver-checked
+    "event_funnel_conversion",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

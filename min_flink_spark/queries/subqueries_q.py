@@ -1,0 +1,370 @@
+"""Correlated-subquery query shapes, decorrelated the way a 100 TB
+planner must (SURVEY §2.5 — the reference has no join/subquery surface
+at all, so DuckDB-oracle SQL semantics is the spec; these cover the
+remaining classic TPC-H subquery patterns: Q13/Q17/Q18/Q22/Q11 shapes
+plus a funnel conversion analytic).
+
+Scale doctrine shared by all of these: a correlated subquery is never
+executed per-row — it is rewritten as (a) a pre-aggregation joined back
+on the correlation key, or (b) a scalar aggregate broadcast back with
+``crossJoin(F.broadcast(...))``. Both rewrites keep every comparison in
+exact integer units (cents / integer quantities) so the filtered row
+set — and therefore the oracle hash — is bit-stable at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from min_flink_spark.registry import query
+from min_flink_spark.sources import load_table
+
+
+def _cents(col: str):
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _acc(col):
+    """Per-row exact integer → decimal(18,0): Spark widens the SUM
+    accumulator to decimal(28,0) (overflow-safe at the 100 TB design
+    point), while each row value stays long-backed."""
+    return col.cast("decimal(18,0)")
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey, count(*) AS c
+      FROM orders WHERE o_orderpriority <> '5-LOW'
+      GROUP BY o_custkey
+    )
+    SELECT CAST(coalesce(c, 0) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: distribution of per-customer order counts,
+    customers with zero qualifying orders included.
+
+    Scale shape: the naive plan outer-joins the full orders table to
+    customer and aggregates twice. Here orders is aggregated FIRST
+    (count per custkey — map-side partials make this cheap), so the
+    outer join moves one narrow row per customer instead of every
+    order row; the second aggregation is over one row per customer.
+    At 10^9 customers both sides shuffle on the key — no broadcast
+    hint, AQE owns the choice."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counted = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_orders"))
+    return counted.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(18,0))) AS DOUBLE) / 100.0 / 7.0
+             AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN pq   ON pq.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND 2 * CAST(round(l_quantity) AS BIGINT) * cnt < sq
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: revenue from small-quantity orders of one
+    brand's parts, "small" = below half the part's average quantity.
+
+    The correlated scalar subquery (avg quantity for THIS part) is
+    decorrelated into one per-part pre-aggregation joined back on
+    l_partkey — both lineitem scans shuffle on the same key, so the
+    exchange is reused. The avg comparison runs as exact integers
+    (2·qty·cnt < Σqty ⟺ qty < avg/2, no float division), so the
+    qualifying row set is bit-stable. The brand filter reaches the
+    part scan and part broadcasts."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pq_key")).agg(
+        F.sum(qty).alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pq_key"))
+        .filter(2 * qty * F.col("cnt") < F.col("sq"))
+    )
+    return small.agg(
+        (
+            F.sum(_acc(_cents("l_extendedprice"))).cast("double") / 100.0 / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+    )
+    SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderdate,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+             AS o_totalprice,
+           CAST(total_qty AS BIGINT) AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: customers whose single order moved more than
+    300 units. The IN-subquery-with-HAVING is planned as aggregate →
+    filter → join: the per-order quantity rollup (map-side partials)
+    shrinks lineitem to one row per order, the HAVING cuts that to a
+    sliver, and only the sliver joins orders and customer. No
+    broadcast hints: at runtime AQE sees the post-HAVING side is tiny
+    and broadcasts it — exactly the adaptive behavior a fixed hint on
+    customer (10^9 rows at scale) would destroy."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (_cents("o_totalprice").cast("double") / 100.0).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    WITH t AS (
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    ),
+    u AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                         AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS total_bal
+    FROM customer, t
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+      AND NOT EXISTS (SELECT 1 FROM u WHERE u.o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: above-average-balance customers who never
+    placed an urgent order, grouped by nation.
+
+    Two decorrelations in one query: the scalar subquery (global
+    average positive balance) becomes a 1-row aggregate broadcast back
+    with crossJoin, and the NOT EXISTS becomes a left-anti join on the
+    distinct urgent-customer keys. The average comparison is exact
+    integer cents (bal·n > Σbal ⟺ bal > avg). At scale both anti-join
+    sides shuffle on c_custkey — no hint; the 1-row threshold is the
+    only forced broadcast."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    thr = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(_cents("c_acctbal")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(thr))
+        .filter(_cents("c_acctbal") * F.col("n") > F.col("s"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return rich.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(_acc(_cents("c_acctbal"))).cast("double") / 100.0).alias("total_bal"),
+    )
+
+
+@query(
+    "part_value_concentration",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT sum(v) AS s, count(*) AS n FROM pv)
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(CAST(v AS DECIMAL(18,0)) AS DOUBLE) / 100.0 AS part_value
+    FROM pv, t
+    WHERE 10 * CAST(v AS BIGINT) * n > 11 * CAST(s AS BIGINT)
+    """,
+)
+def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: parts whose revenue exceeds 1.1× the average
+    per-part revenue — a HAVING against a global scalar computed from
+    the same aggregation.
+
+    One pass builds the per-part rollup; its own re-aggregation (2
+    longs) broadcasts back, so the "subquery over the subquery" costs
+    one extra 1-row exchange, never a rescan. Threshold arithmetic is
+    integer (10·v·n > 11·s ⟺ v > 1.1·avg) — bigint headroom holds to
+    ~10^17 total cents; beyond that, swap the comparison operands to
+    the decimal accumulators (same plan shape)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    pv = lineitem.groupBy("l_partkey").agg(
+        F.sum(_cents("l_extendedprice")).alias("v")
+    )
+    tot = pv.agg(F.sum(F.col("v")).alias("s"), F.count(F.lit(1)).alias("n"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            10 * F.col("v").cast("bigint") * F.col("n")
+            > 11 * F.col("s").cast("bigint")
+        )
+        .select(
+            "l_partkey",
+            (F.col("v").cast("decimal(18,0)").cast("double") / 100.0).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.tv AND e.ts <= v.tv + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.tc AND e.ts <= c.tc + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_users,
+           CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
+           CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase
+    """,
+)
+def q_event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: first view → first click within 24 h
+    of that view → first purchase within 24 h of that click; emits
+    stage populations and conversion rates.
+
+    Each stage is one aggregation keyed by user_id, joined to the
+    previous stage on the same key — the whole funnel rides a single
+    shuffle partitioning end-to-end (every exchange is on user_id;
+    stage outputs shrink monotonically). The alternative single-pass
+    sort-per-user window needs a full per-user ordering; this shape
+    needs only min() partials, so it map-side-combines at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").alias("v_user"))
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, F.col("user_id") == F.col("v_user"))
+        .filter((F.col("ts") > F.col("tv")) & (F.col("ts") <= F.col("tv") + day))
+        .groupBy(F.col("user_id").alias("c_user"))
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, F.col("user_id") == F.col("c_user"))
+        .filter((F.col("ts") > F.col("tc")) & (F.col("ts") <= F.col("tc") + day))
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.min("ts").alias("tp"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view_users"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_users"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_users"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view_users",
+            "n_click_users",
+            "n_purchase_users",
+            (
+                F.col("n_click_users").cast("double")
+                / F.col("n_view_users").cast("double")
+            ).alias("view_to_click"),
+            (
+                F.col("n_purchase_users").cast("double")
+                / F.col("n_click_users").cast("double")
+            ).alias("click_to_purchase"),
+        )
+    )
