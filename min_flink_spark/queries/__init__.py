@@ -67,6 +67,7 @@ _PRIORITY = [
     "idle_rich_customers",  # new in round 3 — never driver-checked
     "part_value_concentration",  # new in round 3 — never driver-checked
     "event_funnel_conversion",  # new in round 3 — never driver-checked
+    "streaming_cep_followed_by",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -489,3 +489,47 @@ def q_streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     with shuffle_partitions(spark, 8):
         return run_to_completion(joined, output_mode="append")
+
+
+@query(
+    "streaming_cep_followed_by",
+    oracle="""
+    WITH m AS (
+      SELECT p.user_id AS user_id,
+             p.event_id AS purchase_id,
+             c.event_id AS click_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p
+      JOIN events c
+        ON c.user_id = p.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(click_id AS BIGINT) AS click_id
+    FROM m WHERE rn = 1
+    """,
+)
+def q_streaming_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern on the stream: click followed by purchase within
+    1 h per user, latest-match-wins (streaming/cep.py). Keyed state
+    holds only the trailing-window clicks; matching is vectorized
+    searchsorted. The oracle replays the pattern as a self-join +
+    row_number — the batch-SQL definition of followedBy/within."""
+    from min_flink_spark.streaming.cep import FollowedByFunction
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.stateful import process_keyed
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    ev = s.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    fn = FollowedByFunction("click", "purchase", 3_600_000_000)
+    matched = process_keyed(ev, ["user_id"], fn, output_mode="update")
+    with shuffle_partitions(spark, 8):
+        return run_to_completion(matched, output_mode="update")

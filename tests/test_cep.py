@@ -1,0 +1,92 @@
+"""CEP followed-by pattern (streaming/cep.py): tie determinism, window
+boundaries, and cross-micro-batch state carry."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from min_flink_spark.streaming.cep import FollowedByFunction
+from min_flink_spark.streaming.runner import (
+    run_to_completion,
+    shuffle_partitions,
+    stream_parquet,
+)
+from min_flink_spark.streaming.stateful import process_keyed
+
+SCHEMA = "user_id bigint, ts_us bigint, event_id bigint, event_type string"
+HOUR = 3_600_000_000
+
+
+def _run(spark, rows, tmpdir="/tmp"):
+    src = os.path.join(tmpdir, "cep_events")
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    s = stream_parquet(spark, src, SCHEMA)
+    fn = FollowedByFunction("click", "purchase", HOUR)
+    out = process_keyed(s, ["user_id"], fn, output_mode="update")
+    with shuffle_partitions(spark, 2):
+        return run_to_completion(out, output_mode="update").collect()
+
+
+def test_tie_on_click_ts_takes_larger_id(spark, tmp_path):
+    rows = [
+        (1, 1000, 11, "click"),
+        (1, 1000, 12, "click"),  # same ts as 11 — must win on id
+        (1, 2000, 20, "purchase"),
+    ]
+    got = _run(spark, rows, tmpdir=str(tmp_path))
+    assert [(r.purchase_id, r.click_id) for r in got] == [(20, 12)]
+
+
+def test_window_boundaries_inclusive_start_exclusive_end(spark, tmp_path):
+    rows = [
+        (2, 0, 1, "click"),          # exactly purchase_ts - 1h: matches
+        (2, HOUR, 2, "purchase"),
+        (3, 5000, 3, "click"),
+        (3, 5000, 4, "purchase"),    # click NOT strictly before: no match
+        (4, 0, 5, "click"),
+        (4, HOUR + 1, 6, "purchase"),  # 1h+1us gap: expired
+    ]
+    got = {r.purchase_id: r.click_id for r in _run(spark, rows, tmpdir=str(tmp_path))}
+    assert got == {2: 1}
+
+
+def test_each_purchase_matches_latest_click(spark, tmp_path):
+    rows = [
+        (5, 1000, 1, "click"),
+        (5, 2000, 2, "click"),
+        (5, 3000, 3, "purchase"),  # → click 2
+        (5, 4000, 4, "purchase"),  # → click 2 again (no consumption)
+        (5, 5000, 5, "click"),
+        (5, 6000, 6, "purchase"),  # → click 5
+    ]
+    got = {r.purchase_id: r.click_id for r in _run(spark, rows, tmpdir=str(tmp_path))}
+    assert got == {3: 2, 4: 2, 6: 5}
+
+
+def test_state_carries_across_batches(spark, tmp_path):
+    """Clicks arriving in an earlier micro-batch must match purchases
+    in a later one: two files, one per trigger, clicks all earlier in
+    event time than every purchase."""
+    src = str(tmp_path / "cep_two_batches")
+    clicks = spark.createDataFrame(
+        [(7, 1000, 1, "click"), (7, 2000, 2, "click")], SCHEMA
+    )
+    purchases = spark.createDataFrame([(7, 3000, 9, "purchase")], SCHEMA)
+    # stage as two separate files so maxFilesPerTrigger=1 yields 2 batches
+    clicks.coalesce(1).write.parquet(src + "/f=a")
+    purchases.coalesce(1).write.parquet(src + "/f=b")
+    import glob
+
+    files = sorted(glob.glob(src + "/f=*/**/*.parquet", recursive=True))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(files):
+        os.link(f, os.path.join(flat, f"{i:02d}.parquet"))
+
+    s = stream_parquet(spark, flat, SCHEMA, max_files_per_trigger=1)
+    fn = FollowedByFunction("click", "purchase", HOUR)
+    out = process_keyed(s, ["user_id"], fn, output_mode="update")
+    with shuffle_partitions(spark, 2):
+        got = run_to_completion(out, output_mode="update").collect()
+    assert {(r.purchase_id, r.click_id) for r in got} == {(9, 2)}
