@@ -175,3 +175,35 @@ def test_skew_report_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "skew_report")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("SinglePartition") <= 2  # scalar agg + its broadcast
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """Scale technique lock: Spark's runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.*, on by default in
+    session.py via Spark's own default) must fire for the canonical
+    shape — a big fact shuffle-joined to a selectively filtered side —
+    pre-filtering the fact scan with might_contain before the shuffle.
+    The size thresholds are scoped down here because testdata is far
+    below the 10 GiB production threshold; at 100 TB the defaults fire
+    on their own."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter was not injected"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
