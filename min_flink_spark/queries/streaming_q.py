@@ -533,3 +533,78 @@ def q_streaming_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = process_keyed(ev, ["user_id"], fn, output_mode="update")
     with shuffle_partitions(spark, 8):
         return run_to_completion(matched, output_mode="update")
+
+
+from min_flink_spark.streaming.connect import CoProcessFunction
+
+
+class _ClickPurchaseCoProcess(CoProcessFunction):
+    """CoProcessFunction for streaming_connect_coprocess: one shared
+    per-user state accumulating click count from the left stream and
+    purchase value (exact micro-units) from the right; the per-batch
+    snapshot is emitted in finish_batch."""
+
+    state_schema = "clicks bigint, purch_u bigint"
+    output_schema = "user_id bigint, n_clicks bigint, purchase_value double"
+
+    def process_left(self, key, rows, state):
+        clicks, purch = state or (0, 0)
+        return None, (clicks + len(rows), purch)
+
+    def process_right(self, key, rows, state):
+        clicks, purch = state or (0, 0)
+        return None, (clicks, purch + int(rows["vu"].sum()))
+
+    def finish_batch(self, key, state):
+        import pandas as pd
+
+        if state is None:
+            return None, None
+        clicks, purch = state
+        out = pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [clicks],
+                "purchase_value": [purch / 1000000.0],
+            }
+        )
+        return out, state
+
+
+@query(
+    "streaming_connect_coprocess",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, count(*) AS c FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, sum(CAST(round(value * 1000000) AS BIGINT)) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT CAST(coalesce(l.user_id, r.user_id) AS BIGINT) AS user_id,
+           CAST(coalesce(c, 0) AS BIGINT) AS n_clicks,
+           CAST(coalesce(v, 0) AS DOUBLE) / 1000000.0 AS purchase_value
+    FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+    """,
+)
+def q_streaming_connect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream connect (streaming/connect.py): clicks and purchases
+    co-processed under ONE per-user state — the ConnectedStreams /
+    CoProcessFunction surface. The tagged union moves both streams
+    through a single key shuffle; value arithmetic is exact micro-units
+    computed Spark-side (the pandas function only sums int64). Bounded
+    replay ⇒ the final snapshot equals the batch full-outer rollup."""
+    from min_flink_spark.streaming.connect import connect_keyed
+    from min_flink_spark.streaming.runner import shuffle_partitions
+
+    s1 = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    s2 = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    clicks = s1.filter(F.col("event_type") == "click").select("user_id", "event_id")
+    purchases = s2.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.round(F.col("value") * 1000000).cast("bigint").alias("vu")
+    )
+    fn = _ClickPurchaseCoProcess()
+    snap = connect_keyed(clicks, purchases, ["user_id"], fn, output_mode="update")
+    with shuffle_partitions(spark, 8):
+        return run_to_completion(snap, output_mode="update")
