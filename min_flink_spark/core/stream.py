@@ -123,6 +123,22 @@ class Stream:
             out = out.unionByName(o.df)
         return Stream(out)
 
+    def side_output(self, cond: Column | str) -> tuple["Stream", "Stream"]:
+        """Split into (main, side): rows matching ``cond`` go to the
+        side stream — the OutputTag pattern (late-data/error routing).
+
+        Spark has no in-plan row routing, so this is two filters over
+        the same lineage; Catalyst reuses the scan (and with
+        ``.persist()`` on the input, the computed batch) for both
+        branches. NULL condition rows follow SQL semantics: they match
+        neither ``cond`` nor ``~cond`` and land in the MAIN stream via
+        the null-safe complement, so the split is always a partition
+        (main ∪ side = input, main ∩ side = ∅)."""
+        c = F.expr(cond) if isinstance(cond, str) else cond
+        side = self.df.filter(c)
+        main = self.df.filter(~c.eqNullSafe(F.lit(True)))
+        return Stream(main), Stream(side)
+
     # ---- sinks (reference §2.7) ----
 
     def print(self, prefix: str | None = None, n: int = 20) -> None:

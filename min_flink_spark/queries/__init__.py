@@ -69,6 +69,7 @@ _PRIORITY = [
     "event_funnel_conversion",  # new in round 3 — never driver-checked
     "streaming_cep_followed_by",  # new in round 3 — never driver-checked
     "streaming_connect_coprocess",  # new in round 3 — never driver-checked
+    "declining_streak_users",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -4,7 +4,7 @@ approximate aggregates, duplicate clustering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from min_flink_spark.operators.graph import connected_components
@@ -327,4 +327,64 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("kept_doc"),
         F.col("quality").alias("kept_len"),
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
+@query(
+    "declining_streak_users",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < lag(value) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                  THEN 0 ELSE 1 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS grp
+      FROM o
+    ),
+    runs AS (
+      SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(max(len) AS BIGINT) AS longest_decline
+    FROM runs GROUP BY user_id
+    HAVING max(len) >= 3
+    """,
+)
+def q_declining_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection in batch (the MATCH_RECOGNIZE
+    capability, expressed as gaps-and-islands): per user, the longest
+    run of strictly declining values in (ts, event_id) order; keep
+    runs spanning ≥3 events.
+
+    Two window passes over ONE per-user sort (same partition key and
+    ordering → Spark evaluates both in a single Window chain after one
+    shuffle+sort), then two hash aggregations. No per-row Python; ties
+    on ts resolve by event_id so the run segmentation is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(F.col("value") < F.lag("value").over(w), F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    grp = F.sum(brk).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        ev.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(F.max("len").alias("longest_decline"))
+        .filter(F.col("longest_decline") >= 3)
     )

@@ -103,3 +103,31 @@ def test_connected_components_matches_union_find_random(spark):
     edges = spark.createDataFrame(edge_list, "doc_a bigint, doc_b bigint")
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == expected
+
+
+def test_declining_streak_handmade(spark, tmp_path):
+    """3-step decline detected; interrupted runs reset; ties on ts
+    segment by event_id."""
+    import datetime as dt
+
+    from min_flink_spark.queries.analytics_q import q_declining_streaks
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        # user 1: 5 > 4 > 3 then up — longest run 3
+        (1, t0, 1, 5.0), (1, t0, 2, 4.0), (1, t0, 3, 3.0), (1, t0, 4, 9.0),
+        # user 2: strictly increasing — no run
+        (2, t0, 5, 1.0), (2, t0, 6, 2.0), (2, t0, 7, 3.0),
+        # user 3: 4-long decline
+        (3, t0, 8, 9.0), (3, t0, 9, 7.0), (3, t0, 10, 5.0), (3, t0, 11, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, value double"
+    )
+    src = str(tmp_path / "streak_events")
+    df.write.parquet(src + "/events.parquet")
+    got = {
+        r["user_id"]: r["longest_decline"]
+        for r in q_declining_streaks(spark, src).collect()
+    }
+    assert got == {1: 3, 3: 4}

@@ -268,3 +268,22 @@ def test_python_udtf_matches_codegen_chunker(spark):
         for r in chunk_text(df, chunk_tokens=5, stride=3).collect()
     }
     assert got == want and len(want) > 3
+
+
+def test_side_output_partitions_input(spark):
+    """side_output is a partition: every row lands in exactly one of
+    (main, side), including NULL-condition rows (→ main)."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.core.stream import Stream
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (4, 0.0)], "id bigint, v double"
+    )
+    main, side = Stream(df).side_output(F.col("v") > 0)
+    main_ids = {r["id"] for r in main.df.collect()}
+    side_ids = {r["id"] for r in side.df.collect()}
+    assert side_ids == {1}
+    assert main_ids == {2, 3, 4}  # NULL condition row stays in main
+    assert main_ids | side_ids == {1, 2, 3, 4}
+    assert main_ids & side_ids == set()
