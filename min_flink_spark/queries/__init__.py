@@ -70,6 +70,7 @@ _PRIORITY = [
     "streaming_cep_followed_by",  # new in round 3 — never driver-checked
     "streaming_connect_coprocess",  # new in round 3 — never driver-checked
     "declining_streak_users",  # new in round 3 — never driver-checked
+    "custom_pysource_events",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

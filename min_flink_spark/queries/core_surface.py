@@ -282,3 +282,55 @@ def q_either_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("either.left").alias("left_amount"),
         F.col("either.right").alias("right_status"),
     )
+
+
+@query(
+    "custom_pysource_events",
+    oracle="""
+    WITH g AS (
+      SELECT i,
+        CASE (CAST(('0x' || substr(md5('t' || CAST(i AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 5)
+          WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'purchase'
+          WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+        CAST(('0x' || substr(md5('u' || CAST(i AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000 AS user_id,
+        CAST(('0x' || substr(md5('v' || CAST(i AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000 AS vmill
+      FROM range(20000) t(i)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(vmill AS DECIMAL(18,0))) AS DOUBLE) / 1000.0
+             AS value_sum
+    FROM g GROUP BY event_type
+    """,
+)
+def q_custom_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SOURCE end-to-end (sources/pysource.py): a Spark 4 Python
+    DataSource generates 20k deterministic events (md5-derived fields,
+    the repo's cross-engine randomness primitive) across 8 independent
+    slices, then a normal aggregation runs over it. The oracle REPLAYS
+    THE GENERATOR in DuckDB (range + md5 string arithmetic) — the
+    source itself is under the correctness gate, not just the query.
+    Maps the reference's addSource(SourceFunction) run-loop contract
+    (SourceFunction.java:31-47) onto partition-parallel generation."""
+    from min_flink_spark.sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "20000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        (
+            F.sum(F.round(F.col("value") * 1000).cast("bigint").cast("decimal(18,0)"))
+            .cast("double")
+            / 1000.0
+        ).alias("value_sum"),
+    )

@@ -225,3 +225,46 @@ def test_compact_parquet_zorder_nan_column_survives(spark, tmp_path):
     ).write.parquet(src)
     compact_parquet(spark, src, dst, target_file_mb=1, zorder_by=("a", "b"))
     assert spark.read.parquet(dst).count() == 100
+
+
+def test_pysource_batch_deterministic_and_sliced(spark):
+    """Two reads with different partition counts produce identical row
+    sets — slicing is a pure partition of the index range."""
+    from min_flink_spark.sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    a = (
+        spark.read.format("synthetic_events")
+        .option("rows", "1000")
+        .option("partitions", "1")
+        .load()
+    )
+    b = (
+        spark.read.format("synthetic_events")
+        .option("rows", "1000")
+        .option("partitions", "7")
+        .load()
+    )
+    assert a.count() == b.count() == 1000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pysource_stream_reader_drains_bounded(spark):
+    """The streaming reader exposes the full remaining range per poll:
+    an AvailableNow run drains all rows once and terminates."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.sources.pysource import register_synthetic_source
+    from min_flink_spark.streaming.runner import run_to_completion
+
+    register_synthetic_source(spark)
+    s = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "500")
+        .option("partitions", "4")
+        .load()
+    )
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_completion(agg, output_mode="update")
+    total = sum(r["n"] for r in out.collect())
+    assert total == 500
