@@ -71,6 +71,8 @@ _PRIORITY = [
     "streaming_connect_coprocess",  # new in round 3 — never driver-checked
     "declining_streak_users",  # new in round 3 — never driver-checked
     "custom_pysource_events",  # new in round 3 — never driver-checked
+    "recursive_event_chains",  # new in round 3 — never driver-checked
+    "lateral_top2_orders",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -368,3 +368,67 @@ def q_event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+_CHAIN_SQL = """
+WITH RECURSIVE chain (user_id, start_id, cur_ts, cur_id, depth) AS (
+  SELECT user_id, event_id, ts, event_id, 1
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT c.user_id, c.start_id, e.ts, e.event_id, c.depth + 1
+  FROM chain c JOIN events e
+    ON e.user_id = c.user_id
+   AND (e.ts > c.cur_ts OR (e.ts = c.cur_ts AND e.event_id > c.cur_id))
+   AND e.ts <= c.cur_ts + INTERVAL 2 HOUR
+   AND c.depth < 20
+)
+SELECT CAST(start_id AS BIGINT) AS start_id,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM chain GROUP BY start_id
+"""
+
+
+@query("recursive_event_chains", oracle=_CHAIN_SQL)
+def q_recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive dataflow on Spark 4's WITH RECURSIVE: from every
+    signup, follow all event chains whose inter-event gap is ≤ 2 h
+    (strictly forward in (ts, event_id), so the recursion is acyclic
+    by construction; depth-capped at 20 as a runaway guard). Emits per
+    signup the deepest chain and the path count — the IterativeStream
+    capability expressed declaratively. The IDENTICAL SQL runs on both
+    engines. Scale note: each recursion level is one equi-join on
+    user_id over the shrinking frontier; the per-level working set is
+    bounded by chain branching, which the gap window keeps sparse —
+    for dense windows, the iterative pointer-jumping operator
+    (operators/graph.py) is the right tool instead."""
+    from min_flink_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_CHAIN_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+         AS o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query("lateral_top2_orders", oracle=_LATERAL_SQL)
+def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each
+    BUILDING customer's two most expensive orders. Spark DECORRELATES
+    this into a hash join + per-key limit (verified: the executed plan
+    is a BroadcastHashJoin at test SF, shuffle join at scale — never a
+    per-customer rescan), which is exactly why exposing the lateral
+    surface is safe at 100 TB. Identical SQL on both engines."""
+    from min_flink_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_SQL)
