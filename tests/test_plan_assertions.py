@@ -207,3 +207,31 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "customer_order_distribution",
+        "small_quantity_revenue",
+        "large_volume_customers",
+        "idle_rich_customers",
+        "part_value_concentration",
+        "lateral_top2_orders",
+    ],
+)
+def test_decorrelated_shapes_never_nested_loop(spark, sf_dir, name):
+    """Every decorrelated-subquery query must plan as hash/sort-merge
+    joins — a CartesianProduct or BroadcastNestedLoopJoin means the
+    decorrelation regressed to a per-row rescan (the 100 TB killer the
+    rewrite exists to avoid). Scalar 1-row broadcasts are fine and do
+    not appear as BNLJ because the filters are equi-comparisons."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    if name == "part_value_concentration":
+        # its only join IS the 1-row scalar crossJoin (threshold
+        # broadcast back) — no keyed join exists to assert on
+        return
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
