@@ -73,6 +73,7 @@ _PRIORITY = [
     "custom_pysource_events",  # new in round 3 — never driver-checked
     "recursive_event_chains",  # new in round 3 — never driver-checked
     "lateral_top2_orders",  # new in round 3 — never driver-checked
+    "streaming_cep_absence",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -608,3 +608,44 @@ def q_streaming_connect(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = connect_keyed(clicks, purchases, ["user_id"], fn, output_mode="update")
     with shuffle_partitions(spark, 8):
         return run_to_completion(snap, output_mode="update")
+
+
+@query(
+    "streaming_cep_absence",
+    oracle="""
+    WITH mx AS (SELECT user_id, max(ts) AS m FROM events GROUP BY user_id)
+    SELECT CAST(a.user_id AS BIGINT) AS user_id,
+           CAST(a.event_id AS BIGINT) AS click_id
+    FROM events a JOIN mx ON a.user_id = mx.user_id
+    WHERE a.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      )
+      AND a.ts + INTERVAL 1 HOUR <= mx.m
+    """,
+)
+def q_streaming_cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP ABSENCE (timeout) pattern on the stream: alert for every
+    click with no purchase in the following hour, decided once the
+    user's own event time passes the deadline (streaming/cep.py
+    AbsenceFunction — the per-key timer use-case,
+    InternalTimerServiceImpl.java:165-216). Clicks still inside the
+    horizon at end-of-input stay pending and are correctly absent from
+    the output; the oracle replays both the NOT EXISTS and the
+    deadline-passed predicate."""
+    from min_flink_spark.streaming.cep import AbsenceFunction
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.stateful import process_keyed
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    ev = s.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    alerts = process_keyed(ev, ["user_id"], AbsenceFunction(), output_mode="update")
+    with shuffle_partitions(spark, 8):
+        return run_to_completion(alerts, output_mode="update")

@@ -100,3 +100,70 @@ class FollowedByFunction(KeyedProcessFunction):
         keep = a_ts >= max_seen - self.within_us
         new_state = (a_ts[keep].tolist(), a_id[keep].tolist())
         return out, new_state
+
+
+class AbsenceFunction(KeyedProcessFunction):
+    """Timeout pattern: emit an alert for every ``first_type`` event
+    that is NOT followed by a ``second_type`` event within
+    ``within_us`` — the canonical per-key timer use-case
+    (InternalTimerServiceImpl.java:165-216 is the reference machinery
+    this expresses; here the key's own advancing event time plays the
+    watermark).
+
+    An A event times out once the key's max seen event time passes
+    ``a.ts + T`` with no B in ``(a.ts, a.ts + T]``. Satisfied A's are
+    dropped silently; pending A's (still inside the horizon) stay in
+    state. Feed the FULL event stream (not just A/B) so every event
+    advances the key's clock.
+    """
+
+    needs_full_group = True
+    state_schema = "a_ts array<bigint>, a_id array<bigint>"
+    output_schema = "user_id bigint, click_id bigint"
+
+    def __init__(
+        self,
+        first_type: str = "click",
+        second_type: str = "purchase",
+        within_us: int = 3_600_000_000,
+    ):
+        self.first_type = first_type
+        self.second_type = second_type
+        self.within_us = within_us
+
+    def process_element(self, key, rows: pd.DataFrame, state):
+        a_rows = rows[rows["event_type"] == self.first_type]
+        a_ts = a_rows["ts_us"].to_numpy(dtype=np.int64)
+        a_id = a_rows["event_id"].to_numpy(dtype=np.int64)
+        if state is not None:
+            a_ts = np.concatenate([np.asarray(state[0], dtype=np.int64), a_ts])
+            a_id = np.concatenate([np.asarray(state[1], dtype=np.int64), a_id])
+
+        # satisfaction: exists b with a.ts < b.ts <= a.ts + T
+        b_ts = np.sort(
+            rows.loc[rows["event_type"] == self.second_type, "ts_us"].to_numpy(
+                dtype=np.int64
+            )
+        )
+        if len(a_ts) and len(b_ts):
+            nxt = np.searchsorted(b_ts, a_ts, side="right")
+            has_next = nxt < len(b_ts)
+            sat = has_next & (b_ts[np.minimum(nxt, len(b_ts) - 1)] <= a_ts + self.within_us)
+            a_ts, a_id = a_ts[~sat], a_id[~sat]
+
+        out = None
+        max_seen = int(rows["ts_us"].max()) if len(rows) else 0
+        if state is not None and len(rows) == 0:
+            max_seen = 0  # timeout path unused; clock only moves on data
+        expired = a_ts + self.within_us <= max_seen
+        if expired.any():
+            order = np.lexsort((a_id[expired],))
+            out = pd.DataFrame(
+                {
+                    "user_id": np.full(int(expired.sum()), key[0], dtype=np.int64),
+                    "click_id": a_id[expired][order],
+                }
+            )
+        keep = ~expired
+        new_state = (a_ts[keep].tolist(), a_id[keep].tolist())
+        return out, new_state

@@ -90,3 +90,32 @@ def test_state_carries_across_batches(spark, tmp_path):
     with shuffle_partitions(spark, 2):
         got = run_to_completion(out, output_mode="update").collect()
     assert {(r.purchase_id, r.click_id) for r in got} == {(9, 2)}
+
+
+def test_absence_alert_boundaries(spark, tmp_path):
+    """A purchase exactly at click+T satisfies (no alert); expiry fires
+    exactly when the key's clock reaches click+T; pending clicks near
+    end-of-input emit nothing."""
+    from min_flink_spark.streaming.cep import AbsenceFunction
+
+    rows = [
+        # user 1: purchase exactly at +T → satisfied, no alert
+        (1, 0, 1, "click"),
+        (1, HOUR, 2, "purchase"),
+        # user 2: no purchase, a later event advances the clock to +T → alert
+        (2, 0, 3, "click"),
+        (2, HOUR, 4, "view"),
+        # user 3: no purchase but clock never reaches +T → pending, no alert
+        (3, 0, 5, "click"),
+        (3, HOUR - 1, 6, "view"),
+        # user 4: purchase too late (strictly after +T) → alert
+        (4, 0, 7, "click"),
+        (4, HOUR + 1, 8, "purchase"),
+    ]
+    src = str(tmp_path / "absence_events")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    s = stream_parquet(spark, src, SCHEMA)
+    out = process_keyed(s, ["user_id"], AbsenceFunction(), output_mode="update")
+    with shuffle_partitions(spark, 2):
+        got = {(r.user_id, r.click_id) for r in run_to_completion(out, output_mode="update").collect()}
+    assert got == {(2, 3), (4, 7)}
