@@ -795,3 +795,83 @@ def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("started_at"),
         F.max("ts").alias("ended_at"),
     )
+
+
+@query(
+    "semantic_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM corpus
+    ),
+    planes AS (
+      SELECT tbl, p,
+             list_transform(range(0, 64, 1), j ->
+               ('0x' || substr(md5(CAST(tbl*1000 + p AS VARCHAR) || '|'
+                                   || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967295.0 - 0.5) AS plane
+      FROM range(0, 4, 1) t(tbl), range(0, 8, 1) pp(p)
+    ),
+    sigs AS (
+      SELECT vec_id, tbl,
+             CAST(sum(CASE WHEN list_dot_product(v.v, planes.plane) >= 0
+                           THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      FROM v CROSS JOIN planes GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN v va ON va.vec_id = c.id_a
+      JOIN v vb ON vb.vec_id = c.id_b
+      WHERE list_cosine_similarity(va.v, vb.v) >= 0.95
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS w FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk (node, component) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, wk.component FROM edges e JOIN walk wk ON e.w = wk.node
+      WHERE wk.component < e.u OR wk.component < e.w
+    ),
+    comp AS (SELECT node, min(component) AS c FROM walk GROUP BY node)
+    SELECT CAST(corpus.vec_id AS BIGINT) AS vec_id
+    FROM corpus LEFT JOIN comp ON corpus.vec_id = comp.node
+    WHERE comp.node IS NULL OR comp.c = corpus.vec_id
+    """,
+)
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end — the three LLM-pipeline stages
+    composed: LSH-bucketed embedding near-dup pairs (cosine ≥ 0.95,
+    never all-pairs) → pointer-jumping connected components → keep the
+    min-id representative per cluster (singletons pass through). On
+    the planted corpus (embeddings ∪ 50 exact copies) the survivors
+    are exactly the original vec_ids. The oracle replays every stage:
+    md5 hyperplane bucketing, exact cosine rerank, recursive-CTE
+    closure, min-per-component selection."""
+    from min_flink_spark.operators.graph import connected_components
+    from min_flink_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    pairs = near_dup_pairs(
+        corpus, threshold=0.95, num_planes=8, num_tables=4, dim=64
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = connected_components(pairs)
+    removed = comp.filter(F.col("component") != F.col("node")).select("node")
+    return corpus.join(
+        removed, corpus.vec_id == removed.node, "left_anti"
+    ).select("vec_id")

@@ -49,6 +49,9 @@ EXPECTED_CROSS = {
     "chunk_retrieval_topk",     # k query vectors broadcast into the chunk corpus
     "skew_report",              # single-row totals scalar cross join
     "recency_decay_weights",    # 1-row anchor + 1-row totals scalar cross joins
+    "idle_rich_customers",      # 1-row balance-threshold scalar cross join
+    "part_value_concentration", # 1-row rollup-total scalar cross join
+    "event_funnel_conversion",  # three 1-row stage-count scalar cross joins
 }
 EXPECTED_SINGLE_PARTITION = {
     "global_sort_expensive_orders",  # the query IS a global sort
