@@ -56,6 +56,9 @@ from min_flink_spark.sources.bucketed import (
     read_bucketed,
     write_bucketed,
 )
+from min_flink_spark.sources.pysource import SyntheticEventsDataSource
+from min_flink_spark.streaming.cep import AbsenceFunction, FollowedByFunction
+from min_flink_spark.streaming.connect import CoProcessFunction, connect_keyed
 from min_flink_spark.streaming.event_timers import (
     EventTimeProcessFunction,
     process_keyed_event_time,
@@ -63,7 +66,10 @@ from min_flink_spark.streaming.event_timers import (
 from min_flink_spark.streaming.stateful import KeyedProcessFunction, process_keyed
 
 __all__ = [
+    "AbsenceFunction",
+    "CoProcessFunction",
     "EventTimeProcessFunction",
+    "FollowedByFunction",
     "KeyedProcessFunction",
     "KeyedStream",
     "Stream",
@@ -86,6 +92,8 @@ __all__ = [
     "read_bucketed",
     "salted_agg",
     "salted_join",
+    "SyntheticEventsDataSource",
+    "connect_keyed",
     "session",
     "slide",
     "top_k",
