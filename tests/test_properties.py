@@ -477,3 +477,90 @@ def test_conversation_assembly_partition_invariant(spark, sf_dir):
         .collect()
     }
     assert base == redo
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern functions vs brute-force models (pure pandas — no Spark)
+# ---------------------------------------------------------------------------
+
+_cep_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),   # ts_us (tiny clock)
+        st.sampled_from(["click", "purchase", "view"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _cep_frame(events):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "ts_us": [t for t, _ in events],
+            "event_id": list(range(len(events))),
+            "event_type": [k for _, k in events],
+        }
+    )
+
+
+@given(events=_cep_events, window=st.integers(min_value=1, max_value=20))
+@settings(max_examples=200, deadline=None)
+def test_followed_by_matches_bruteforce(events, window):
+    """Single-batch FollowedByFunction ≡ per-purchase brute force:
+    latest click strictly before, within the inclusive window, ties on
+    ts resolved by larger event_id."""
+    from min_flink_spark.streaming.cep import FollowedByFunction
+
+    fn = FollowedByFunction("click", "purchase", window)
+    out, _ = fn.process_element((7,), _cep_frame(events), None)
+    got = (
+        set()
+        if out is None
+        else {(r.purchase_id, r.click_id) for r in out.itertuples()}
+    )
+    want = set()
+    for i, (bt, bk) in enumerate(events):
+        if bk != "purchase":
+            continue
+        cands = [
+            (at, j)
+            for j, (at, ak) in enumerate(events)
+            if ak == "click" and at < bt and at >= bt - window
+        ]
+        if cands:
+            want.add((i, max(cands)[1]))
+    assert got == want
+
+
+@given(events=_cep_events, window=st.integers(min_value=1, max_value=20))
+@settings(max_examples=200, deadline=None)
+def test_absence_matches_bruteforce(events, window):
+    """Single-batch AbsenceFunction ≡ brute force: a click alerts iff
+    no purchase in (ts, ts+T] AND the key's max ts reaches ts+T."""
+    from min_flink_spark.streaming.cep import AbsenceFunction
+
+    fn = AbsenceFunction("click", "purchase", window)
+    out, state = fn.process_element((7,), _cep_frame(events), None)
+    got = set() if out is None else {r.click_id for r in out.itertuples()}
+    max_ts = max((t for t, _ in events), default=0)
+    want = set()
+    for j, (at, ak) in enumerate(events):
+        if ak != "click":
+            continue
+        satisfied = any(
+            bk == "purchase" and at < bt <= at + window for bt, bk in events
+        )
+        if not satisfied and at + window <= max_ts:
+            want.add(j)
+    assert got == want
+    # pending clicks (unsatisfied, unexpired) must stay in state
+    pending = {
+        j
+        for j, (at, ak) in enumerate(events)
+        if ak == "click"
+        and not any(bk == "purchase" and at < bt <= at + window for bt, bk in events)
+        and at + window > max_ts
+    }
+    assert set(state[1]) == pending
