@@ -131,3 +131,49 @@ def test_declining_streak_handmade(spark, tmp_path):
         for r in q_declining_streaks(spark, src).collect()
     }
     assert got == {1: 3, 3: 4}
+
+
+def test_iterate_fixed_point_bfs(spark):
+    """Single-source shortest hop distances via iterate_fixed_point:
+    relax each node's distance through its neighbors until stable."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.iterate import iterate_fixed_point
+
+    # chain 0-1-2-3 plus triangle 3-4-5-3: distances from node 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)],
+        "u bigint, v bigint",
+    )
+    sym = edges.union(edges.select("v", "u")).localCheckpoint(eager=True)
+    big = 10**9
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    init = nodes.withColumn(
+        "dist", F.when(F.col("node") == 0, F.lit(0)).otherwise(F.lit(big))
+    )
+
+    def relax(state):
+        nbr = (
+            sym.join(state, sym["v"] == state["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min(F.col("dist") + 1).alias("nd"))
+        )
+        return state.join(nbr, "node", "left").select(
+            "node", F.least("dist", F.coalesce("nd", F.col("dist"))).alias("dist")
+        )
+
+    out = iterate_fixed_point(init, relax, max_iter=10)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4}
+
+
+def test_iterate_fixed_point_strict_raises(spark):
+    """A step that never stabilizes must raise under strict."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.iterate import iterate_fixed_point
+
+    init = spark.createDataFrame([(0,)], "x bigint")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        iterate_fixed_point(init, lambda df: df.select((F.col("x") + 1).alias("x")), max_iter=3)
