@@ -454,3 +454,43 @@ def q_datetime_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         F.unix_timestamp("o_orderdate").cast("bigint").alias("unix_sec"),
     )
+
+
+@query(
+    "variant_json_stats",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(k // 10 AS BIGINT) AS k_decade,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(k AS DECIMAL(18,0))) AS BIGINT) AS k_sum,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max
+    FROM x GROUP BY event_type, k // 10
+    """,
+)
+def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's native VARIANT type:
+    ``parse_json`` once per row (binary-encoded variant, no re-parse
+    per field), then typed-path ``variant_get`` extraction — the
+    modern replacement for per-field ``get_json_object`` string
+    parsing (each call re-parses the JSON). Same aggregation contract
+    as json_props_stats but through the VARIANT decode path; the
+    oracle replays with DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return ev.select("event_type", k.alias("k")).groupBy(
+        "event_type",
+        F.floor(F.col("k") / 10).cast("bigint").alias("k_decade"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").cast("decimal(18,0)")).cast("bigint").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
