@@ -152,9 +152,9 @@ class AbsenceFunction(KeyedProcessFunction):
             a_ts, a_id = a_ts[~sat], a_id[~sat]
 
         out = None
+        # the key's clock only moves on data; an empty batch (possible
+        # only via the timeout path, unused here) expires nothing
         max_seen = int(rows["ts_us"].max()) if len(rows) else 0
-        if state is not None and len(rows) == 0:
-            max_seen = 0  # timeout path unused; clock only moves on data
         expired = a_ts + self.within_us <= max_seen
         if expired.any():
             order = np.lexsort((a_id[expired],))
