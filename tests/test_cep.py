@@ -119,3 +119,50 @@ def test_absence_alert_boundaries(spark, tmp_path):
     with shuffle_partitions(spark, 2):
         got = {(r.user_id, r.click_id) for r in run_to_completion(out, output_mode="update").collect()}
     assert got == {(2, 3), (4, 7)}
+
+
+def test_followed_by_state_survives_checkpoint_restart(spark, tmp_path):
+    """Clicks ingested in run 1 must match purchases ingested in run 2
+    of a SEPARATE bounded query sharing the checkpoint — state restores
+    from the store, not from reprocessing (run 2 only reads the new
+    file)."""
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def add_file(name, rows):
+        df = spark.createDataFrame(rows, SCHEMA)
+        staged = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(staged)
+        import glob as _glob
+        import shutil
+
+        part = _glob.glob(staged + "/*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+
+    from min_flink_spark.streaming.runner import run_foreach_batch
+
+    sink_dir = str(tmp_path / "sink")
+
+    def run_once():
+        s = stream_parquet(spark, src, SCHEMA)
+        fn = FollowedByFunction("click", "purchase", HOUR)
+        out = process_keyed(s, ["user_id"], fn, output_mode="update")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink_dir)
+
+        with shuffle_partitions(spark, 2):
+            run_foreach_batch(out, sink, output_mode="update", checkpoint_dir=ckpt)
+        try:
+            return spark.read.parquet(sink_dir).collect()
+        except Exception:
+            return []  # nothing emitted yet
+
+    add_file("a", [(1, 1000, 1, "click"), (1, 2000, 2, "click")])
+    first = run_once()
+    assert first == []  # no purchases yet, nothing emitted
+
+    add_file("b", [(1, 3000, 9, "purchase")])
+    second = run_once()
+    assert {(r.purchase_id, r.click_id) for r in second} == {(9, 2)}
