@@ -347,3 +347,41 @@ def test_idempotent_foreach_batch_skips_replays(spark, tmp_path):
         run_foreach_batch(s, sink, checkpoint_dir=None)
 
     assert sorted(delivered) == [1, 2]  # exactly once despite re-delivery
+
+
+def test_metrics_recorder_captures_progress(spark, sf_dir, tmp_path):
+    """The listener must see every micro-batch: total numInputRows ==
+    source row count, and the stateful aggregation reports state rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.streaming.metrics import record_metrics, stop_recording
+    from min_flink_spark.streaming.runner import (
+        run_to_completion,
+        shuffle_partitions,
+        stream_parquet,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    n = spark.read.parquet(src).count()
+    rec = record_metrics(spark)
+    try:
+        s = stream_parquet(
+            spark,
+            src,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string",
+        )
+        agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        with shuffle_partitions(spark, 2):
+            run_to_completion(agg, output_mode="update")
+        # listener bus is async; give it a beat to drain
+        for _ in range(40):
+            if rec.total_input_rows() >= n:
+                break
+            time.sleep(0.25)
+        assert rec.total_input_rows() == n
+        assert rec.state_rows() == 5  # one state row per event_type
+    finally:
+        stop_recording(spark, rec)
