@@ -70,3 +70,33 @@ def with_watermark(df: DataFrame, ts: str, delay: str) -> DataFrame:
     (reference Watermark.java:42-50 — unreachable there; first-class
     here). No-op on batch DataFrames."""
     return df.withWatermark(ts, delay) if df.isStreaming else df
+
+
+def count_window(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    n: int,
+    *aggs: Column,
+) -> DataFrame:
+    """COUNT-based tumbling windows: per key, consecutive blocks of
+    exactly ``n`` rows in ``order_by`` order (the countWindow surface
+    of the reference's API family; trimmed there with the rest of the
+    window stack). Emits (keys..., window_id, aggs...) — window_id is
+    the 0-based block index; the final block may be partial.
+
+    Scale: one shuffle+sort per key (the row_number window), then a
+    hash aggregation that reuses the same partitioning — no second
+    exchange. Unlike time windows, count windows REQUIRE a total
+    per-key order; pass a unique tiebreaker (e.g. an id) in
+    ``order_by`` or block assignment is nondeterministic under
+    parallelism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    block = F.floor((F.row_number().over(w) - 1) / n).cast("bigint")
+    return (
+        df.withColumn("window_id", block)
+        .groupBy(*keys, "window_id")
+        .agg(*aggs)
+    )

@@ -77,6 +77,7 @@ _PRIORITY = [
     "streaming_cep_absence",  # new in round 3 — never driver-checked
     "semantic_dedup_survivors",  # new in round 3 — never driver-checked
     "variant_json_stats",  # new in round 3 — never driver-checked
+    "count_window_blocks",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -230,3 +230,43 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.last("v_u", ignorenulls=True).over(w) / 1000000.0).alias("value_filled"),
         "observed",
     )
+
+
+@query(
+    "count_window_blocks",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id,
+             CAST((row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1) // 10
+                  AS BIGINT) AS window_id,
+             CAST(round(value * 1000000) AS BIGINT) AS vu
+      FROM events
+    )
+    SELECT user_id, window_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(vu AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0
+             AS total_value
+    FROM numbered GROUP BY user_id, window_id
+    """,
+)
+def q_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based tumbling windows (countWindow parity): per user,
+    consecutive 10-event blocks in (ts, event_id) order; exact
+    micro-unit value sums. One sort + one co-partitioned aggregation."""
+    from min_flink_spark.operators.windows import count_window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("vu"),
+    )
+    return count_window(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        10,
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.col("vu").cast("decimal(18,0)")).cast("double") / 1000000.0).alias(
+            "total_value"
+        ),
+    )

@@ -42,3 +42,23 @@ def test_session_gap_merge(spark):
     )
     # session end = last event + gap
     assert got == [(0, 18, 3), (30, 43, 2)]
+
+
+def test_count_window_block_sizes(spark):
+    """Blocks are exactly n rows except the last partial block, and the
+    assignment is invariant under input partitioning."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.windows import count_window
+
+    rows = [(1, i, i, 1.0) for i in range(23)] + [(2, i, 100 + i, 2.0) for i in range(7)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint, event_id bigint, v double")
+    out = count_window(
+        df.repartition(5),
+        ["user_id"],
+        ["ts", "event_id"],
+        10,
+        F.count(F.lit(1)).alias("n"),
+    )
+    got = {(r.user_id, r.window_id): r.n for r in out.collect()}
+    assert got == {(1, 0): 10, (1, 1): 10, (1, 2): 3, (2, 0): 7}
