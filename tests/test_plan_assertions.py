@@ -235,3 +235,41 @@ def test_decorrelated_shapes_never_nested_loop(spark, sf_dir, name):
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Scale technique lock #2: with AQE skew-join on (session default),
+    a hot key whose partition exceeds the skew threshold is SPLIT at
+    runtime (skew=true in the final sort-merge join) — the built-in
+    complement to operators/skew.py's explicit salting. Thresholds are
+    scoped down because test data is small; production defaults fire on
+    real skew."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dv")
+        )
+        j = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's queryExecution, making its
+        # final adaptive plan inspectable (count() would plan separately)
+        assert len(j.collect()) == 200000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
