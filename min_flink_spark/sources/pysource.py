@@ -126,10 +126,14 @@ class SyntheticEventsDataSource(DataSource):
         return SCHEMA
 
     def _opts(self) -> tuple[int, int]:
-        return (
-            int(self.options.get("rows", 10_000)),
-            int(self.options.get("partitions", 8)),
-        )
+        rows = int(self.options.get("rows", 10_000))
+        parts = int(self.options.get("partitions", 8))
+        if rows < 0 or parts < 1:
+            raise ValueError(
+                f"synthetic_events: rows must be >= 0 and partitions >= 1 "
+                f"(got rows={rows}, partitions={parts})"
+            )
+        return rows, parts
 
     def reader(self, schema) -> _BatchReader:
         return _BatchReader(*self._opts())

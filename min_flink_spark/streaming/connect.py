@@ -96,6 +96,22 @@ def connect_keyed(
     payload columns may differ freely (they are tag-prefixed in the
     union and unwrapped back to their original names before reaching
     the CoProcessFunction)."""
+    missing = [
+        (side, k)
+        for side, df in (("left", left), ("right", right))
+        for k in keys
+        if k not in df.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"connect_keyed: key columns missing: {missing} "
+            f"(left has {left.columns}, right has {right.columns})"
+        )
+    reserved = [c for c in (*left.columns, *right.columns) if c == "_side"]
+    if reserved:
+        raise ValueError(
+            "connect_keyed: '_side' is the operator's tag column — rename it"
+        )
     lpay = [c for c in left.columns if c not in keys]
     rpay = [c for c in right.columns if c not in keys]
     ltypes = {f.name: f.dataType for f in left.schema.fields}

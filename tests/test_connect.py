@@ -72,3 +72,17 @@ def test_connect_aligns_schemas_and_shares_state(spark, tmp_path):
         }
     # key 1: both sides; key 2: left only; key 3: right only
     assert got == {1: (2, 10, True), 2: (1, 0, True), 3: (0, 7, True)}
+
+
+def test_connect_validates_inputs(spark):
+    import pytest
+
+    from min_flink_spark.streaming.connect import CoProcessFunction, connect_keyed
+
+    a = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    b = spark.createDataFrame([(1, 2)], "kk bigint, w bigint")
+    with pytest.raises(ValueError, match="key columns missing"):
+        connect_keyed(a, b, ["k"], CoProcessFunction())
+    c = spark.createDataFrame([(1, 0)], "k bigint, _side bigint")
+    with pytest.raises(ValueError, match="_side"):
+        connect_keyed(a, c, ["k"], CoProcessFunction())
