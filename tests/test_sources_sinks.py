@@ -268,3 +268,42 @@ def test_pysource_stream_reader_drains_bounded(spark):
     out = run_to_completion(agg, output_mode="update")
     total = sum(r["n"] for r in out.collect())
     assert total == 500
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Corpus directories accrete columns over time; mergeSchema reads
+    old + new files into one unified schema with nulls for missing
+    columns — the ingestion-compatibility contract."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, text string").write.parquet(
+        base + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", "en")], "id bigint, text string, lang string"
+    ).write.parquet(base + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "text", "lang", "batch"}
+    rows = {r["id"]: r["lang"] for r in df.collect()}
+    assert rows == {1: None, 2: "en"}
+
+
+def test_csv_malformed_rows_quarantined(spark, tmp_path):
+    """PERMISSIVE mode with a corrupt-record column: malformed lines
+    land in the quarantine column instead of killing the job (the
+    ingest-don't-crash contract for web-scale dirty data)."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,score\n1,2.5\nnot_a_number_row_with,too,many,fields\n3,7.0\n")
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("id bigint, score double, _corrupt string")
+        .csv(str(p))
+        # Spark disallows filtering on ONLY the corrupt-record column of
+        # a raw scan; materialize first (the documented pattern)
+        .cache()
+    )
+    good = df.filter("_corrupt IS NULL")
+    bad = df.filter("_corrupt IS NOT NULL")
+    assert good.count() == 2 and bad.count() == 1
+    assert "too,many" in bad.first()["_corrupt"]
