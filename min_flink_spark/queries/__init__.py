@@ -78,6 +78,8 @@ _PRIORITY = [
     "semantic_dedup_survivors",  # new in round 3 — never driver-checked
     "variant_json_stats",  # new in round 3 — never driver-checked
     "count_window_blocks",  # new in round 3 — never driver-checked
+    "disjunctive_predicate_revenue",  # new in round 3 — never driver-checked
+    "waiting_supplier_counts",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -432,3 +432,117 @@ def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "disjunctive_predicate_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 5 AND 25)
+    """,
+)
+def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: revenue under an OR-of-ANDs predicate spanning
+    both join sides. The planner exercise is DISJUNCTIVE pushdown:
+    Catalyst distributes the OR into per-side residuals (part rows
+    outside both brand/size envelopes and lineitems outside the union
+    of quantity ranges never reach the join) while the cross-side
+    conjunctions evaluate post-join. Exact integer quantity bounds keep
+    the row set hash-stable."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & qty.between(10, 30)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & qty.between(5, 25)
+    )
+    joined = lineitem.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    ).filter(cond1 | cond2)
+    return joined.agg(
+        (
+            F.sum(_acc(_cents("l_extendedprice") * (100 - _cents("l_discount"))))
+            .cast("double")
+            / 10000.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "waiting_supplier_counts",
+    oracle="""
+    WITH sup_per_order AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_s
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    late_per_order AS (
+      SELECT l_orderkey, count(*) AS n_ls, min(l_suppkey) AS the_supp
+      FROM late GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM sup_per_order o
+    JOIN late_per_order l USING (l_orderkey)
+    JOIN supplier ON s_suppkey = the_supp
+    WHERE o.n_s > 1 AND l.n_ls = 1
+    GROUP BY s_name
+    """,
+)
+def q_waiting_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: suppliers who were the SOLE late shipper in
+    multi-supplier orders ("late" = shipped >60 days after the order
+    date; the trim's schema has no commit/receipt dates, so ship-lag
+    plays that role). The classic EXISTS + NOT-EXISTS double
+    correlation decorrelates into two per-order aggregates — distinct
+    suppliers, distinct LATE suppliers — joined once on the order key:
+    qualifying orders have n_suppliers > 1 and exactly one late
+    supplier, and min(late supplier) IS that supplier when n_late = 1.
+    Every exchange rides l_orderkey until the final small rollup."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sup_per_order = lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_s")
+    )
+    late = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_ls"), F.min("l_suppkey").alias("the_supp")
+    )
+    qualifying = (
+        sup_per_order.join(late_per_order, "l_orderkey")
+        .filter((F.col("n_s") > 1) & (F.col("n_ls") == 1))
+    )
+    return (
+        qualifying.join(
+            F.broadcast(supplier), F.col("s_suppkey") == F.col("the_supp")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
