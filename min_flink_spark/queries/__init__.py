@@ -20,13 +20,13 @@ from min_flink_spark.queries import windows  # noqa: F401
 # driver row (ADVICE r2: semantic rewrites must always get a fresh row),
 # then (b) the longest-unchecked queries (last driver row = round 1);
 # queries with a fresh round-2 green row and no change since sort last.
-# NEXT-ROUND ROTATION NOTE: the 47 round-3 new/changed queries fill
-# nearly the whole 50-slot prefix, so only the first ~3 of block (b)
-# get a fresh driver row this round; the rest of block (b) (roughly
-# correlated_subquery_big_orders..deterministic_sample, all round-1
+# NEXT-ROUND ROTATION NOTE: the 49 round-3 new/changed queries fill
+# the 50-slot prefix except one rotation slot, so only the first of block (b)
+# gets a fresh driver row this round; the rest of block (b) (roughly
+# asof_join_click_to_signup..deterministic_sample, all round-1
 # checked and unchanged) must be promoted in round 4 ahead of anything
 # round-3-green, unless changed queries exist (changed always first).
-# All 134 stay strict-green in the LOCAL gate at sf0.01 and sf0.1
+# All 138 stay strict-green in the LOCAL gate at sf0.01 and sf0.1
 # regardless (tools/run_all.py stage 1).
 _PRIORITY = [
     # ---- (a) changed in round 3: red-row oracle fixes (dtype CASTs),
