@@ -1,0 +1,102 @@
+"""Scale smoke: core operator shapes on 5M → 20M generated rows.
+
+The driver's parquet testdata tops out at sf0.1 (~600k lineitems), too
+small to see scaling behavior. This harness uses the in-repo Python
+DataSource (sources/pysource.py — partition-parallel generation, zero
+disk) to push the hot operator shapes 1-2 orders of magnitude further
+and prints per-shape wall times at two sizes, so SUBLINEAR-OR-LINEAR
+scaling is measurable: a shape whose time grows ~4× at 4× rows is
+shuffle/agg-bound and scales; one that explodes is a design bug this
+smoke exists to catch.
+
+Row generation itself (3 md5 calls/row in Python) dominates at these
+sizes (~2M rows/s on 32 cores) and is the same cost in every shape, so
+RATIOS between sizes are the signal, not absolute times.
+
+Usage: python tools/scale_smoke.py [small_rows] [big_rows]
+Prints one JSON line per (shape, rows).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from min_flink_spark.session import get_spark  # noqa: E402
+from min_flink_spark.sources.pysource import register_synthetic_source  # noqa: E402
+
+
+def events(spark, rows: int, partitions: int = 64):
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", str(rows))
+        .option("partitions", str(partitions))
+        .load()
+    )
+
+
+def shapes(spark, rows: int):
+    ev = events(spark, rows)
+    vu = F.round(F.col("value") * 1000).cast("bigint")
+    yield "hash_agg_by_user", lambda: ev.groupBy("user_id").agg(
+        F.count(F.lit(1)), F.sum(vu)
+    ).count()
+    yield "tumbling_window_hourly", lambda: ev.groupBy(
+        F.window("ts", "1 hour"), "event_type"
+    ).agg(F.count(F.lit(1))).count()
+    yield "exact_dedup", lambda: ev.dropDuplicates(
+        ["user_id", "event_type"]
+    ).count()
+    yield "topk_per_user", lambda: ev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+        ),
+    ).filter(F.col("rn") <= 3).count()
+    yield "self_join_on_user_hour", lambda: ev.filter(
+        F.col("event_type") == "click"
+    ).alias("a").join(
+        ev.filter(F.col("event_type") == "purchase").alias("b"),
+        on=[
+            F.col("a.user_id") == F.col("b.user_id"),
+            F.date_trunc("hour", F.col("a.ts")) == F.date_trunc("hour", F.col("b.ts")),
+        ],
+    ).count()
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    big = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_synthetic_source(spark)
+    # warm the generation + codegen paths once
+    events(spark, 200_000).groupBy("event_type").count().collect()
+    results = {}
+    names = []
+    for rows in (small, big):
+        for name, fn in shapes(spark, rows):
+            if rows == small:
+                names.append(name)
+            t0 = time.time()
+            fn()
+            dt = round(time.time() - t0, 2)
+            results[(name, rows)] = dt
+            print(json.dumps({"shape": name, "rows": rows, "sec": dt}), flush=True)
+    print(json.dumps({
+        "ratio_rows": big / small,
+        "ratios": {
+            name: round(results[(name, big)] / results[(name, small)], 2)
+            for name in names
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
