@@ -290,3 +290,28 @@ class KeyedStream(Stream):
             return fn(pdf)
 
         return Stream(self.df.groupBy(*self._key_cols()).applyInPandas(_run, schema=schema))
+
+    # ---- fluent window surface (keyBy().window(...).agg(...) parity;
+    #      thin wrappers over operators/windows — batch AND streaming) --
+
+    def tumble(self, ts: str, size: str, *aggs: Column) -> Stream:
+        from min_flink_spark.operators.windows import tumble as _tumble
+
+        return Stream(_tumble(self.df, ts, size, self._key_names(), *aggs))
+
+    def slide(self, ts: str, size: str, step: str, *aggs: Column) -> Stream:
+        from min_flink_spark.operators.windows import slide as _slide
+
+        return Stream(_slide(self.df, ts, size, step, self._key_names(), *aggs))
+
+    def session(self, ts: str, gap: str | Column, *aggs: Column) -> Stream:
+        from min_flink_spark.operators.windows import session as _session
+
+        return Stream(_session(self.df, ts, gap, self._key_names(), *aggs))
+
+    def count_window(self, n: int, order_by: list[str], *aggs: Column) -> Stream:
+        """countWindow parity: per-key n-row tumbling blocks in
+        ``order_by`` total order (pass a unique tiebreaker)."""
+        from min_flink_spark.operators.windows import count_window as _cw
+
+        return Stream(_cw(self.df, self._key_names(), order_by, n, *aggs))

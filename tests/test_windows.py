@@ -62,3 +62,32 @@ def test_count_window_block_sizes(spark):
     )
     got = {(r.user_id, r.window_id): r.n for r in out.collect()}
     assert got == {(1, 0): 10, (1, 1): 10, (1, 2): 3, (2, 0): 7}
+
+
+def test_keyed_stream_fluent_windows(spark, sf_dir):
+    """keyBy().tumble/session/count_window fluent surface equals the
+    operator functions they wrap."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.core.stream import Stream
+    from min_flink_spark.operators.windows import tumble
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fluent = (
+        Stream(ev)
+        .key_by("event_type")
+        .tumble("ts", "1 day", F.count(F.lit(1)).alias("n"))
+        .df
+    )
+    direct = tumble(ev, "ts", "1 day", ["event_type"], F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, fluent.collect())) == sorted(map(tuple, direct.collect()))
+
+    blocks = (
+        Stream(ev)
+        .key_by("user_id")
+        .count_window(10, ["ts", "event_id"], F.count(F.lit(1)).alias("n"))
+        .df.collect()
+    )
+    n_events = ev.count()
+    assert sum(r["n"] for r in blocks) == n_events
+    assert all(r["n"] <= 10 for r in blocks)
