@@ -84,9 +84,11 @@ def q_streaming_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 1000000).cast("bigint").alias("value"),
     )
     fn = RunningReduceFunction("user_id", "event_id", "value", "sum", value_type="bigint")
-    # ~1.5k keys: 8 state partitions beat the batch default (each one
-    # costs a state-store instance + an Arrow round-trip per batch)
-    with shuffle_partitions(spark, 8):
+    # ~1.5k keys: narrow state widths beat the batch default (each
+    # partition costs a state-store instance + an Arrow round-trip per
+    # batch). Swept 4/8/16/32 at sf0.1: 1.95/1.50/1.43/1.52 s — 16 is
+    # the flat bottom of the curve.
+    with shuffle_partitions(spark, 16):
         out = run_to_completion(
             process_keyed(s, ["user_id"], fn, output_mode="update"),
             output_mode="update",
