@@ -20,10 +20,10 @@ from min_flink_spark.queries import windows  # noqa: F401
 # driver row (ADVICE r2: semantic rewrites must always get a fresh row),
 # then (b) the longest-unchecked queries (last driver row = round 1);
 # queries with a fresh round-2 green row and no change since sort last.
-# NEXT-ROUND ROTATION NOTE: the 49 round-3 new/changed queries fill
-# the 50-slot prefix except one rotation slot, so only the first of block (b)
-# gets a fresh driver row this round; the rest of block (b) (roughly
-# asof_join_click_to_signup..deterministic_sample, all round-1
+# NEXT-ROUND ROTATION NOTE: the 50 round-3 new/changed queries fill
+# the whole 50-slot prefix, so NO block-(b) query gets a fresh driver
+# row this round; all of block (b) (roughly
+# anti_join_no_urgent_customers..deterministic_sample, all round-1
 # checked and unchanged) must be promoted in round 4 ahead of anything
 # round-3-green, unless changed queries exist (changed always first).
 # All 138 stay strict-green in the LOCAL gate at sf0.01 and sf0.1
@@ -80,6 +80,7 @@ _PRIORITY = [
     "count_window_blocks",  # new in round 3 — never driver-checked
     "disjunctive_predicate_revenue",  # new in round 3 — never driver-checked
     "waiting_supplier_counts",  # new in round 3 — never driver-checked
+    "streaming_running_reduce",  # changed in round 3 (state width retune)
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",
