@@ -123,6 +123,13 @@ class Stream:
             out = out.unionByName(o.df)
         return Stream(out)
 
+    def connect(self, other: "Stream") -> "ConnectedStreams":
+        """Pair with a second stream for keyed co-processing under one
+        shared state — ``a.connect(b).key_by(k).process(fn)`` (the
+        ConnectedStreams surface; streaming/connect.py holds the
+        tagged-union implementation and the delivery contract)."""
+        return ConnectedStreams(self, other)
+
     def side_output(self, cond: Column | str) -> tuple["Stream", "Stream"]:
         """Split into (main, side): rows matching ``cond`` go to the
         side stream — the OutputTag pattern (late-data/error routing).
@@ -315,3 +322,36 @@ class KeyedStream(Stream):
         from min_flink_spark.operators.windows import count_window as _cw
 
         return Stream(_cw(self.df, self._key_names(), order_by, n, *aggs))
+
+
+class ConnectedStreams:
+    """Two streams awaiting a shared key — produced by ``Stream.connect``.
+
+    ``key_by(*keys)`` fixes the co-location key (same column names on
+    both sides); ``process(fn)`` wires a CoProcessFunction
+    (streaming/connect.py) and returns the output Stream."""
+
+    def __init__(self, left: Stream, right: Stream):
+        self.left = left
+        self.right = right
+        self._keys: list[str] | None = None
+
+    def key_by(self, *keys: str) -> "ConnectedStreams":
+        self._keys = list(keys)
+        return self
+
+    def process(
+        self,
+        fn,
+        output_mode: str = "update",
+        timeout_ms: int | None = None,
+    ) -> Stream:
+        if not self._keys:
+            raise ValueError("connect(...).key_by(...) must precede process()")
+        from min_flink_spark.streaming.connect import connect_keyed
+
+        return Stream(
+            connect_keyed(
+                self.left.df, self.right.df, self._keys, fn, output_mode, timeout_ms
+            )
+        )

@@ -86,3 +86,23 @@ def test_connect_validates_inputs(spark):
     c = spark.createDataFrame([(1, 0)], "k bigint, _side bigint")
     with pytest.raises(ValueError, match="_side"):
         connect_keyed(a, c, ["k"], CoProcessFunction())
+
+
+def test_fluent_connect_surface(spark, tmp_path):
+    """Stream.connect(...).key_by(...).process(fn) ≡ connect_keyed."""
+    from min_flink_spark.core.stream import Stream
+
+    left = _stage(spark, [(1, "a"), (2, "b")], L_SCHEMA, str(tmp_path / "fl"))
+    right = _stage(spark, [(1, 5, "x")], R_SCHEMA, str(tmp_path / "fr"))
+    out = (
+        Stream(left)
+        .connect(Stream(right))
+        .key_by("k")
+        .process(_Recorder(), output_mode="update")
+    )
+    with shuffle_partitions(spark, 2):
+        got = {
+            r["k"]: (r["n_left"], r["amt"])
+            for r in run_to_completion(out.df, output_mode="update").collect()
+        }
+    assert got == {1: (1, 5), 2: (1, 0)}
