@@ -395,3 +395,95 @@ def keep_best_per_cluster(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def near_dup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Narrow, append-only NEAR-DUP INDEX rows for a corpus slice:
+    ``(id, band, band_key, sig array<bigint>)`` — one row per (doc,
+    band), carrying the full minhash signature for estimator reranks.
+    This is the durable artifact an incremental pipeline persists so
+    the corpus TEXT is never rescanned (the fuzzy analog of the exact
+    fingerprint index in queries/llm.py:q_incremental_dedup)."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    bnd = lsh_bands(sigs, id_col, num_hashes, bands)
+    sig_arr = sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    return bnd.join(sig_arr, id_col)
+
+
+def incremental_near_dup(
+    new_df: DataFrame,
+    index: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Fuzzy dedup of a NEW batch against an accumulated corpus without
+    rescanning it: candidates come from the stored band index
+    (``near_dup_index`` rows), similarity from the stored signatures
+    (standard MinHash estimate: fraction of agreeing components — an
+    unbiased Jaccard estimator), so the old corpus costs one narrow
+    join, never a text pass. Within-batch near-dups are caught by the
+    same join (new rows participate on both sides; ``id_a < id_b``
+    dedupes the symmetric pair).
+
+    Returns ``(matches, new_index_rows)``: matches =
+    ``(new_id, matched_id, est_jaccard ≥ threshold)``; callers append
+    ``new_index_rows`` to the stored index (exactly-once via
+    ``idempotent_foreach_batch`` on a stream).
+
+    Scale: the band join touches only colliding buckets; the index is
+    (bands × 44 bytes)-narrow per doc; estimator rerank is a zip_with
+    over two 16-long arrays — no shingle recomputation for old docs.
+    """
+    new_idx = near_dup_index(new_df, text_col, id_col, num_hashes, bands, shingle_n)
+    from pyspark import StorageLevel
+
+    new_idx = new_idx.persist(StorageLevel.MEMORY_AND_DISK)
+    old = index.withColumn("_new", F.lit(False)) if index is not None else None
+    pool = new_idx.withColumn("_new", F.lit(True))
+    if old is not None:
+        pool = pool.unionByName(old)
+    n = new_idx.alias("n")
+    o = pool.alias("o")
+    same_band = [
+        F.col("n.band") == F.col("o.band"),
+        F.col("n.band_key") == F.col("o.band_key"),
+    ]
+    # old docs pair with any new doc; new docs pair once (id_a < id_b)
+    eligible = F.when(
+        F.col("o._new"), F.col(f"o.{id_col}") < F.col(f"n.{id_col}")
+    ).otherwise(F.col(f"o.{id_col}") != F.col(f"n.{id_col}"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("n.sig"),
+            F.col("o.sig"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    matches = (
+        n.join(o, on=same_band + [eligible])
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"o.{id_col}").alias("matched_id"),
+            (agree.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return matches, new_idx.drop("_new")

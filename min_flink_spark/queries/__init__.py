@@ -81,6 +81,8 @@ _PRIORITY = [
     "disjunctive_predicate_revenue",  # new in round 3 — never driver-checked
     "waiting_supplier_counts",  # new in round 3 — never driver-checked
     "streaming_running_reduce",  # changed in round 3 (state width retune)
+    # position 51+: new after the prefix froze — FIRST in round 4's prefix
+    "incremental_near_dup_matches",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

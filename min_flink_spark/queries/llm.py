@@ -875,3 +875,69 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(
         removed, corpus.vec_id == removed.node, "left_anti"
     ).select("vec_id")
+
+
+def _incremental_near_dup_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    a = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+    b = "CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)"
+    mh_cols = ",\n           ".join(
+        f"min(({a} * {i + 1} + {b}) % 2147483647) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sigs".format(
+            b=b_, cols=", ".join(f"mh{b_ * rows + r}" for r in range(rows))
+        )
+        for b_ in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH corpus AS ({SQL_CORPUS_NEAR}),
+    {SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+           {mh_cols}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS matched_id
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.band_key = o.band_key
+      WHERE n.doc_id >= 100000
+        AND ((o.doc_id < 100000) OR (o.doc_id >= 100000 AND o.doc_id < n.doc_id))
+    )
+    SELECT c.new_id, c.matched_id,
+           CAST({agree} AS DOUBLE) / {num_hashes} AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.new_id
+    JOIN sigs sb ON sb.doc_id = c.matched_id
+    WHERE CAST({agree} AS DOUBLE) / {num_hashes} >= 0.5
+    """
+
+
+@query("incremental_near_dup_matches", oracle=_incremental_near_dup_oracle())
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy INCREMENTAL dedup: a new batch (truncated copies) checked
+    against the accumulated corpus's NEAR-DUP INDEX
+    (operators/dedup.py:near_dup_index — narrow (id, band, band_key,
+    sig) rows) with the MinHash agreement estimator as the rerank. The
+    corpus text is never rescanned: the old side costs one band join
+    against stored rows. The oracle replays signatures, banding,
+    eligibility, and the estimator exactly."""
+    from min_flink_spark.operators.dedup import incremental_near_dup, near_dup_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = near_dup_index(docs)
+    batch = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(
+            "text", 1, F.greatest(F.length("text") - 25, F.lit(10))
+        ).alias("text"),
+    )
+    matches, _new_rows = incremental_near_dup(batch, index, threshold=0.5)
+    return matches

@@ -381,3 +381,32 @@ def test_chunk_audio_null_duration_emits_no_chunks(spark):
     ids = {r["media_id"] for r in got}
     assert ids == {1}          # null/zero-duration rows invent no chunks
     assert len(got) == 3       # 65s -> 3 chunks of 30s/30s/5s
+
+
+def test_incremental_near_dup_cross_and_within_batch(spark):
+    """A batch doc near-identical to an INDEXED doc matches via the
+    stored index; two near-identical docs WITHIN the batch match each
+    other once (id_a < id_b); unrelated docs don't match."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.dedup import incremental_near_dup, near_dup_index
+
+    base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    other = "completely different content about database engines and shuffle partitioning"
+    corpus = spark.createDataFrame([(1, base), (2, other)], "doc_id bigint, text string")
+    index = near_dup_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, base + " extra"),   # near-dup of indexed doc 1
+            (11, base + " extra"),   # identical within batch to 10
+            (12, "unrelated text about mountains rivers and weather patterns today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    matches, new_rows = incremental_near_dup(batch, index, threshold=0.5)
+    got = {(r.new_id, r.matched_id) for r in matches.collect()}
+    assert (10, 1) in got and (11, 1) in got
+    assert (11, 10) in got  # within-batch, emitted once
+    assert not any(n == 12 or m == 12 for n, m in got)
+    # index rows are append-ready: one row per (doc, band)
+    assert new_rows.count() == 3 * 4
