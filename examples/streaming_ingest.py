@@ -13,6 +13,10 @@ cluster would run:
       → per-batch exact dedup + incremental dedup vs the fingerprint
         index of ALL previously-ingested docs (anti-join on the narrow
         md5 index — the corpus itself is never rescanned)
+      → incremental FUZZY dedup vs the near-dup index (MinHash band
+        join + signature-agreement estimate, threshold 0.7; within-
+        batch near-dups dropped keeping the min doc_id; survivors'
+        band rows appended to the index)
       → exactly-once append, two independent layers:
         (a) every batch writes to its OWN batch=<id> directory with
             overwrite semantics, so a replayed batch rewrites the same
@@ -59,6 +63,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     work = tempfile.mkdtemp(prefix="ingest_")
     corpus_dir = os.path.join(work, "corpus")
     index_dir = os.path.join(work, "fp_index")
+    nd_index_dir = os.path.join(work, "near_dup_index")
     ledger_dir = os.path.join(work, "ledger")
     ckpt_dir = os.path.join(work, "ckpt")
 
@@ -91,6 +96,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             batch = batch.join(seen, batch["_fp"] == seen["fp"], "left_anti")
         batch = batch.localCheckpoint(eager=True)  # pin the anti-joined
         # content: both writes below must see the same rows
+        # FUZZY stage: drop batch docs that near-duplicate anything
+        # already ingested (MinHash band join against the stored
+        # near-dup index — old text never rescanned), then drop
+        # within-batch near-dups keeping the min doc_id
+        from min_flink_spark.operators.dedup import incremental_near_dup
+
+        nd_prior = [
+            os.path.join(nd_index_dir, d)
+            for d in (os.listdir(nd_index_dir) if os.path.isdir(nd_index_dir) else [])
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ]
+        nd_index = spark_.read.parquet(*nd_prior) if nd_prior else None
+        matches, nd_rows = incremental_near_dup(
+            batch, nd_index, threshold=0.7
+        )
+        dupes = matches.select(F.col("new_id").alias("doc_id")).distinct()
+        batch = batch.join(dupes, "doc_id", "left_anti").localCheckpoint(eager=True)
+        nd_keep = nd_rows.join(dupes, nd_rows["doc_id"] == dupes["doc_id"], "left_anti")
         # batch-scoped OVERWRITE directories = idempotent on redelivery
         batch.drop("_fp").write.mode("overwrite").parquet(
             f"{corpus_dir}/batch={batch_id}"
@@ -98,6 +121,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         batch.select(F.col("_fp").alias("fp")).write.mode("overwrite").parquet(
             f"{index_dir}/batch={batch_id}"
         )
+        nd_keep.write.mode("overwrite").parquet(f"{nd_index_dir}/batch={batch_id}")
 
     with shuffle_partitions(spark, 8):
         run_foreach_batch(
