@@ -426,3 +426,39 @@ def project_embeddings(
         plane = F.array(*[F.lit(c) for c in comps])
         cols.append(dot(v, plane).alias(f"{prefix}{k}"))
     return df.select("*", *cols)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", prefix: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` — 4× smaller embedding storage (the
+    100 TB embedding-table lever: a 10^9 × 768-dim float32 corpus is
+    ~3 TB; int8 cuts it to ~0.77 TB plus one float per vector) at
+    a bounded dequantization error of ``scale/2`` per component.
+
+    Emits ``{prefix}vec array<tinyint>`` + ``{prefix}scale double``.
+    Pure JVM array math (one fold for the max, one transform), no
+    shuffle, engine-reproducible: round() half-up on non-negative
+    magnitudes matches across engines, and the zero vector quantizes
+    to zeros with scale 0.
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = amax / 127.0
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(f"{prefix}vec", q).withColumn(f"{prefix}scale", scale)
+
+
+def dequantize_int8(
+    df: DataFrame, qvec_col: str = "qvec", scale_col: str = "qscale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of quantize_int8: ``x_i ≈ q_i · scale`` (array<double>)."""
+    s = F.col(scale_col)
+    return df.withColumn(
+        out_col, F.transform(F.col(qvec_col), lambda q: q.cast("double") * s)
+    )

@@ -83,6 +83,7 @@ _PRIORITY = [
     "streaming_running_reduce",  # changed in round 3 (state width retune)
     # position 51+: new after the prefix froze — FIRST in round 4's prefix
     "incremental_near_dup_matches",  # new in round 3 — never driver-checked
+    "embedding_quantize_int8",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

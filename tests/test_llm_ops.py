@@ -410,3 +410,23 @@ def test_incremental_near_dup_cross_and_within_batch(spark):
     assert not any(n == 12 or m == 12 for n, m in got)
     # index rows are append-ready: one row per (doc, band)
     assert new_rows.count() == 3 * 4
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized components differ from originals by at most scale/2
+    (+1 ulp headroom); zero vectors quantize to zeros with scale 0."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = dequantize_int8(quantize_int8(df))
+    rows = {r.vec_id: r for r in q.collect()}
+    assert rows[2].qscale == 0.0 and list(rows[2].qvec) == [0, 0, 0, 0]
+    r1 = rows[1]
+    for orig, dq in zip([0.5, -1.0, 0.25, 0.0], r1.embedding_dq):
+        assert abs(orig - dq) <= r1.qscale / 2 + 1e-12
+    assert max(abs(v) for v in r1.qvec) == 127
