@@ -462,3 +462,62 @@ def dequantize_int8(
     return df.withColumn(
         out_col, F.transform(F.col(qvec_col), lambda q: q.cast("double") * s)
     )
+
+
+def coarse_to_fine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_k: int = 20,
+    coarse_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage search: coarse cosine on the FIRST ``coarse_dims``
+    components selects ``coarse_k`` candidates per query, exact cosine
+    on the full vectors reranks to top-``k`` — the prefix-truncation
+    (Matryoshka-style) pattern. At 100 TB the coarse stage reads a
+    ``coarse_dims/dim`` slice of the embedding bytes (store the prefix
+    as its own column/file for real I/O savings) and the exact stage
+    touches only ``coarse_k`` rows per query. Recall depends on how
+    much signal the leading components carry — perfect for
+    front-loaded (PCA/Matryoshka-trained) embeddings, a measurable
+    trade elsewhere; the gated query emits a per-query recall
+    certificate against brute force. Ties break on corpus id."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        F.slice(_as_double(F.col(vec_col)), 1, coarse_dims).alias("_qp"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        F.slice(_as_double(F.col(vec_col)), 1, coarse_dims).alias("_cp"),
+    )
+    scored = c.join(
+        F.broadcast(q), on=F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        "_qv",
+        "_cv",
+        cosine(F.col("_qp"), F.col("_cp")).alias("_coarse"),
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("_coarse").desc(), F.col(id_col).asc()
+    )
+    cands = scored.withColumn("_crn", F.row_number().over(wc)).filter(
+        F.col("_crn") <= coarse_k
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.select(
+            query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        )
+        .withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

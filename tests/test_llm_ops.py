@@ -430,3 +430,22 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     for orig, dq in zip([0.5, -1.0, 0.25, 0.0], r1.embedding_dq):
         assert abs(orig - dq) <= r1.qscale / 2 + 1e-12
     assert max(abs(v) for v in r1.qvec) == 127
+
+
+def test_coarse_to_fine_recall_vs_brute_force(spark, sf_dir):
+    """dims=48/coarse_k=50 must keep recall@5 high even on random
+    (worst-case, no front-loading) embeddings."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.similarity import (
+        brute_force_topk,
+        coarse_to_fine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    a = {(r.query_id, r.vec_id) for r in coarse_to_fine_topk(emb, qs, 5, 50, 48).collect()}
+    b = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, qs, 5).collect()}
+    assert len(a & b) / len(b) >= 0.9
