@@ -85,6 +85,7 @@ _PRIORITY = [
     "incremental_near_dup_matches",  # new in round 3 — never driver-checked
     "embedding_quantize_int8",  # new in round 3 — never driver-checked
     "coarse_to_fine_topk",  # new in round 3 — never driver-checked
+    "model_quality_scores",  # new in round 3 — never driver-checked
     # ---- (b) last checked in round 1 (longest-unchecked) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",

@@ -1042,3 +1042,45 @@ def q_coarse_to_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), k=5, coarse_k=50, coarse_dims=48
     )
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+@query(
+    "model_quality_scores",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS model_score
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN model_score >= 0.5 THEN 1 END) AS BIGINT)
+             AS n_keep,
+           CAST(round(sum(round(model_score * 1000000)) ) AS BIGINT)
+             AS score_sum_e6
+    FROM scored GROUP BY source
+    """,
+)
+def q_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring AT SCALE under the gate: the inference plumbing
+    (operators/inference.py — mapInPandas iterator form, model loaded
+    once per task, Arrow-batched scoring) runs end-to-end with the
+    deterministic stand-in model; per-source keep rates and micro-unit
+    score sums are hash-checked against the oracle's replay. Swap
+    fake_quality_scorer for a real classifier factory and the plan,
+    schema, and batching are identical."""
+    from min_flink_spark.operators.inference import (
+        fake_quality_scorer,
+        score_with_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = score_with_model(docs, fake_quality_scorer("text"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("model_score") >= 0.5, 1)).alias("n_keep"),
+        F.round(F.sum(F.round(F.col("model_score") * 1000000)))
+        .cast("bigint")
+        .alias("score_sum_e6"),
+    )

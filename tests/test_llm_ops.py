@@ -449,3 +449,38 @@ def test_coarse_to_fine_recall_vs_brute_force(spark, sf_dir):
     a = {(r.query_id, r.vec_id) for r in coarse_to_fine_topk(emb, qs, 5, 50, 48).collect()}
     b = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, qs, 5).collect()}
     assert len(a & b) / len(b) >= 0.9
+
+
+def test_score_with_model_loads_once_per_task(spark, tmp_path):
+    """The scorer factory must run once per TASK, not per batch or per
+    row — the property that makes real model loading affordable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.inference import score_with_model
+
+    marker_dir = str(tmp_path / "loads")
+    os.makedirs(marker_dir)
+
+    def factory():
+        # one marker file per factory invocation (executor-side)
+        import os as _os
+        import uuid as _uuid
+
+        open(_os.path.join(marker_dir, _uuid.uuid4().hex), "w").close()
+        return lambda pdf: pdf["text"].str.len().astype("float64")
+
+    df = spark.createDataFrame(
+        [(i, "x" * (i + 1)) for i in range(100)], "doc_id bigint, text string"
+    ).repartition(4)
+    out = score_with_model(df, factory)
+    rows = out.collect()
+    assert all(r.model_score == len(r.text) for r in rows)
+    n_loads = len(os.listdir(marker_dir))
+    assert n_loads <= 8  # ≈ one per task (4 partitions, small retry headroom)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        score_with_model(out, factory)
