@@ -26,7 +26,7 @@ from min_flink_spark.queries import windows  # noqa: F401
 # anti_join_no_urgent_customers..deterministic_sample, all round-1
 # checked and unchanged) must be promoted in round 4 ahead of anything
 # round-3-green, unless changed queries exist (changed always first).
-# All 138 stay strict-green in the LOCAL gate at sf0.01 and sf0.1
+# All 142 stay strict-green in the LOCAL gate at sf0.01 and sf0.1
 # regardless (tools/run_all.py stage 1).
 _PRIORITY = [
     # ---- (a) changed in round 3: red-row oracle fixes (dtype CASTs),
