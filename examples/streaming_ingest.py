@@ -122,6 +122,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             f"{index_dir}/batch={batch_id}"
         )
         nd_keep.write.mode("overwrite").parquet(f"{nd_index_dir}/batch={batch_id}")
+        # incremental_near_dup persists its index frame so the matches
+        # join and the write above share one computation; the caller
+        # (us) owns that lifetime — release it now so cached blocks
+        # don't accumulate across micro-batches on a long stream.
+        nd_rows.unpersist()
 
     with shuffle_partitions(spark, 8):
         run_foreach_batch(

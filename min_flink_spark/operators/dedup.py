@@ -448,6 +448,14 @@ def incremental_near_dup(
     Scale: the band join touches only colliding buckets; the index is
     (bands × 44 bytes)-narrow per doc; estimator rerank is a zip_with
     over two 16-long arrays — no shingle recomputation for old docs.
+
+    The returned ``new_index_rows`` frame is persisted
+    (MEMORY_AND_DISK) so the matches join and the caller's index append
+    share one computation; the CALLER owns the persisted lifetime and
+    must ``unpersist()`` it once both outputs are materialized (on a
+    long-running stream, do this inside the foreach_batch body —
+    otherwise cached blocks accumulate across micro-batches until the
+    ContextCleaner happens to reclaim them).
     """
     new_idx = near_dup_index(new_df, text_col, id_col, num_hashes, bands, shingle_n)
     from pyspark import StorageLevel
@@ -486,4 +494,7 @@ def incremental_near_dup(
         .distinct()
         .filter(F.col("est_jaccard") >= threshold)
     )
-    return matches, new_idx.drop("_new")
+    # new_idx never carried the _new tag (it was added to `pool`), so
+    # return it directly — the stored-index schema is exactly
+    # near_dup_index's output.
+    return matches, new_idx

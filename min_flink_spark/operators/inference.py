@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, StructField, StructType
@@ -52,7 +53,16 @@ def score_with_model(
         scorer = scorer_factory()  # once per task: model load amortizes
         for pdf in batches:
             out = pdf.copy()
-            out[out_col] = pd.Series(scorer(pdf), index=pdf.index, dtype="float64")
+            # Positional assignment, NOT pd.Series(..., index=pdf.index):
+            # a real scorer that filtered/reset its index would
+            # label-align into silent NaNs instead of erroring.
+            scores = np.asarray(scorer(pdf), dtype="float64")
+            if len(scores) != len(pdf):
+                raise ValueError(
+                    f"score_with_model: scorer returned {len(scores)} "
+                    f"scores for a batch of {len(pdf)} rows"
+                )
+            out[out_col] = scores
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

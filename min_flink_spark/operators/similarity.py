@@ -473,6 +473,7 @@ def coarse_to_fine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Two-stage search: coarse cosine on the FIRST ``coarse_dims``
     components selects ``coarse_k`` candidates per query, exact cosine
@@ -484,7 +485,13 @@ def coarse_to_fine_topk(
     much signal the leading components carry — perfect for
     front-loaded (PCA/Matryoshka-trained) embeddings, a measurable
     trade elsewhere; the gated query emits a per-query recall
-    certificate against brute force. Ties break on corpus id."""
+    certificate against brute force. Ties break on corpus id.
+
+    ``exclude_self=True`` (default) drops the corpus row whose id
+    equals the query's id — correct for self-search where queries are
+    drawn from the corpus id space. Pass ``exclude_self=False`` when
+    queries come from a SEPARATE table that happens to reuse id values,
+    otherwise those corpus rows are silently excluded."""
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         _as_double(F.col(vec_col)).alias("_qv"),
@@ -495,9 +502,10 @@ def coarse_to_fine_topk(
         _as_double(F.col(vec_col)).alias("_cv"),
         F.slice(_as_double(F.col(vec_col)), 1, coarse_dims).alias("_cp"),
     )
-    scored = c.join(
-        F.broadcast(q), on=F.col(id_col) != F.col(query_id_col)
-    ).select(
+    join_cond = (
+        F.col(id_col) != F.col(query_id_col) if exclude_self else F.lit(True)
+    )
+    scored = c.join(F.broadcast(q), on=join_cond).select(
         query_id_col,
         id_col,
         "_qv",

@@ -20,73 +20,38 @@ from min_flink_spark.queries import windows  # noqa: F401
 # driver row (ADVICE r2: semantic rewrites must always get a fresh row),
 # then (b) the longest-unchecked queries (last driver row = round 1);
 # queries with a fresh round-2 green row and no change since sort last.
-# NEXT-ROUND ROTATION NOTE: the 50 round-3 new/changed queries fill
-# the whole 50-slot prefix, so NO block-(b) query gets a fresh driver
-# row this round; all of block (b) (roughly
-# anti_join_no_urgent_customers..deterministic_sample, all round-1
-# checked and unchanged) must be promoted in round 4 ahead of anything
-# round-3-green, unless changed queries exist (changed always first).
-# All 142 stay strict-green in the LOCAL gate at sf0.01 and sf0.1
-# regardless (tools/run_all.py stage 1).
+# ROUND-4 PREFIX: 2 changed ANN certificates + 3 never-checked
+# late-landers + 4 dehinted (plan-changed) queries + 41 of the 43
+# block-(b) round-1 stragglers = exactly 50.
+# NEXT-ROUND ROTATION NOTE (round 5): promote, in order, the 51+ block
+# below (3 dehinted-in-r4 + 2 judge-verified block-(b) stragglers),
+# then every round-4-new query (never driver-checked), then any query
+# changed during round 5 jumps ahead of all of those (changed always
+# first). All 142+ stay strict-green in the LOCAL gate at sf0.01 and
+# sf0.1 regardless (tools/run_all.py stage 1).
 _PRIORITY = [
-    # ---- (a) changed in round 3: red-row oracle fixes (dtype CASTs),
-    # the three new certificate oracles, the de-hinted TF-IDF family,
-    # and the integer-unit left-join rewrite ----
-    "json_props_stats",
-    "nested_field_sum_first_record",
+    # ---- (a) changed in round 4 ----
+    # ANN recall certificates: bf_ids now a comma-joined STRING on both
+    # sides (round-3 driver red was the canonicalizer crashing on list
+    # cells, not wrong values).
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "approx_aggregates",
-    "tfidf_top_terms",
-    "unigram_surprisal_score",
-    "left_join_order_item_stats",
-    "per_domain_cap",  # new in round 3 — never driver-checked
-    "substring_dedup",  # new in round 3 — never driver-checked
-    "html_text_extraction",  # new in round 3 — never driver-checked
-    "set_ops_all_multiset",  # new in round 3 — never driver-checked
-    "heavy_hitter_terms",  # new in round 3 — never driver-checked
-    "map_function_sampler",  # new in round 3 — never driver-checked
-    "winsorized_values",  # new in round 3 — never driver-checked
-    "positional_tokens",  # new in round 3 — never driver-checked
-    "null_semantics_sampler",  # new in round 3 — never driver-checked
-    "text_chunking",  # new in round 3 — never driver-checked
-    "chunk_retrieval_topk",  # new in round 3 — never driver-checked
-    "train_val_test_split",  # new in round 3 — never driver-checked
-    "minmax_normalized_values",  # new in round 3 — never driver-checked
-    "zscore_standardized_values",  # new in round 3 — never driver-checked
-    "vocab_oov_rate",  # new in round 3 — never driver-checked
-    "bigram_top_pairs",  # new in round 3 — never driver-checked
-    "conversation_assembly",  # new in round 3 — never driver-checked
-    "skew_report",  # new in round 3 — never driver-checked
-    "promo_revenue_share",  # new in round 3 — never driver-checked
-    "returned_item_customers",  # new in round 3 — never driver-checked
-    "streaming_outer_interval_join",  # new in round 3 — never driver-checked
-    "recency_decay_weights",  # new in round 3 — never driver-checked
-    "customer_order_distribution",  # new in round 3 — never driver-checked
-    "small_quantity_revenue",  # new in round 3 — never driver-checked
-    "large_volume_customers",  # new in round 3 — never driver-checked
-    "idle_rich_customers",  # new in round 3 — never driver-checked
-    "part_value_concentration",  # new in round 3 — never driver-checked
-    "event_funnel_conversion",  # new in round 3 — never driver-checked
-    "streaming_cep_followed_by",  # new in round 3 — never driver-checked
-    "streaming_connect_coprocess",  # new in round 3 — never driver-checked
-    "declining_streak_users",  # new in round 3 — never driver-checked
-    "custom_pysource_events",  # new in round 3 — never driver-checked
-    "recursive_event_chains",  # new in round 3 — never driver-checked
-    "lateral_top2_orders",  # new in round 3 — never driver-checked
-    "streaming_cep_absence",  # new in round 3 — never driver-checked
-    "semantic_dedup_survivors",  # new in round 3 — never driver-checked
-    "variant_json_stats",  # new in round 3 — never driver-checked
-    "count_window_blocks",  # new in round 3 — never driver-checked
-    "disjunctive_predicate_revenue",  # new in round 3 — never driver-checked
-    "waiting_supplier_counts",  # new in round 3 — never driver-checked
-    "streaming_running_reduce",  # changed in round 3 (state width retune)
-    # position 51+: new after the prefix froze — FIRST in round 4's prefix
-    "incremental_near_dup_matches",  # new in round 3 — never driver-checked
-    "embedding_quantize_int8",  # new in round 3 — never driver-checked
-    "coarse_to_fine_topk",  # new in round 3 — never driver-checked
-    "model_quality_scores",  # new in round 3 — never driver-checked
-    # ---- (b) last checked in round 1 (longest-unchecked) ----
+    # ---- never driver-checked (landed after round 3's prefix froze) ----
+    "embedding_quantize_int8",
+    "coarse_to_fine_topk",
+    "model_quality_scores",
+    # ---- changed in round 4: forced broadcasts of SF-scaling dims
+    # dropped (customer/supplier/part now AQE-chosen; values identical,
+    # physical plan changed -> fresh driver row per the changed-first
+    # rule) ----
+    "volume_shipping",
+    "market_share",
+    "top_supplier_revenue",
+    "streaming_static_join",
+    # ---- (b) longest-unchecked: last driver row = round 1. 41 of 43
+    # fit the 50-slot prefix; window_rank_lag and pandas_udaf_geomean
+    # sit at 51+ because the round-3 judge strict-verified both this
+    # session (freshest independent evidence in the block). ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",
     "correlated_subquery_big_orders",
@@ -109,7 +74,6 @@ _PRIORITY = [
     "map_filter_project",
     "media_byte_stats",
     "ngram_jaccard_pairs",
-    "pandas_udaf_geomean",
     "pivot_event_counts",
     "pricing_summary",
     "regexp_extract_props",
@@ -128,8 +92,17 @@ _PRIORITY = [
     "union_rebalance",
     "unpivot_lineitem_metrics",
     "value_percentiles",
-    "window_rank_lag",
     "deterministic_sample",
+    # ---- position 51+ (round-5 rotation head, in this order) ----
+    # Plan-only dehinted in round 4 (broadcast hints removed, values
+    # bit-identical, strict-green locally at sf0.01+sf0.1); they and the
+    # two judge-verified block-(b) stragglers rotate first next round,
+    # followed by any round-4-new queries below.
+    "small_quantity_revenue",
+    "disjunctive_predicate_revenue",
+    "waiting_supplier_counts",
+    "window_rank_lag",
+    "pandas_udaf_geomean",
 ]
 
 

@@ -461,9 +461,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Brute-force top-5 neighbor lists per query vector, replayed genuinely in
 # DuckDB — the SQL-checkable half of the ANN recall certificates below.
+# bf_ids is carried as a comma-joined STRING, not a LIST: the driver's
+# canonicalizer pandas-sorts every output column and crashes on list
+# cells (round-3 red rows), so driver-checked queries must emit
+# scalar-only columns.
 SQL_BF_TOP5 = """
     bf AS (
-      SELECT query_id, list(vec_id ORDER BY vec_id) AS bf_ids FROM (
+      SELECT query_id,
+             string_agg(vec_id::VARCHAR, ',' ORDER BY vec_id) AS bf_ids
+      FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                row_number() OVER (
                  PARTITION BY q.vec_id
@@ -485,7 +491,9 @@ def _ann_recall_certificate(
     micro-recall flag for the approximate result. The driver's hash
     match therefore verifies BOTH that Spark's brute force agrees with
     DuckDB's and that the ANN index achieves recall ≥ bound — a real
-    gate on an intentionally approximate operator."""
+    gate on an intentionally approximate operator. bf_ids is a
+    comma-joined string (ids sorted numerically) because the driver's
+    canonicalizer cannot sort list cells."""
     queries = emb.filter(F.col("vec_id") < 10)
     bf = brute_force_topk(emb, queries, k=5)
     marked = bf.select("query_id", "vec_id").join(
@@ -502,7 +510,15 @@ def _ann_recall_certificate(
     )
     return (
         bf.groupBy("query_id")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("bf_ids"))
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("vec_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("bf_ids")
+        )
         .crossJoin(F.broadcast(recall))
     )
 

@@ -732,10 +732,14 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     joined = (
+        # customer/supplier scale with SF (150k/10k rows per unit) — a
+        # forced broadcast is a 100 TB executor OOM. No hint: AQE
+        # broadcasts them while small and shuffles them at scale. Only
+        # the fixed-cardinality nation projections keep the hint.
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
@@ -803,12 +807,15 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     europe = region.filter(F.col("r_name") == "EUROPE").select("r_regionkey")
     rev_u = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     flows = (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part/customer/supplier scale with SF — no forced broadcast
+        # (AQE picks it while small); hints stay only on the
+        # fixed-cardinality nation/region projections.
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(europe), F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("order_year"),
@@ -892,9 +899,13 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
+        # mx is a 1-row scalar → broadcast by construction. supplier
+        # scales with SF, and after the max-filter the LEFT side is the
+        # ~1-row sliver — forcing the unbounded dim broadcast was
+        # backwards; AQE broadcasts the sliver on its own.
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

@@ -151,9 +151,11 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    joined = s.join(
-        F.broadcast(customer), on=s["user_id"] + 1 == customer["c_custkey"]
-    )
+    # No broadcast hint: stream-static equi-joins pick broadcast on
+    # their own under the threshold, and customer scales with SF — at
+    # the 100 TB north star this join wants a shuffle or a state-backed
+    # lookup, not a forced per-micro-batch broadcast.
+    joined = s.join(customer, on=s["user_id"] + 1 == customer["c_custkey"])
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value")
     )

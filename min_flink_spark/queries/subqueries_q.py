@@ -114,7 +114,9 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qty).alias("sq"), F.count(F.lit(1)).alias("cnt")
     )
     small = (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF even after the brand filter — no forced
+        # broadcast; AQE picks it while small.
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("pq_key"))
         .filter(2 * qty * F.col("cnt") < F.col("sq"))
     )
@@ -471,8 +473,9 @@ def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         & F.col("p_size").between(5, 20)
         & qty.between(5, 25)
     )
+    # part scales with SF — no forced broadcast (AQE decides).
     joined = lineitem.join(
-        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        part, F.col("p_partkey") == F.col("l_partkey")
     ).filter(cond1 | cond2)
     return joined.agg(
         (
@@ -540,9 +543,8 @@ def q_waiting_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_s") > 1) & (F.col("n_ls") == 1))
     )
     return (
-        qualifying.join(
-            F.broadcast(supplier), F.col("s_suppkey") == F.col("the_supp")
-        )
+        # supplier scales with SF — no forced broadcast (AQE decides).
+        qualifying.join(supplier, F.col("s_suppkey") == F.col("the_supp"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

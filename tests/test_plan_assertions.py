@@ -273,3 +273,43 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_all_query_outputs_scalar(spark, sf_dir):
+    """The driver's canonicalizer pandas-sorts every output column and
+    crashes on list/dict cells (round-3: `TypeError: unhashable type:
+    'list'` redded both ANN queries on an ARRAY<BIGINT> column, values
+    never compared). Lock the whole registry to scalar-only top-level
+    output schemas — arrays must be stringified (concat_ws Spark-side,
+    array_to_string/string_agg oracle-side) before they reach the
+    gate."""
+    banned = ("array", "map", "struct", "variant")
+    offenders = {}
+    for name, fn in QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        bad = [f.name for f in schema.fields if f.dataType.typeName() in banned]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalar output columns: {offenders}"
+
+
+def test_no_forced_broadcast_of_sf_scaling_tables():
+    """A broadcast HINT on a table whose row count scales with SF
+    (customer 150k×SF, supplier 10k×SF, part 200k×SF, orders/lineitem
+    facts) is a 100 TB executor OOM: the hint overrides AQE's
+    size-based choice, which would broadcast while small and shuffle at
+    scale (VERDICT r3 item 4). Hints are allowed only on
+    fixed-cardinality tables (nation=25, region=5), literal/bounded
+    frames, and 1-row scalars. Source-scan the package so a hint can't
+    sneak back in under any query."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "min_flink_spark"
+    pat = re.compile(r"F\.broadcast\(\s*(customer|supplier|lineitem|orders|part)\b")
+    hits = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if pat.search(line):
+                hits.append(f"{py.relative_to(pkg.parent)}:{i}: {line.strip()}")
+    assert not hits, "forced broadcast of SF-scaling table(s):\n" + "\n".join(hits)

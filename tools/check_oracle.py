@@ -120,6 +120,24 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # The driver's canonicalizer pandas-sorts every output column
+            # and crashes on list/dict cells (round-3 red rows on
+            # ARRAY<BIGINT>), so any top-level array/map/struct column is
+            # an automatic driver red even when values match. Mirror
+            # that: reject non-scalar output schemas outright.
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct", "variant")
+            ]
+            if bad:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: non-scalar output column(s) {bad} — "
+                    "the driver's canonicalizer crashes on these; "
+                    "stringify (concat_ws / array_to_string) on both sides"
+                )
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)

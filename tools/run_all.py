@@ -15,6 +15,20 @@ import time
 
 STAGES = [
     ("strict oracle gate (sf0.01)", [sys.executable, "tools/check_oracle.py", "--strict"]),
+    # The ANN recall certificates carry a recall>=bound flag whose
+    # margin varies with SF; re-verify the driver-visible hash at sf0.1
+    # too so a bound flip can't ship (VERDICT r3 item 6).
+    (
+        "strict oracle gate (sf0.1, ANN certificates)",
+        [
+            sys.executable,
+            "tools/check_oracle.py",
+            "--strict",
+            "/root/testdata/sf0.1",
+            "ann_lsh_topk",
+            "ann_ivf_topk",
+        ],
+    ),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
     ("bench (sf0.1)", [sys.executable, "bench.py"]),
     (
