@@ -168,3 +168,41 @@ def extract_domains(text: Column) -> Column:
         hosts,
         lambda h: F.regexp_replace(F.lower(h), "^www\\.", ""),
     )
+
+
+def char_entropy_micro(text: Column) -> Column:
+    """Shannon character entropy of ``text`` in nats, as MICRO-NAT
+    integer units (bigint) — the information-density quality signal
+    (near-zero entropy = repeated filler/padding; very high = random
+    bytes/base64 blobs; natural prose sits in a stable band).
+
+    Entirely within the row via higher-order array functions — ZERO
+    shuffle, embarrassingly parallel, whole-stage codegen:
+    ``H = ln(N) - (Σ c·ln c)/N`` over per-character counts c, where the
+    inner sum rides as round(c·ln(c)·1e6) INTEGERS (order-free exact
+    sum; ln drifts by ulps across engines, so per-TERM rounding — the
+    same fixed-point contract as the surprisal/money queries — keeps
+    the total replayable in DuckDB). O(distinct_chars · len) per row;
+    distinct chars in real text is tiny (≲ 100).
+
+    Returns NULL for empty/NULL text."""
+    chars = F.split(text, "")
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    inner = F.aggregate(
+        counts,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc
+        + F.round(c.cast("double") * F.log(c.cast("double")) * 1000000.0).cast(
+            "bigint"
+        ),
+    )
+    h = F.log(n.cast("double")) - (inner.cast("double") / 1000000.0) / n.cast("double")
+    # guard on length, not array size: split('', '') yields [''] (size
+    # 1), so empty text would otherwise score 0 instead of NULL
+    return F.when(
+        F.length(text) > 0, F.round(h * 1000000.0).cast("bigint")
+    ).otherwise(F.lit(None).cast("bigint"))

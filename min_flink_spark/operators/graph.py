@@ -109,3 +109,73 @@ def connected_components(
             "strict=False to accept split components"
         )
     return labels
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank in pure INTEGER arithmetic — the
+    importance-ranking pass of a link/citation/co-occurrence graph
+    (page quality priors for crawl corpora, canonical-doc choice inside
+    dup clusters), bit-reproducible across engines and partitionings.
+
+    Every node starts at ``scale`` units; one round is
+    ``contrib = rank div out_degree`` (integer floor division) summed
+    over in-edges, then ``rank' = (1-d)·scale + (d·Σcontrib) div 1``
+    with d as the exact rational ``damping_num/damping_den``. Integer
+    sums are associative-exact, so the result is independent of
+    partitioning and identical in any engine that floors positive
+    division — unlike double PageRank, whose per-node sums drift with
+    aggregation order. Floor loss per division is < 1 unit (≤ 1e-6 of
+    a rank at the default scale): negligible for ranking, priceless
+    for replayability.
+
+    Dangling nodes (out_degree = 0) contribute nothing — their mass
+    leaks, the standard simplification when ranks are used ordinally.
+
+    Scale: each iteration = one equi-join of the rank table (V rows)
+    onto the edge list (E rows) + one sum by dst — the same
+    shuffle-by-key twice per round. Pre-partition both by the key
+    (bucketing at rest) to make every round co-located; only the loop
+    COUNTER lives on the driver, never data. Fixed iteration count =
+    fixed plan depth, so the whole unrolled computation is one lazy
+    Catalyst plan (callers of long loops should localCheckpoint per
+    round as connected_components does)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
+    base = (scale * (damping_den - damping_num)) // damping_den
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("contrib").alias("in_mass"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(coalesce(in_mass, 0L) * {damping_num}) div {damping_den}"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return ranks

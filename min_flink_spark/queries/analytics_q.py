@@ -388,3 +388,73 @@ def q_declining_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("len").alias("longest_decline"))
         .filter(F.col("longest_decline") >= 3)
     )
+
+
+# Three unrolled integer-PageRank rounds as SQL CTEs (the oracle twin of
+# operators/graph.pagerank_integer). BIGINT sums are CAST back from
+# DuckDB's HUGEINT; // is floor division on positive integers, matching
+# Spark's `div`.
+_PR_ITER = """
+  {out} AS (
+    SELECT n.node,
+           CAST(150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, CAST(SUM({prev}.rank // d.out_deg) AS BIGINT) AS m
+      FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ) s ON n.node = s.node
+  )
+"""
+
+
+@query(
+    "pagerank_copurchase",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    {_PR_ITER.format(out="r1", prev="r0")},
+    {_PR_ITER.format(out="r2", prev="r1")},
+    {_PR_ITER.format(out="r3", prev="r2")}
+    SELECT node AS part_id, rank AS rank_units
+    FROM r3 ORDER BY rank DESC, node ASC LIMIT 100
+    """,
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the part co-purchase graph (parts
+    sharing an order are linked both ways), 3 fixed rounds in pure
+    integer arithmetic (operators/graph.pagerank_integer) — the
+    importance-prior pass of link/citation curation pipelines, and the
+    engine's demonstration of driver-looped iterative dataflow beyond
+    label propagation (reference has no iteration surface; Flink's
+    IterativeStream analog re-expressed as a deterministic unrolled
+    plan). Integer floor-division ranks are bit-identical across
+    engines and partitionings — no float drift over 3 rounds of
+    re-aggregation. Edge build is per-order (bounded fan-out), never
+    all-pairs; each round is two key-joins + one sum, co-locatable by
+    bucketing at scale. Top-100 rides TakeOrderedAndProject."""
+    from min_flink_spark.operators.graph import pagerank_integer
+    from min_flink_spark.operators.relational import top_k
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank_integer(edges, iterations=3)
+    return top_k(
+        ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("rank_units")),
+        k=100,
+        order_by=[F.col("rank_units").desc(), F.col("part_id").asc()],
+    )

@@ -1413,3 +1413,89 @@ def q_recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mass_u",
         F.round(F.col("mass_u").cast("double") / total, 6).alias("share"),
     )
+
+
+@query(
+    "char_entropy_quality",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, string_split(text, '') AS chars,
+             length(text) AS n_chars_text
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, n_chars_text, len(chars) AS n,
+             CAST(list_sum(list_transform(list_distinct(chars),
+               c -> CAST(round(len(list_filter(chars, x -> x = c))
+                         * ln(len(list_filter(chars, x -> x = c)))
+                         * 1000000.0) AS BIGINT)
+             )) AS BIGINT) AS inner_sum
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(n_chars_text AS BIGINT) AS n_chars_text,
+           CASE WHEN n_chars_text > 0
+                THEN CAST(round((ln(CAST(n AS DOUBLE))
+                                 - (CAST(inner_sum AS DOUBLE) / 1000000.0)
+                                   / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                ELSE NULL END AS entropy_micro
+    FROM agg
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document in micro-nats
+    (functions/text.char_entropy_micro) — the information-density
+    quality filter: near-zero = repeated filler, very high = random
+    blobs, prose sits in a stable band. Computed entirely WITHIN each
+    row via higher-order array expressions — zero shuffle, zero Python,
+    embarrassingly parallel at any corpus size; the per-character
+    ``c·ln c`` terms ride as rounded micro-nat integers so the in-row
+    sum is order-free exact and the DuckDB twin replays it
+    bit-identically (the surprisal/money fixed-point contract)."""
+    from min_flink_spark.functions.text import char_entropy_micro
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        char_entropy_micro(F.col("text")).alias("entropy_micro"),
+    )
+
+
+@query(
+    "scd2_user_state_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM starts
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 compaction of the event changelog
+    (operators/pipeline.scd2_from_changelog): per user, one validity
+    interval per run of identical state (event_type as the tracked
+    attribute), consecutive repeats collapsed, open interval flagged
+    current — the CDC-ingestion shape every warehouse feed needs.
+    One shuffle (partition by user), two window passes, no self-join;
+    event_id breaks timestamp ties so the compaction is deterministic
+    under any partitioning."""
+    from min_flink_spark.operators.pipeline import scd2_from_changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        ev, key_cols=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        seq_col="event_id",
+    )

@@ -653,3 +653,72 @@ def q_streaming_cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
     alerts = process_keyed(ev, ["user_id"], AbsenceFunction(), output_mode="update")
     with shuffle_partitions(spark, 8):
         return run_to_completion(alerts, output_mode="update")
+
+
+@query(
+    "streaming_side_outputs",
+    oracle="""
+    SELECT 'main' AS tag, event_type AS key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'error' AS tag, CAST(extract(hour FROM ts) AS VARCHAR) AS key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM events WHERE event_type = 'error'
+    GROUP BY 2
+    """,
+)
+def q_streaming_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side outputs on the real streaming path — the reference's
+    OutputTag surface (OutputTag.java:43, Output.java:52: one operator
+    emits to a tagged side channel alongside its main output). Spark
+    has no in-plan row routing, so the split happens once per
+    micro-batch inside foreachBatch via Stream.side_output (two
+    null-safe complementary filters over the SAME batch lineage):
+    error events route to the side channel and aggregate by hour,
+    everything else aggregates by event type — DIFFERENT downstream
+    processing per channel, the thing side outputs exist for. Each
+    batch contributes bounded partial aggregates (≤ #types + 24 rows);
+    partials re-aggregate in Spark at the end, so the result is exact
+    under any batch slicing. Values ride as micro-unit integers
+    (bit-exact partial merge, the money-in-cents contract)."""
+    from min_flink_spark.core.stream import Stream
+    from min_flink_spark.streaming.runner import run_foreach_batch
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    partials: list = []
+
+    def split_and_aggregate(bdf: DataFrame, batch_id: int) -> None:
+        main, side = Stream(bdf).side_output(F.col("event_type") == "error")
+        vm = F.round(F.col("value") * 1000000).cast("bigint")
+        main_rows = (
+            main.df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(vm).alias("value_micro"))
+            .select(
+                F.lit("main").alias("tag"),
+                F.col("event_type").alias("key"),
+                "n",
+                "value_micro",
+            )
+        )
+        side_rows = (
+            side.df.groupBy(F.hour("ts").cast("string").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(vm).alias("value_micro"))
+            .select(F.lit("error").alias("tag"), "key", "n", "value_micro")
+        )
+        # bounded partials only — never the batch rows — cross to the
+        # driver (the same contract as the streaming oracle sinks)
+        partials.extend(main_rows.unionByName(side_rows).collect())
+
+    run_foreach_batch(s, split_and_aggregate, output_mode="append")
+    out = spark.createDataFrame(
+        partials, "tag string, key string, n bigint, value_micro bigint"
+    )
+    return out.groupBy("tag", "key").agg(
+        F.sum("n").alias("n"), F.sum("value_micro").alias("value_micro")
+    )

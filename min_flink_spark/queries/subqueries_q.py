@@ -548,3 +548,37 @@ def q_waiting_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS with a CROSS-TABLE inequality: orders
+    having at least one line shipped >60 days after the order date,
+    counted by priority. Decorrelates to a LEFT SEMI join on the order
+    key with the inequality as a residual join predicate — one pass,
+    no aggregation-then-join of the full lineitem, no per-row rescan
+    (the correlated formulation's 100 TB killer). Counts are integer
+    → bit-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

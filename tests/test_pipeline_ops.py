@@ -404,3 +404,80 @@ def test_dedup_paragraphs_regex_sep_and_empty_docs(spark):
     assert got[1] == ("unique one here", 1)
     assert got[2] == ("another unique text", 1)
     assert got[3] == ("", 0)
+
+
+def test_pagerank_integer_known_graph(spark):
+    """3-node cycle + a sink: hand-computed integer ranks after 2
+    rounds, and partition-invariance (the operator's whole point)."""
+    from min_flink_spark.operators.graph import pagerank_integer
+
+    # a -> b, b -> c, c -> a  (cycle: every rank stays 1_000_000)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    r = {row.node: row.rank for row in pagerank_integer(edges, iterations=2).collect()}
+    assert r == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+    # star: 1,2,3 all point at 4; 4 points at 1. After round 1:
+    # rank(4) = 150000 + 85*3_000_000/100 = 2_700_000
+    # rank(1) = 150000 + 850_000 = 1_000_000; rank(2)=rank(3)=150000
+    star = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 1)], "src bigint, dst bigint"
+    )
+    r1 = {row.node: row.rank for row in pagerank_integer(star, iterations=1).collect()}
+    assert r1 == {1: 1_000_000, 2: 150_000, 3: 150_000, 4: 2_700_000}
+
+    for n in (1, 7):
+        rn = {
+            row.node: row.rank
+            for row in pagerank_integer(star.repartition(n), iterations=3).collect()
+        }
+        assert rn == {
+            row.node: row.rank
+            for row in pagerank_integer(star, iterations=3).collect()
+        }
+
+
+def test_scd2_from_changelog_compacts_runs(spark):
+    """Consecutive identical states collapse; ties on ts break by seq;
+    the last interval per key is open and current."""
+    from min_flink_spark.operators.pipeline import scd2_from_changelog
+
+    rows = [
+        # user 1: A A B A  -> intervals A[t1,t3) B[t3,t4) A[t4,-)
+        (1, "A", "2024-01-01 00:00:00", 1),
+        (1, "A", "2024-01-02 00:00:00", 2),
+        (1, "B", "2024-01-03 00:00:00", 3),
+        (1, "A", "2024-01-04 00:00:00", 4),
+        # user 2: same-ts tie, seq decides order: B(seq 1) then A(seq 2)
+        (2, "B", "2024-01-01 00:00:00", 1),
+        (2, "A", "2024-01-01 00:00:00", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, state string, ts string, seq bigint"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = scd2_from_changelog(
+        df, key_cols=["user_id"], attr_cols=["state"], ts_col="ts", seq_col="seq"
+    ).collect()
+    u1 = sorted(
+        [(r.state, str(r.valid_from), str(r.valid_to), r.is_current)
+         for r in out if r.user_id == 1]
+    )
+    assert len(u1) == 3
+    assert ("B", "2024-01-03 00:00:00", "2024-01-04 00:00:00", False) in u1
+    opens = [r for r in out if r.user_id == 1 and r.is_current]
+    assert len(opens) == 1 and opens[0].state == "A" and opens[0].valid_to is None
+    u2 = sorted([(r.state, r.is_current) for r in out if r.user_id == 2])
+    assert u2 == [("A", True), ("B", False)]
+
+
+def test_char_entropy_micro_known_values(spark):
+    """aabb -> ln(2) micro-nats; uniform 4 chars -> ln(4); constant and
+    empty/NULL edge cases."""
+    from min_flink_spark.functions.text import char_entropy_micro
+
+    df = spark.createDataFrame(
+        [("aabb",), ("abcd",), ("aaaa",), ("",), (None,)], "t string"
+    )
+    got = [r.e for r in df.select(char_entropy_micro(F.col("t")).alias("e")).collect()]
+    assert got == [693147, 1386294, 0, None, None]
