@@ -664,3 +664,37 @@ def scd2_from_changelog(
         F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
         F.lead(F.col(ts_col)).over(w2).isNull().alias("is_current"),
     )
+
+
+def grouped_stats(df: DataFrame, keys: list[str], value_micro: Column) -> DataFrame:
+    """Mergeable per-key partial stats (cnt, sum, min, max) over an
+    exact integer measure — the storable half of incremental corpus
+    statistics. ``value_micro`` must be integral (micro-units) so sums
+    merge associatively with zero drift."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(value_micro).alias("sum_v"),
+        F.min(value_micro).alias("min_v"),
+        F.max(value_micro).alias("max_v"),
+    )
+
+
+def merge_grouped_stats(*parts: DataFrame) -> DataFrame:
+    """Merge any number of ``grouped_stats`` frames into the stats of
+    the union of their inputs — count/sum re-add, min/max re-extremize.
+    EXACT because every field is an integer: merged(old, delta) is
+    bit-identical to a full recompute, which is the maintenance
+    contract that lets a 100 TB corpus keep per-source statistics
+    current by scanning only each day's delta (the mergeable-partial
+    shape of every warehouse incremental-view pipeline). One narrow
+    shuffle over rows = #keys × #parts."""
+    keys = [c for c in parts[0].columns if c not in ("cnt", "sum_v", "min_v", "max_v")]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

@@ -529,3 +529,52 @@ def coarse_to_fine_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def negative_pair_sample(
+    corpus: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic contrastive NEGATIVE sampling over a dense id
+    space: for each anchor row, ``k`` pseudo-random partners at
+    ``(id + offset_j) mod N`` with per-slot offsets ``offset_j = 1 +
+    (md5("salt:j") mod (N-1))`` — shared by all anchors, never zero, so
+    a partner never equals its anchor and the pairing is uniform
+    modulo N. Returns ``(anchor_id, slot, neg_id)``.
+
+    This is how embedding-model training data gets in-batch-independent
+    negatives WITHOUT a cartesian or an RNG: md5-derived offsets make
+    the sample reproducible across engines, partitionings and reruns
+    (resumable pipelines), and the plan is explode(k) + one equi-join
+    back on the id — fully shuffled-hash-joinable at any corpus size.
+    Requires ids dense in [0, N); N crosses the driver as ONE scalar.
+
+    Collisions between slots (two offsets landing equal) are kept —
+    the spec is per-slot independent draws; dedupe downstream if a
+    training recipe needs distinct negatives."""
+    from min_flink_spark.functions.hashing import md5_prefix_int
+
+    n_row = corpus.select(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    anchors = corpus.select(F.col(id_col).alias("anchor_id")).crossJoin(
+        F.broadcast(n_row)
+    )
+    slots = anchors.select(
+        "anchor_id",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot"),
+    )
+    offset = F.lit(1) + F.pmod(
+        md5_prefix_int(F.concat(F.lit(salt + ":"), F.col("slot").cast("string"))),
+        F.col("_n") - F.lit(1),
+    )
+    paired = slots.select(
+        "anchor_id",
+        F.col("slot").cast("bigint").alias("slot"),
+        F.pmod(F.col("anchor_id") + offset, F.col("_n")).alias("neg_id"),
+    )
+    # join back to assert the partner exists (and to let callers carry
+    # partner payload columns through the same equi-join)
+    ids = corpus.select(F.col(id_col).alias("neg_id"))
+    return paired.join(ids, "neg_id").select("anchor_id", "slot", "neg_id")

@@ -1100,3 +1100,35 @@ def q_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("score_sum_e6"),
     )
+
+
+@query(
+    "contrastive_negative_pairs",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings),
+    slots AS (
+      SELECT e.vec_id AS anchor_id, CAST(s.slot AS BIGINT) AS slot, n.nn
+      FROM embeddings e
+      CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS slot) s
+    )
+    SELECT anchor_id, slot,
+           (anchor_id + 1 +
+            (CAST(('0x' || substr(md5('neg:' || CAST(slot AS VARCHAR)), 1, 8))
+                  AS BIGINT) % (nn - 1))) % nn AS neg_id
+    FROM slots
+    """,
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (operators/similarity.negative_pair_sample): k=4 md5-derived
+    partners per anchor over the dense embedding id space — how an
+    embedding-model training pipeline draws reproducible negatives
+    without a cartesian, an RNG, or a shuffle wider than
+    explode(k)+equi-join. The oracle replays the offset arithmetic
+    verbatim; every column is an integer, so the hash is exact at any
+    parallelism."""
+    from min_flink_spark.operators.similarity import negative_pair_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return negative_pair_sample(emb, k=4)

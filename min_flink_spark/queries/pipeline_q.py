@@ -1499,3 +1499,32 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_cols=["user_id"], attr_cols=["event_type"], ts_col="ts",
         seq_col="event_id",
     )
+
+
+@query(
+    "incremental_stats_merge",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_v,
+           CAST(min(n_chars) AS BIGINT) AS min_v,
+           CAST(max(n_chars) AS BIGINT) AS max_v
+    FROM documents GROUP BY source
+    """,
+)
+def q_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental statistics maintenance
+    (operators/pipeline.grouped_stats / merge_grouped_stats): per-source
+    stats computed on two disjoint corpus slices (the "stored" 80% and
+    the "new-batch" 20%) then MERGED — and the oracle recomputes from
+    scratch over everything, so the hash proves merge(old, delta) ≡
+    full recompute bit-for-bit. Integer measures make the partials
+    associative-exact; this is the mergeable-partial contract that lets
+    a 100 TB corpus keep stats current by scanning only each delta."""
+    from min_flink_spark.operators.pipeline import grouped_stats, merge_grouped_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.col("n_chars")
+    old = grouped_stats(docs.filter(F.col("doc_id") % 5 != 0), ["source"], v)
+    delta = grouped_stats(docs.filter(F.col("doc_id") % 5 == 0), ["source"], v)
+    return merge_grouped_stats(old, delta)

@@ -722,3 +722,46 @@ def q_streaming_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("tag", "key").agg(
         F.sum("n").alias("n"), F.sum("value_micro").alias("value_micro")
     )
+
+
+@query(
+    "streaming_cep_times",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(c AS BIGINT) AS n_in_window
+    FROM (
+      SELECT user_id, event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                            RANGE BETWEEN 86400000000 PRECEDING
+                                      AND CURRENT ROW) AS c
+      FROM err
+    ) WHERE c >= 3
+    """,
+)
+def q_streaming_cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP times(n) quantifier on the stream: 3+ errors within a
+    trailing day per user (streaming/cep.py:TimesFunction) — the
+    burst-detection pattern. The oracle is the batch-SQL definition of
+    the same frame (RANGE T PRECEDING), so peers on the timestamp
+    count identically and the hash is order-free exact."""
+    from min_flink_spark.streaming.cep import TimesFunction
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.stateful import process_keyed
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    ev = s.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    fn = TimesFunction("error", 3, 86_400_000_000)
+    matched = process_keyed(ev, ["user_id"], fn, output_mode="update")
+    with shuffle_partitions(spark, 8):
+        return run_to_completion(matched, output_mode="update")

@@ -167,3 +167,65 @@ class AbsenceFunction(KeyedProcessFunction):
         keep = ~expired
         new_state = (a_ts[keep].tolist(), a_id[keep].tolist())
         return out, new_state
+
+
+class TimesFunction(KeyedProcessFunction):
+    """Detect ``n`` occurrences of ``event_type_match`` within a
+    trailing ``within_us`` window per key — Flink CEP's
+    ``A.times(n).within(T)`` quantifier, the third member of the
+    pattern family (followedBy, absence, times).
+
+    Emits one row per matching event (the window CLOSES on it): (key,
+    event_id, n_in_window) where ``n_in_window`` counts same-type
+    events with ``ts ∈ [event.ts − T, event.ts]`` — identical to the
+    SQL ``RANGE BETWEEN T PRECEDING AND CURRENT ROW`` frame (timestamp
+    peers count regardless of id, so the answer is id-order-free and
+    bit-deterministic).
+
+    State per key is the trailing-window timestamps only (pruned
+    against the key's max seen event time, like FollowedByFunction);
+    counting per batch is one lexsort + two searchsorted calls."""
+
+    needs_full_group = True
+    state_schema = "x_ts array<bigint>"
+    output_schema = "user_id bigint, event_id bigint, n_in_window bigint"
+
+    def __init__(
+        self,
+        event_type_match: str = "error",
+        n: int = 3,
+        within_us: int = 3_600_000_000,
+    ):
+        self.event_type_match = event_type_match
+        self.n = n
+        self.within_us = within_us
+
+    def process_element(self, key, rows: pd.DataFrame, state):
+        x_rows = rows[rows["event_type"] == self.event_type_match]
+        x_ts = x_rows["ts_us"].to_numpy(dtype=np.int64)
+        x_id = x_rows["event_id"].to_numpy(dtype=np.int64)
+        all_ts = x_ts
+        if state is not None:
+            all_ts = np.concatenate([np.asarray(state[0], dtype=np.int64), x_ts])
+        all_ts = np.sort(all_ts)
+
+        out = None
+        if len(x_ts):
+            hi = np.searchsorted(all_ts, x_ts, side="right")
+            lo = np.searchsorted(all_ts, x_ts - self.within_us, side="left")
+            cnt = hi - lo
+            hit = cnt >= self.n
+            if hit.any():
+                out = pd.DataFrame(
+                    {
+                        "user_id": np.full(int(hit.sum()), key[0], dtype=np.int64),
+                        "event_id": x_id[hit],
+                        "n_in_window": cnt[hit].astype(np.int64),
+                    }
+                )
+
+        max_seen = 0
+        if len(rows):
+            max_seen = int(rows["ts_us"].max())
+        keep = all_ts >= max_seen - self.within_us
+        return out, (all_ts[keep].tolist(),)

@@ -166,3 +166,45 @@ def test_followed_by_state_survives_checkpoint_restart(spark, tmp_path):
     add_file("b", [(1, 3000, 9, "purchase")])
     second = run_once()
     assert {(r.purchase_id, r.click_id) for r in second} == {(9, 2)}
+
+
+def _run_times(spark, rows, tmpdir, n=3, within=HOUR):
+    from min_flink_spark.streaming.cep import TimesFunction
+
+    src = os.path.join(tmpdir, "cep_times_events")
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    s = stream_parquet(spark, src, SCHEMA)
+    out = process_keyed(s, ["user_id"], TimesFunction("error", n, within),
+                        output_mode="update")
+    with shuffle_partitions(spark, 2):
+        return run_to_completion(out, output_mode="update").collect()
+
+
+def test_times_counts_window_inclusive_and_peers(spark, tmp_path):
+    rows = [
+        (1, 0, 1, "error"),          # exactly match_ts - 1h: counts
+        (1, HOUR // 2, 2, "error"),
+        (1, HOUR, 3, "error"),       # 3rd in [0, 1h] → fires, count 3
+        (1, HOUR, 4, "error"),       # ts-peer: both see count 4
+        (2, 0, 5, "error"),          # isolated pair never fires
+        (2, 10 * HOUR, 6, "error"),
+        (1, 1000, 7, "view"),        # other types invisible to times()
+    ]
+    got = sorted(
+        (r.event_id, r.n_in_window) for r in _run_times(spark, rows, str(tmp_path))
+    )
+    assert got == [(3, 4), (4, 4)]
+
+
+def test_times_window_excludes_expired(spark, tmp_path):
+    rows = [
+        (9, 0, 1, "error"),
+        (9, HOUR + 1, 2, "error"),   # first has fallen out of [ts-1h, ts]
+        (9, HOUR + 2, 3, "error"),
+        (9, HOUR + 3, 4, "error"),   # 3 live errors → fires here
+    ]
+    got = sorted(
+        (r.event_id, r.n_in_window) for r in _run_times(spark, rows, str(tmp_path))
+    )
+    assert got == [(4, 3)]

@@ -481,3 +481,38 @@ def test_char_entropy_micro_known_values(spark):
     )
     got = [r.e for r in df.select(char_entropy_micro(F.col("t")).alias("e")).collect()]
     assert got == [693147, 1386294, 0, None, None]
+
+
+def test_negative_pair_sample_contract(spark):
+    """k partners per anchor, never self, ids within [0, N), identical
+    under repartitioning (determinism is the operator's point)."""
+    from min_flink_spark.operators.similarity import negative_pair_sample
+
+    corpus = spark.range(50).select(F.col("id").alias("vec_id"))
+    out = negative_pair_sample(corpus, k=3).collect()
+    assert len(out) == 150
+    assert all(r.neg_id != r.anchor_id for r in out)
+    assert all(0 <= r.neg_id < 50 for r in out)
+    per_anchor = {}
+    for r in out:
+        per_anchor.setdefault(r.anchor_id, set()).add(r.slot)
+    assert all(slots == {1, 2, 3} for slots in per_anchor.values())
+    again = negative_pair_sample(corpus.repartition(7), k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_merge_grouped_stats_equals_full_recompute(spark):
+    """merge(old, delta) must be bit-identical to stats over the union
+    — including keys present in only one part."""
+    from min_flink_spark.operators.pipeline import grouped_stats, merge_grouped_stats
+
+    rows = [("a", 1), ("a", 5), ("b", 10), ("b", 2), ("c", 7)]
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    old = grouped_stats(df.filter(F.col("v") < 6), ["k"], F.col("v"))
+    delta = grouped_stats(df.filter(F.col("v") >= 6), ["k"], F.col("v"))
+    merged = {r.k: (r.cnt, r.sum_v, r.min_v, r.max_v)
+              for r in merge_grouped_stats(old, delta).collect()}
+    full = {r.k: (r.cnt, r.sum_v, r.min_v, r.max_v)
+            for r in grouped_stats(df, ["k"], F.col("v")).collect()}
+    assert merged == full
+    assert merged["c"] == (1, 7, 7, 7)  # delta-only key survives the merge
