@@ -313,3 +313,41 @@ def test_no_forced_broadcast_of_sf_scaling_tables():
             if pat.search(line):
                 hits.append(f"{py.relative_to(pkg.parent)}:{i}: {line.strip()}")
     assert not hits, "forced broadcast of SF-scaling table(s):\n" + "\n".join(hits)
+
+
+def test_char_entropy_plan_has_zero_shuffles(spark, sf_dir):
+    """The entropy signal is per-row by construction — any Exchange in
+    the plan means the higher-order-function formulation regressed to
+    an explode+groupBy (corpus-sized shuffle at 100 TB)."""
+    plan = _plan(spark, sf_dir, "char_entropy_quality")
+    assert _shuffles(plan) == 0
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_scd2_plan_single_shuffle(spark, sf_dir):
+    """Changelog compaction must be ONE partitioning (the key) reused
+    by both window passes — a second exchange means the two windows
+    stopped sharing their sort."""
+    plan = _plan(spark, sf_dir, "scd2_user_state_intervals")
+    assert _shuffles(plan) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_late_shipment_plan_semi_join_with_residual(spark, sf_dir):
+    """The EXISTS must decorrelate to one LeftSemi hash/merge join
+    carrying the inequality as a residual condition — never a per-row
+    rescan (BroadcastNestedLoopJoin/CartesianProduct)."""
+    plan = _plan(spark, sf_dir, "late_shipment_priority_counts")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_plan_no_cartesian(spark, sf_dir):
+    """Three unrolled rounds must stay equi-join shaped (rank⋈edges on
+    the key); a cartesian/nested loop means an iteration's join
+    condition was lost."""
+    plan = _plan(spark, sf_dir, "pagerank_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -52,6 +52,9 @@ EXPECTED_CROSS = {
     "idle_rich_customers",      # 1-row balance-threshold scalar cross join
     "part_value_concentration", # 1-row rollup-total scalar cross join
     "event_funnel_conversion",  # three 1-row stage-count scalar cross joins
+    "coarse_to_fine_topk",      # k query vectors broadcast into the corpus
+                                # (non-equi self-exclusion, bounded side)
+    "contrastive_negative_pairs",  # 1-row corpus-count scalar cross join
 }
 EXPECTED_SINGLE_PARTITION = {
     "global_sort_expensive_orders",  # the query IS a global sort
