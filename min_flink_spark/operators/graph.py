@@ -179,3 +179,56 @@ def pagerank_integer(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal (community density, spam-graph detection).
+
+    Classic degree-ordered orientation (Latapy's compact-forward /
+    MapReduce "NodeIterator++"): canonicalize edges to unordered pairs,
+    orient each from the (degree, id)-smaller endpoint to the larger,
+    generate wedges only at each edge's LOW-order endpoint, and close
+    them against the oriented edge list. Orientation bounds every
+    node's out-degree by O(√E), so wedge count is O(E^1.5) worst-case
+    instead of Σdeg² — the difference between a hub node generating
+    deg²≈10¹² wedges and the same node generating none. All joins are
+    equi-joins on node ids (shuffle-partitionable); counts are exact
+    integers, so the result is engine- and partitioning-independent.
+
+    Returns (node, n_triangles) for every node in ≥1 triangle."""
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    pairs = (
+        edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = pairs.join(da, "a").join(db, "b")
+    lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    o = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+    w1 = o.select(F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    wedges = w1.join(w2, "src").filter(
+        F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    )
+    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("src", "x", "y")
+    roles = (
+        tri.select(F.col("src").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+    )
+    return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -458,3 +458,71 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=100,
         order_by=[F.col("rank_units").desc(), F.col("part_id").asc()],
     )
+
+
+@query(
+    "triangle_counts_copurchase",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM raw UNION ALL SELECT b FROM raw)
+      GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (da.deg, raw.a) < (db.deg, raw.b)
+                  THEN raw.a ELSE raw.b END AS src,
+             CASE WHEN (da.deg, raw.a) < (db.deg, raw.b)
+                  THEN raw.b ELSE raw.a END AS dst,
+             CASE WHEN (da.deg, raw.a) < (db.deg, raw.b)
+                  THEN db.deg ELSE da.deg END AS ddst
+      FROM raw
+      JOIN deg da ON da.node = raw.a
+      JOIN deg db ON db.node = raw.b
+    ),
+    wedges AS (
+      SELECT w1.src, w1.dst AS x, w2.dst AS y
+      FROM o w1 JOIN o w2
+        ON w1.src = w2.src AND (w1.ddst, w1.dst) < (w2.ddst, w2.dst)
+    ),
+    tri AS (
+      SELECT wedges.src, x, y
+      FROM wedges JOIN o ON o.src = x AND o.dst = y
+    ),
+    roles AS (
+      SELECT src AS node FROM tri
+      UNION ALL SELECT x FROM tri
+      UNION ALL SELECT y FROM tri
+    )
+    SELECT node AS part_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM roles GROUP BY node
+    """,
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph
+    (operators/graph.triangle_counts): degree-ordered orientation
+    bounds wedge generation by O(E^1.5) — the classic NodeIterator++ /
+    compact-forward scheme, here as three equi-joins whose every
+    intermediate is shuffle-partitionable by node id. The oracle
+    replays orientation, wedge order, and closure verbatim via SQL row
+    comparisons; counts are exact integers at any parallelism."""
+    from min_flink_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part_id"), F.col("n_triangles")
+    )

@@ -516,3 +516,25 @@ def test_merge_grouped_stats_equals_full_recompute(spark):
             for r in grouped_stats(df, ["k"], F.col("v")).collect()}
     assert merged == full
     assert merged["c"] == (1, 7, 7, 7)  # delta-only key survives the merge
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in 3 triangles), a triangle-free path, duplicate
+    and reversed edges, and partition invariance."""
+    from min_flink_spark.operators.graph import triangle_counts
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (2, 1)],
+        "src bigint, dst bigint",
+    )
+    got = sorted((r.node, r.n_triangles) for r in triangle_counts(k4).collect())
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint")
+    assert triangle_counts(path).count() == 0
+
+    again = sorted(
+        (r.node, r.n_triangles)
+        for r in triangle_counts(k4.repartition(5)).collect()
+    )
+    assert again == got
