@@ -526,3 +526,117 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).select(
         F.col("node").alias("part_id"), F.col("n_triangles")
     )
+
+
+@query(
+    "mad_outlier_flags",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(vm, 0.5) AS med FROM ev GROUP BY event_type
+    ),
+    dev AS (
+      SELECT ev.event_id, ev.event_type, abs(ev.vm - med.med) AS dev
+      FROM ev JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.event_type, dev.dev, mad.mad,
+           dev.dev > 3 * mad.mad AS is_outlier
+    FROM dev JOIN mad USING (event_type)
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags via median absolute deviation — the
+    quality-filter statistic that, unlike z-scores, a few extreme rows
+    cannot drag. Values ride as micro-unit integers so the two exact
+    interpolated medians (Spark percentile ≡ DuckDB quantile_cont) and
+    every derived |x−med| are bit-stable doubles (integers ± exact
+    halves). Two grouped medians + two joins back on the type key; at
+    100 TB swap `percentile` for the mergeable `approx_percentile`
+    (same plan shape, t-digest state) — the flag threshold logic is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("vm"),
+    )
+    med = ev.groupBy("event_type").agg(F.expr("percentile(vm, 0.5)").alias("med"))
+    dev = ev.join(med, "event_type").select(
+        "event_id", "event_type", F.abs(F.col("vm") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return dev.join(mad, "event_type").select(
+        "event_id",
+        "event_type",
+        "dev",
+        "mad",
+        (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
+    )
+
+
+@query(
+    "trend_slope_by_type",
+    oracle="""
+    WITH anchor AS (SELECT min(ts) AS t0 FROM events),
+    ev AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(t0 AS TIMESTAMP)))
+               // 3600000000 AS x,
+             CAST(round(value * 1000000) AS BIGINT) AS y
+      FROM events CROSS JOIN anchor
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_micro_per_hour
+    FROM s
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend slope in closed form — drift
+    detection over a metric stream (is 'value' rising for this event
+    type?). One grouped pass accumulates n/Σx/Σy/Σxy/Σx² as EXACT
+    integers (x = hours since the corpus anchor, y = micro-units), so
+    numerator and denominator are identical integers in any engine and
+    the single final division is bit-stable — closed-form regression
+    without regr_slope's float-accumulation drift. The anchor is a
+    1-row scalar; the aggregation is map-side combinable. At extreme
+    row counts the products ride decimal accumulators (Spark widens
+    sums to decimal(28,0) via the per-row decimal(18,0) cast — same
+    overflow-safety contract as the money queries)."""
+    ev0 = load_table(spark, sf_dir, "events")
+    anchor = ev0.agg(F.min("ts").alias("t0"))
+    ev = ev0.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp))"
+            " - unix_micros(cast(t0 as timestamp))) div 3600000000"
+        ).alias("x"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("y"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type", "n", (num / den).alias("slope_micro_per_hour")
+    )
