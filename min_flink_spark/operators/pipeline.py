@@ -698,3 +698,51 @@ def merge_grouped_stats(*parts: DataFrame) -> DataFrame:
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_hash: Column,
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots: full outer join on
+    the key comparing a content hash → ``status ∈ {added, removed,
+    changed, unchanged}`` per key — the change-data-feed a downstream
+    consumer (index refresh, incremental re-embedding, cache
+    invalidation) actually wants, where corpus_drift_report gives the
+    aggregate view.
+
+    One co-partitioned shuffle on the key; the hash rides as a narrow
+    md5 column so snapshots of wide documents diff without moving the
+    payload twice. At 100 TB both sides shuffle on the same key
+    (bucketing both snapshots by it makes the diff exchange-free)."""
+    o = old.select(*key_cols, content_hash.alias("_h_old"))
+    n = new.select(*key_cols, content_hash.alias("_h_new"))
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*key_cols, status.alias("status"))
+
+
+def cluster_sample(
+    df: DataFrame, key_col: str, buckets: int = 10, keep: int = 3, salt: str = "cs"
+) -> DataFrame:
+    """Cluster (group-level) sampling: keep EVERY row of a key iff the
+    key's md5 bucket falls below ``keep`` — the sampling mode for
+    unit-of-analysis integrity (all of a user's events, all of a
+    document's chunks), where row-level Bernoulli would shear groups
+    apart. Deterministic (md5, not rand): resumable and
+    engine-replayable; a pure filter — no shuffle, predicate evaluated
+    at the scan."""
+    from min_flink_spark.functions.hashing import md5_prefix_int
+
+    b = F.pmod(
+        md5_prefix_int(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+        F.lit(buckets),
+    )
+    return df.filter(b < keep)

@@ -1528,3 +1528,65 @@ def q_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = grouped_stats(docs.filter(F.col("doc_id") % 5 != 0), ["source"], v)
     delta = grouped_stats(docs.filter(F.col("doc_id") % 5 == 0), ["source"], v)
     return merge_grouped_stats(old, delta)
+
+
+@query(
+    "snapshot_diff_statuses",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 != 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.h IS NULL THEN 'added'
+                WHEN new.h IS NULL THEN 'removed'
+                WHEN old.h != new.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two corpus snapshots
+    (operators/pipeline.snapshot_diff): full outer join on the doc key
+    comparing content md5 → added/removed/changed/unchanged per doc —
+    what an incremental re-embedding or index-refresh job consumes.
+    Snapshots are carved deterministically from the documents table
+    (mod-7 removals, mod-5 additions-complement, mod-3 edits) so the
+    oracle rebuilds both sides exactly."""
+    from min_flink_spark.operators.pipeline import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, ["doc_id"], F.md5("text"))
+
+
+@query(
+    "cluster_sample_events",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM events
+    WHERE CAST(('0x' || substr(md5('cs:' || CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10 < 3
+    """,
+)
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sampling (operators/pipeline.cluster_sample): ~30% of
+    USERS keep all their events — unit-of-analysis sampling where
+    row-level Bernoulli would shear a user's history apart.
+    Deterministic md5 bucketing, pure scan-level filter, zero
+    shuffle."""
+    from min_flink_spark.operators.pipeline import cluster_sample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    return cluster_sample(ev, "user_id", buckets=10, keep=3)

@@ -1067,3 +1067,56 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "temporal_table_join",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts AS valid_from, event_type AS status FROM (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events WHERE event_type IN ('signup', 'error', 'view')
+      ) WHERE prev IS DISTINCT FROM event_type
+    ),
+    facts AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.user_id, f.event_id, f.ts, c.status AS status_at_purchase
+    FROM facts f
+    ASOF LEFT JOIN changes c
+      ON f.user_id = c.user_id AND f.ts >= c.valid_from
+    """,
+)
+def q_temporal_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-style TEMPORAL TABLE JOIN (versioned-table enrichment):
+    each purchase joins the version of its user's status dimension in
+    effect AT the purchase's event time. The versioned table is built
+    by SCD2 changelog compaction (operators/pipeline.scd2_from_changelog
+    over the status events) and the event-time lookup is the
+    single-shuffle as-of carry-forward (operators/relational.asof_join)
+    — never a per-fact range scan of version history. Purchases before
+    any status row keep a NULL version (left semantics), matching
+    DuckDB's native ASOF LEFT JOIN as the oracle."""
+    from min_flink_spark.operators.pipeline import scd2_from_changelog
+    from min_flink_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    status_log = ev.filter(F.col("event_type").isin("signup", "error", "view"))
+    versions = scd2_from_changelog(
+        status_log.select("user_id", "event_type", "ts", "event_id"),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        seq_col="event_id",
+    ).select("user_id", F.col("event_type").alias("status"), "valid_from")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return asof_join(
+        facts, versions, on=["user_id"], left_ts="ts", right_ts="valid_from",
+        right_values=["status"],
+    ).select(
+        "user_id", "event_id", "ts", F.col("r_status").alias("status_at_purchase")
+    )

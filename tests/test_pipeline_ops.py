@@ -538,3 +538,31 @@ def test_triangle_counts_known_graphs(spark):
         for r in triangle_counts(k4.repartition(5)).collect()
     )
     assert again == got
+
+
+def test_snapshot_diff_statuses(spark):
+    from min_flink_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, t string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "k bigint, t string"
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"], F.md5("t")).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_cluster_sample_keeps_whole_groups(spark):
+    from min_flink_spark.operators.pipeline import cluster_sample
+
+    df = spark.createDataFrame(
+        [(u, i) for u in range(40) for i in range(5)], "user bigint, i bigint"
+    )
+    out = cluster_sample(df, "user", buckets=10, keep=3).collect()
+    kept_users = {r.user for r in out}
+    # every kept user keeps ALL 5 rows — groups never shear
+    assert len(out) == 5 * len(kept_users)
+    assert 0 < len(kept_users) < 40
+    again = {r.user for r in cluster_sample(df.repartition(7), "user", 10, 3).collect()}
+    assert again == kept_users
