@@ -203,3 +203,50 @@ def idempotent_foreach_batch(fn, ledger_dir: str):
             fh.write("1")
 
     return _wrapped
+
+
+def late_data_router(ts_col: str, delay_ms: int, on_time_fn, late_fn):
+    """Flink ``sideOutputLateData`` parity as a ``foreachBatch``
+    wrapper: rows whose event time trails the watermark established by
+    PRIOR batches route to ``late_fn`` (quarantine/metrics/backfill),
+    everything else to ``on_time_fn`` — instead of Spark's silent
+    in-operator drop.
+
+    The watermark here is the standard bounded-out-of-orderness one
+    (max event time seen in completed batches − delay), tracked as ONE
+    driver-side scalar per query — the same bounded-metadata contract
+    as the streaming oracle sinks. Classification is per micro-batch
+    (rows inside one batch never mark each other late), matching
+    Spark's own batch-granular watermark advance. Both downstream
+    functions receive (DataFrame, batch_id).
+
+    Scale: the split is two complementary filters over the same batch
+    lineage (Stream.side_output); the scalar max aggregates
+    executor-side — no row ever crosses to the driver."""
+    state = {"max_ms": None}
+
+    def route(bdf, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from min_flink_spark.core.stream import Stream
+
+        bdf = bdf.localCheckpoint(eager=True)  # one computation, three uses
+        wm = state["max_ms"]
+        if wm is None:
+            late, on_time = None, bdf
+        else:
+            cutoff = wm - delay_ms
+            main_s, late_s = Stream(bdf).side_output(
+                (F.unix_millis(F.col(ts_col).cast("timestamp")) < F.lit(cutoff))
+            )
+            late, on_time = late_s.df, main_s.df
+        if late is not None:
+            late_fn(late, batch_id)
+        on_time_fn(on_time, batch_id)
+        mx = bdf.agg(
+            F.max(F.unix_millis(F.col(ts_col).cast("timestamp")))
+        ).collect()[0][0]
+        if mx is not None:
+            state["max_ms"] = mx if wm is None else max(wm, mx)
+
+    return route

@@ -150,3 +150,43 @@ def test_running_reduce_spans_arrow_chunks(spark, tmp_path):
     for i in range(n):
         expect += float(i)
         assert got[i] == expect, f"running sum wrong at event {i}"
+
+
+def test_late_data_side_output_routes_to_quarantine(spark, tmp_path):
+    """sideOutputLateData parity (streaming/runner.late_data_router):
+    a second batch's stale row lands in the late sink instead of being
+    silently dropped; on-time rows pass through; batch 1 (no prior
+    watermark) is never late."""
+    from min_flink_spark.streaming.runner import (
+        late_data_router,
+        run_foreach_batch,
+        stream_files,
+    )
+
+    d = str(tmp_path / "late_route")
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 12:00:00", 1)],
+        "event_id bigint, ts string, user_id bigint",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1.coalesce(1).write.mode("overwrite").parquet(d)
+
+    on_time, late = [], []
+    router = late_data_router(
+        "ts", delay_ms=3_600_000,
+        on_time_fn=lambda df, bid: on_time.extend(r.event_id for r in df.collect()),
+        late_fn=lambda df, bid: late.extend(r.event_id for r in df.collect()),
+    )
+    ckpt = str(tmp_path / "late_route_ckpt")
+    s = stream_files(spark, d, schema, "parquet", max_files_per_trigger=1)
+    run_foreach_batch(s, router, output_mode="append", checkpoint_dir=ckpt)
+    assert sorted(on_time) == [1, 2] and late == []
+
+    # batch 2: one row >1h behind the watermark (12:00), one on time
+    b2 = spark.createDataFrame(
+        [(3, "2024-01-01 09:30:00", 1), (4, "2024-01-01 12:30:00", 1)],
+        "event_id bigint, ts string, user_id bigint",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2.coalesce(1).write.mode("append").parquet(d)
+    run_foreach_batch(s, router, output_mode="append", checkpoint_dir=ckpt)
+    assert late == [3] and sorted(on_time) == [1, 2, 4]
