@@ -765,3 +765,49 @@ def q_streaming_cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = process_keyed(ev, ["user_id"], fn, output_mode="update")
     with shuffle_partitions(spark, 8):
         return run_to_completion(matched, output_mode="update")
+
+
+@query(
+    "streaming_chained_windows",
+    oracle="""
+    WITH mx AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    w6 AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    closed6 AS (SELECT w6.* FROM w6, mx WHERE ws + INTERVAL '6 hours' <= mx.wm),
+    wd AS (
+      SELECT time_bucket(INTERVAL '1 day', ws) AS day_start, event_type,
+             CAST(max(n) AS BIGINT) AS max_n,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM closed6 GROUP BY 1, 2
+    )
+    SELECT day_start, event_type, max_n, n_windows
+    FROM wd, mx WHERE day_start + INTERVAL '1 day' <= mx.wm
+    """,
+)
+def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query (Spark's
+    multiple-stateful-operator support, append mode): a 6-hour tumbling
+    count per type feeds a daily window-on-window aggregation
+    (max + count of its closed 6 h windows) — the pre-aggregation
+    cascade (minutely → hourly → daily rollups) that otherwise needs
+    N separate jobs with intermediate sinks. Append emission makes the
+    result the set of CLOSED windows at the final watermark
+    (max ts − 1 h); the oracle replays exactly that closure rule at
+    both levels, so the row set is deterministic for bounded input."""
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    w1 = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w6"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w2 = (
+        w1.groupBy(F.window(F.col("w6"), "1 day").alias("wd"), "event_type")
+        .agg(F.max("n").alias("max_n"), F.count(F.lit(1)).alias("n_windows"))
+    )
+    out = run_to_completion(w2, output_mode="append")
+    return out.select(
+        F.col("wd.start").alias("day_start"), "event_type", "max_n", "n_windows"
+    )
