@@ -564,3 +564,80 @@ def test_absence_matches_bruteforce(events, window):
         and at + window > max_ts
     }
     assert set(state[1]) == pending
+
+
+# ---- round-4 operator properties ----
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edge_strategy)
+def test_triangle_total_divisible_by_three(spark, edges):
+    """Σ per-node counts = 3 × #triangles — every triangle contributes
+    exactly one count to each of its three corners, under any random
+    graph (self-loops and duplicates included in the input)."""
+    from min_flink_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = triangle_counts(df).collect()
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0
+    # brute-force model on the canonical simple graph
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {v for e in simple for v in e}
+    tri = sum(
+        1
+        for a in nodes for b in nodes for c in nodes
+        if a < b < c and (a, b) in simple and (b, c) in simple and (a, c) in simple
+    )
+    assert total == 3 * tri
+
+
+changelog_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=20),     # ts (coarse → ties)
+        st.sampled_from(["A", "B", "C"]),           # state
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=changelog_strategy)
+def test_scd2_intervals_partition_timeline(spark, rows):
+    """Per key: intervals are chronologically chained (each valid_to ==
+    next valid_from), exactly one open interval, and adjacent intervals
+    never carry the same state (compaction actually compacted)."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.pipeline import scd2_from_changelog
+
+    df = spark.createDataFrame(
+        [(k, t, s, i) for i, (k, t, s) in enumerate(rows)],
+        "k bigint, t bigint, s string, seq bigint",
+    ).withColumn("t", F.timestamp_seconds(F.col("t")))
+    out = scd2_from_changelog(
+        df, key_cols=["k"], attr_cols=["s"], ts_col="t", seq_col="seq"
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.s != b.s  # compacted: no same-state neighbors
