@@ -103,6 +103,23 @@ _PRIORITY = [
     "waiting_supplier_counts",
     "window_rank_lag",
     "pandas_udaf_geomean",
+    # round-4-new queries (never driver-checked; all strict-green
+    # locally at sf0.001/0.01/0.1) — promote after the five above
+    "pagerank_copurchase",
+    "char_entropy_quality",
+    "scd2_user_state_intervals",
+    "late_shipment_priority_counts",
+    "streaming_side_outputs",
+    "contrastive_negative_pairs",
+    "incremental_stats_merge",
+    "streaming_cep_times",
+    "triangle_counts_copurchase",
+    "mad_outlier_flags",
+    "trend_slope_by_type",
+    "snapshot_diff_statuses",
+    "cluster_sample_events",
+    "temporal_table_join",
+    "streaming_chained_windows",
 ]
 
 
