@@ -188,18 +188,47 @@ def char_entropy_micro(text: Column) -> Column:
     Returns NULL for empty/NULL text."""
     chars = F.split(text, "")
     n = F.size(chars)
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)),
-    )
-    inner = F.aggregate(
-        counts,
-        F.lit(0).cast("bigint"),
-        lambda acc, c: acc
-        + F.round(c.cast("double") * F.log(c.cast("double")) * 1000000.0).cast(
-            "bigint"
+
+    # Per-character counts via sorted run-length walk: O(len·log len)
+    # per row instead of the naive O(distinct·len) distinct×filter scan
+    # (higher-order functions run interpreted, so the constant matters
+    # — this form is ~10× faster on real prose). A non-character
+    # sentinel appended to the sorted array flushes the final run; the
+    # sentinel's own 1-run contributes f(1)=round(1·ln1·1e6)=0, so it
+    # never needs flushing. The resulting Σ f(count) is the same
+    # integer no matter how the counts were produced, which is why the
+    # DuckDB twin can keep its distinct-scan formulation.
+    def f_run(c):
+        return F.when(
+            c > 0,
+            F.round(c.cast("double") * F.log(c.cast("double")) * 1000000.0).cast(
+                "bigint"
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    walked = F.aggregate(
+        F.concat(F.array_sort(chars), F.array(F.lit("__END__"))),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("c"),
+            F.lit(0).cast("bigint").alias("acc"),
+        ),
+        lambda s, x: F.when(
+            x == s["prev"],
+            F.struct(
+                s["prev"].alias("prev"),
+                (s["c"] + 1).alias("c"),
+                s["acc"].alias("acc"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("bigint").alias("c"),
+                (s["acc"] + f_run(s["c"])).alias("acc"),
+            )
         ),
     )
+    inner = walked["acc"]
     h = F.log(n.cast("double")) - (inner.cast("double") / 1000000.0) / n.cast("double")
     # guard on length, not array size: split('', '') yields [''] (size
     # 1), so empty text would otherwise score 0 instead of NULL

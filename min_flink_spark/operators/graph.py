@@ -148,18 +148,29 @@ def pagerank_integer(
     Catalyst plan (callers of long loops should localCheckpoint per
     round as connected_components does)."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the edge list once: it is scanned TWICE PER ROUND
+    # (contribution join + degree join) plus the node derivations — an
+    # expensive upstream edge build (self-join + distinct) would
+    # otherwise re-execute ~2·iterations times
+    e = e.localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = deg.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    nodes = nodes.localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
     base = (scale * (damping_den - damping_num)) // damping_den
     for _ in range(iterations):
+        # SHUFFLE_HASH: rank/degree tables are V rows vs the E-row edge
+        # list — hash-build the narrow side per partition instead of
+        # sorting E rows every round (no broadcast: V scales with the
+        # corpus)
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(deg, "src")
+            e.join(ranks.hint("SHUFFLE_HASH"), e["src"] == ranks["node"])
+            .join(deg.hint("SHUFFLE_HASH"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div out_deg").alias("contrib"),
@@ -219,13 +230,24 @@ def triangle_counts(
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
     )
+    # the oriented edge list feeds THREE consumers (both wedge sides and
+    # the closure join): materialize it once, or the pair-dedup +
+    # degree joins above re-execute three times
+    o = o.localCheckpoint(eager=True)
     w1 = o.select(F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     w2 = o.select(F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy"))
-    wedges = w1.join(w2, "src").filter(
+    # SHUFFLE_HASH, not sort-merge: the wedge stream is O(E^1.5) rows
+    # (40M at sf0.1 for 1.2M edges) and sorting it is the dominant cost
+    # — hash-joining it against the E-row edge list (the build side,
+    # |E|/partitions per task) skips both sorts. Not a broadcast: the
+    # edge list scales with the corpus, so it must stay partitioned.
+    wedges = w1.join(w2.hint("SHUFFLE_HASH"), "src").filter(
         F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
     )
     closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).select("src", "x", "y")
+    tri = wedges.join(closing.hint("SHUFFLE_HASH"), ["x", "y"]).select(
+        "src", "x", "y"
+    )
     roles = (
         tri.select(F.col("src").alias("node"))
         .unionByName(tri.select(F.col("x").alias("node")))
