@@ -120,6 +120,7 @@ _PRIORITY = [
     "cluster_sample_events",
     "temporal_table_join",
     "streaming_chained_windows",
+    "incremental_hll_merge",
 ]
 
 

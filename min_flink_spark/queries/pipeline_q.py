@@ -1590,3 +1590,52 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type"
     )
     return cluster_sample(ev, "user_id", buckets=10, keep=3)
+
+
+@query(
+    "incremental_hll_merge",
+    oracle="""
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM documents GROUP BY source
+    """,
+)
+def q_incremental_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-SKETCH maintenance — the approximate twin of
+    incremental_stats_merge: per-source HLL sketches built on two
+    disjoint corpus slices are UNIONED (hll_union_agg) and the merged
+    estimate is certified against the exact distinct count
+    (|est − exact| ≤ 2% or 2 absolute, the DataSketches HLL error at
+    lgk=12 with wide margin). The driver-visible output carries the
+    EXACT count plus the boolean certificate, so a broken merge (e.g.
+    double-counting, sketch truncation) flips a hashed value while the
+    estimate's inherent wobble cannot. At 100 TB this is how distinct
+    counts stay current per delta: sketches are tiny, associative, and
+    never rescan the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0).groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count_distinct("doc_id").alias("nd"),
+    )
+    delta = docs.filter(F.col("doc_id") % 5 == 0).groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count_distinct("doc_id").alias("nd"),
+    )
+    merged = (
+        old.unionByName(delta)
+        .groupBy("source")
+        .agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum("nd").alias("n_exact"),  # slices are disjoint on doc_id
+        )
+    )
+    est = F.hll_sketch_estimate("sk")
+    return merged.select(
+        "source",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(est - F.col("n_exact"))
+            <= F.greatest(F.lit(2.0), F.col("n_exact") * 0.02)
+        ).alias("est_ok"),
+    )

@@ -351,3 +351,13 @@ def test_pagerank_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_wedge_joins_are_hash_not_sort_merge(spark, sf_dir):
+    """The wedge stream is O(E^1.5) rows; sorting it (SortMergeJoin)
+    was the dominant cost before the SHUFFLE_HASH hints — lock the
+    hash-join choice so a hint regression can't silently reintroduce
+    the big-side sorts."""
+    plan = _plan(spark, sf_dir, "triangle_counts_copurchase")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan

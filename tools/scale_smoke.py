@@ -69,6 +69,35 @@ def shapes(spark, rows: int):
         ],
     ).count()
 
+    # graph shapes: synthetic edge list derived from the event rows —
+    # exercises the round-4 iterative/equi-join-cascade operators at
+    # row counts the parquet testdata can't reach. Node space scales
+    # with rows (N = rows/20) so average degree stays ~constant (~40):
+    # wedge volume then grows LINEARLY with edges, which is the
+    # degree-bounded regime the operators are designed for (a fixed
+    # node space would square the degree at 4x rows and measure graph
+    # densification, not operator scaling).
+    n_nodes = max(rows // 20, 1000)
+
+    def _edges():
+        return ev.select(
+            F.pmod(F.col("event_id") * 2654435761, F.lit(n_nodes)).alias("src"),
+            F.pmod(F.col("event_id") * 40503 + 7, F.lit(n_nodes)).alias("dst"),
+        )
+
+    def _pagerank():
+        from min_flink_spark.operators.graph import pagerank_integer
+
+        return pagerank_integer(_edges(), iterations=3).count()
+
+    def _triangles():
+        from min_flink_spark.operators.graph import triangle_counts
+
+        return triangle_counts(_edges()).count()
+
+    yield "pagerank_3_rounds", _pagerank
+    yield "triangle_counts", _triangles
+
 
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
