@@ -121,6 +121,8 @@ _PRIORITY = [
     "temporal_table_join",
     "streaming_chained_windows",
     "incremental_hll_merge",
+    "local_supplier_volume",
+    "forecast_revenue_change",
 ]
 
 

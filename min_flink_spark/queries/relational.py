@@ -1120,3 +1120,106 @@ def q_temporal_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "event_id", "ts", F.col("r_status").alias("status_at_purchase")
     )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: revenue where the customer and the supplier sit
+    in the SAME nation inside one region — the co-nationality join
+    predicate that makes Q5 more than a star join (supplier joins on
+    BOTH the line's supp key and the customer's nation). Date filter
+    reaches the orders scan; nation/region keep broadcast hints
+    (fixed cardinality); customer/supplier shuffle — AQE owns any
+    broadcast while small. Integer-unit revenue, bit-exact."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        (
+            F.sum(_acc(_cents("l_extendedprice") * (100 - _cents("l_discount"))))
+            .cast("double")
+            / 10000.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)
+                         AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND round(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: the pure-pushdown scan-aggregate — every
+    predicate (date range, discount band, quantity cap) must reach the
+    parquet scan, no join, no shuffle beyond the final 1-row partial
+    merge. The discount band compares in exact integer cents so the
+    selected row set is bit-stable (a raw double BETWEEN 0.05 AND 0.07
+    straddles representation error)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    picked = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & _cents("l_discount").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return picked.agg(
+        (
+            F.sum(_acc(_cents("l_extendedprice") * _cents("l_discount")))
+            .cast("double")
+            / 10000.0
+        ).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
