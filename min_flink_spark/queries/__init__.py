@@ -123,6 +123,7 @@ _PRIORITY = [
     "incremental_hll_merge",
     "local_supplier_volume",
     "forecast_revenue_change",
+    "multi_format_roundtrip",
 ]
 
 

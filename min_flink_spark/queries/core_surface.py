@@ -334,3 +334,68 @@ def q_custom_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000.0
         ).alias("value_sum"),
     )
+
+
+@query(
+    "multi_format_roundtrip",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_ids,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_micro,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+    )
+    SELECT fmt, n, sum_ids, value_micro, n_users
+    FROM agg, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+    """,
+)
+def q_multi_format_roundtrip(spark, sf_dir: str):
+    """Source/sink format fidelity under the driver gate (§2.1/§2.7):
+    events round-trip through CSV, JSON and ORC sinks and their
+    readers; each format's re-read aggregates must equal the parquet
+    truth bit-for-bit — doubles survive because Spark's text writers
+    emit shortest-roundtrip representations and the micro-unit
+    aggregation happens AFTER the re-read. One scratch write per
+    format per run; the scratch dir is content-addressed per sf_dir so
+    concurrent gates don't collide."""
+    import hashlib as _h
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    scratch = _os.path.join(
+        "/tmp/mfs_roundtrip", _h.sha1(sf_dir.encode()).hexdigest()[:12]
+    )
+    schema = "event_id bigint, user_id bigint, ts timestamp_ntz, value double"
+    parts = []
+    for fmt in ("csv", "json", "orc"):
+        path = _os.path.join(scratch, fmt)
+        w = ev.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true").option("timestampNTZFormat",
+                                                  "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        w.format(fmt).save(path)
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", "true").option("timestampNTZFormat",
+                                                  "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        back = r.schema(schema).format(fmt).load(path)
+        parts.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").alias("sum_ids"),
+                F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias(
+                    "value_micro"
+                ),
+                F.count_distinct("user_id").alias("n_users"),
+            ).select(F.lit(fmt).alias("fmt"), "n", "sum_ids", "value_micro", "n_users")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
