@@ -124,6 +124,7 @@ _PRIORITY = [
     "local_supplier_volume",
     "forecast_revenue_change",
     "multi_format_roundtrip",
+    "streaming_pysource_counts",
 ]
 
 

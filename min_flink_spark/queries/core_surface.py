@@ -399,3 +399,51 @@ def q_multi_format_roundtrip(spark, sf_dir: str):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "streaming_pysource_counts",
+    oracle="""
+    WITH g AS (
+      SELECT i,
+        CASE (CAST(('0x' || substr(md5('t' || CAST(i AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 5)
+          WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'purchase'
+          WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+        CAST(('0x' || substr(md5('v' || CAST(i AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000 AS vmill
+      FROM range(20000) t(i)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(vmill AS DECIMAL(18,0))) AS DOUBLE) / 1000.0
+             AS value_sum
+    FROM g GROUP BY event_type
+    """,
+)
+def q_streaming_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source on the STREAMING path: the same Python DataSource,
+    this time through its DataSourceStreamReader (offset/partitions/
+    commit lifecycle) into an update-mode aggregation — readStream on
+    user code, the reference's run-loop contract on real
+    micro-batches. Identical generator, so the batch oracle replays
+    it; a stream reader that dropped/duplicated a slice between
+    offsets flips the hash."""
+    from min_flink_spark.sources.pysource import register_synthetic_source
+    from min_flink_spark.streaming.runner import run_to_completion
+
+    register_synthetic_source(spark)
+    s = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "20000")
+        .option("partitions", "8")
+        .load()
+    )
+    vmill = F.round(F.col("value") * 1000).cast("bigint")
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(vmill.cast("decimal(18,0)")).cast("double") / 1000.0
+        ).alias("value_sum"),
+    )
+    return run_to_completion(agg, output_mode="update")
