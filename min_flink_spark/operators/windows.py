@@ -100,3 +100,43 @@ def count_window(
         .groupBy(*keys, "window_id")
         .agg(*aggs)
     )
+
+
+def sliding_count_window(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    size: int,
+    slide: int,
+    *aggs: Column,
+) -> DataFrame:
+    """COUNT-based SLIDING windows — the reference family's
+    ``countWindow(size, slide)``: per key, window ``j`` covers rows
+    ``[j·slide, j·slide + size)`` in ``order_by`` position, so each row
+    lands in up to ``ceil(size/slide)`` windows. Emits
+    (keys..., window_id, aggs...) for every window that has ≥1 row;
+    trailing windows may be partial, mirroring the tumbling variant.
+
+    Plan: one shuffle+sort for the per-key row_number, then a bounded
+    explode (size/slide window ids per row — a constant, not a
+    fan-out in the data) and a hash aggregation on the SAME key
+    partitioning. Requires a unique tiebreaker in ``order_by`` for
+    deterministic block assignment, like count_window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    # window functions and generators cannot share a projection —
+    # materialize the 0-based position first, then explode
+    positioned = df.withColumn("_pos", F.row_number().over(w) - 1)
+    pos = F.col("_pos")
+    # windows containing pos: j in [max(0, ceil((pos-size+1)/slide)), floor(pos/slide)]
+    lo = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.ceil((pos - F.lit(size) + 1) / F.lit(slide)).cast("bigint"),
+    )
+    hi = F.floor(pos / F.lit(slide)).cast("bigint")
+    return (
+        positioned.withColumn("window_id", F.explode(F.sequence(lo, hi)))
+        .groupBy(*keys, "window_id")
+        .agg(*aggs)
+    )

@@ -125,6 +125,8 @@ _PRIORITY = [
     "forecast_revenue_change",
     "multi_format_roundtrip",
     "streaming_pysource_counts",
+    "count_window_sliding",
+    "schema_evolution_union",
 ]
 
 

@@ -447,3 +447,52 @@ def q_streaming_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_sum"),
     )
     return run_to_completion(agg, output_mode="update")
+
+
+@query(
+    "schema_evolution_union",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'v2' ELSE 'v1' END AS schema_ver,
+           CAST(count(*) AS BIGINT) AS n,
+           coalesce(CAST(sum(CASE WHEN event_id % 2 = 0
+                                  THEN length('tag-' || CAST(user_id AS VARCHAR))
+                                  ELSE NULL END) AS BIGINT), 0) AS extra_chars
+    FROM events GROUP BY 1
+    """,
+)
+def q_schema_evolution(spark, sf_dir: str):
+    """Ingestion-robustness under the gate (§2.1): two parquet
+    snapshots with DIFFERENT schemas (v2 adds an `extra` column) land
+    in one directory; a mergeSchema read unifies them, v1 rows carry
+    NULL for the added column — the additive-evolution contract every
+    long-lived corpus needs. The oracle rebuilds both generations from
+    the events truth, so a reader that dropped v1 rows or defaulted
+    the missing column to non-NULL flips the hash."""
+    import hashlib as _h
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    scratch = _os.path.join(
+        "/tmp/mfs_evolution", _h.sha1(sf_dir.encode()).hexdigest()[:12]
+    )
+    v1 = ev.filter(F.col("event_id") % 2 != 0)
+    v2 = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "extra", F.concat(F.lit("tag-"), F.col("user_id").cast("string"))
+    )
+    v1.write.mode("overwrite").parquet(_os.path.join(scratch, "gen=1"))
+    v2.write.mode("overwrite").parquet(_os.path.join(scratch, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(scratch, "gen=1"), _os.path.join(scratch, "gen=2")
+    )
+    return merged.groupBy(
+        F.when(F.col("extra").isNotNull(), F.lit("v2"))
+        .otherwise(F.lit("v1"))
+        .alias("schema_ver")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        # coalesce: a NULL sum would ride as NaN-in-float64 through the
+        # gate's pandas materialization and flip the column's dtype
+        F.coalesce(F.sum(F.length("extra")), F.lit(0)).alias("extra_chars"),
+    )

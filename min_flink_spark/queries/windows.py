@@ -270,3 +270,51 @@ def q_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@query(
+    "count_window_sliding",
+    oracle="""
+    WITH pos AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS vm,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id) - 1 AS p
+      FROM events
+    ),
+    spans AS (
+      SELECT user_id, event_id, vm, p,
+             unnest(generate_series(
+               greatest(0, CAST(ceil((p - 5 + 1) / 2.0) AS BIGINT)),
+               p // 2)) AS window_id
+      FROM pos
+    )
+    SELECT user_id, CAST(window_id AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vm) AS BIGINT) AS value_micro
+    FROM spans GROUP BY user_id, window_id
+    """,
+)
+def q_count_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding COUNT windows (size 5, slide 2) per user — the
+    countWindow(size, slide) half of the reference family's window
+    surface (operators/windows.sliding_count_window): each event joins
+    up to ceil(5/2)=3 windows via a bounded in-row explode; one
+    shuffle, aggregation reuses the sort's partitioning. Micro-unit
+    sums keep the hash exact."""
+    from min_flink_spark.operators.windows import sliding_count_window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("vm"),
+    )
+    return sliding_count_window(
+        ev,
+        ["user_id"],
+        [F.col("event_id").asc()],
+        5,
+        2,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("value_micro"),
+    )

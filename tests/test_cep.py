@@ -208,3 +208,43 @@ def test_times_window_excludes_expired(spark, tmp_path):
         (r.event_id, r.n_in_window) for r in _run_times(spark, rows, str(tmp_path))
     )
     assert got == [(4, 3)]
+
+
+def test_times_state_survives_checkpoint_restart(spark, tmp_path):
+    """Errors from run 1 count toward run 2's window via the state
+    store (checkpointed restart), mirroring the followed-by restart
+    contract."""
+    import os as _os
+
+    from min_flink_spark.streaming.cep import TimesFunction
+    from min_flink_spark.streaming.runner import run_foreach_batch, stream_files
+
+    src = str(tmp_path / "times_restart_src")
+    ckpt = str(tmp_path / "times_restart_ckpt")
+    b1 = spark.createDataFrame(
+        [(5, 1000, 1, "error"), (5, 2000, 2, "error")], SCHEMA
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    got = []
+
+    def make_query():
+        s = stream_files(spark, src, SCHEMA)
+        out = process_keyed(
+            s, ["user_id"], TimesFunction("error", 3, HOUR), output_mode="update"
+        )
+        run_foreach_batch(
+            out,
+            lambda df, bid: got.extend(
+                (r.event_id, r.n_in_window) for r in df.collect()
+            ),
+            output_mode="update",
+            checkpoint_dir=ckpt,
+        )
+
+    with shuffle_partitions(spark, 2):
+        make_query()
+        assert got == []  # only 2 errors so far
+        b2 = spark.createDataFrame([(5, 3000, 3, "error")], SCHEMA)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        make_query()  # restart from checkpoint: state carries runs 1+2
+    assert got == [(3, 3)]
