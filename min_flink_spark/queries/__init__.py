@@ -127,6 +127,8 @@ _PRIORITY = [
     "streaming_pysource_counts",
     "count_window_sliding",
     "schema_evolution_union",
+    "partitioned_pruned_read",
+    "bucketed_cobucket_join_stats",
 ]
 
 

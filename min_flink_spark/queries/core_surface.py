@@ -496,3 +496,85 @@ def q_schema_evolution(spark, sf_dir: str):
         # gate's pandas materialization and flip the column's dtype
         F.coalesce(F.sum(F.length("extra")), F.lit(0)).alias("extra_chars"),
     )
+
+
+@query(
+    "partitioned_pruned_read",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def q_partitioned_pruned_read(spark, sf_dir: str):
+    """Partition-pruned layout round trip under the gate (§2.1 +
+    scale-layout doctrine): events land partitioned by event_type
+    (Hive-style directories), and the read filters TWO partition
+    values — pruning must deliver exactly those directories' rows with
+    the partition column reconstructed from the path. The oracle
+    aggregates the truth directly, so a pruner that dropped a
+    partition, double-read one, or mistyped the reconstructed column
+    flips the hash. (The PLAN side — static + dynamic pruning — is
+    locked in tests/test_partitioned.py; this adds the value-level
+    driver row.)"""
+    import hashlib as _h
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = _os.path.join(
+        "/tmp/mfs_partitioned", _h.sha1(sf_dir.encode()).hexdigest()[:12]
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(scratch)
+    back = spark.read.parquet(scratch).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias("value_micro"),
+    )
+
+
+@query(
+    "bucketed_cobucket_join_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_cobucket_join(spark, sf_dir: str):
+    """Bucketed-layout fact⋈fact join under the gate: both tables are
+    written bucketed on the order key with identical specs, and the
+    join+aggregation read them back through the catalog — the
+    pay-the-shuffle-once-at-write path for recurring fact joins (the
+    zero-Exchange PLAN property is locked in tests/test_bucketed.py;
+    this driver row pins the VALUES through the bucketed writer,
+    catalog round trip, and bucket-pruned scan)."""
+    import hashlib as _h
+
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.sources.bucketed import cobucket_join, write_bucketed
+
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    lt, rt = f"mfs_ord_{tag}", f"mfs_li_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    write_bucketed(orders, lt, ["k"], 8)
+    write_bucketed(lineitem, rt, ["k"], 8)
+    joined = cobucket_join(spark, lt, rt, on=["k"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("total_qty"),
+    )
