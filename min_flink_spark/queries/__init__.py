@@ -129,6 +129,7 @@ _PRIORITY = [
     "schema_evolution_union",
     "partitioned_pruned_read",
     "bucketed_cobucket_join_stats",
+    "funnel_time_to_convert",
 ]
 
 

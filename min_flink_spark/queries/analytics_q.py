@@ -640,3 +640,55 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type", "n", (num / den).alias("slope_micro_per_hour")
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c_us,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p_us
+      FROM events GROUP BY user_id
+    ),
+    converted AS (
+      SELECT (p_us - c_us) / 1000000.0 AS delay_sec
+      FROM firsts WHERE c_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= c_us
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(delay_sec, 0.5) AS p50_sec,
+           quantile_cont(delay_sec, 0.9) AS p90_sec,
+           min(delay_sec) AS min_sec,
+           max(delay_sec) AS max_sec
+    FROM converted
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, delay between FIRST
+    click and FIRST purchase (converting users only), then exact
+    percentiles across users — the product-analytics companion to the
+    funnel-count query. One conditional-min grouped pass (map-side
+    combinable, no self-join of the two event subsets) + a scalar
+    percentile aggregate; delays are exact integer micros divided once,
+    so Spark percentile ≡ DuckDB quantile_cont interpolates identical
+    inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", us)).alias("c_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    converted = firsts.filter(
+        F.col("c_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("c_us"))
+    ).select(((F.col("p_us") - F.col("c_us")) / 1000000.0).alias("delay_sec"))
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(delay_sec, 0.5)").alias("p50_sec"),
+        F.expr("percentile(delay_sec, 0.9)").alias("p90_sec"),
+        F.min("delay_sec").alias("min_sec"),
+        F.max("delay_sec").alias("max_sec"),
+    )

@@ -361,3 +361,33 @@ def test_triangle_wedge_joins_are_hash_not_sort_merge(spark, sf_dir):
     plan = _plan(spark, sf_dir, "triangle_counts_copurchase")
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_collect_confined_to_bounded_metadata_sites():
+    """Doctrine lock: `.collect()` in the package is allowed ONLY at
+    the audited bounded-metadata sites (scalar watermark, per-partition
+    offset counts, per-source totals, k×dim centroids, the facade's
+    user-facing sink, and streaming oracle sinks that inherently need
+    rows on the driver). A new collect anywhere else is presumptively
+    a driver-side data path and must be justified here."""
+    import pathlib
+    import re
+
+    allowed = {
+        "streaming/runner.py",    # 1-row max-event-time scalar (late router)
+        "operators/relational.py",  # per-partition offset counts (global_index)
+        "operators/pipeline.py",  # per-source totals (domain_mix)
+        "operators/similarity.py",  # k×dim centroids (IVF)
+        "core/stream.py",         # Stream.collect — the user-facing sink
+        "queries/streaming_q.py",  # streaming oracle sinks (bounded partials)
+    }
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "min_flink_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        if rel in allowed:
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\.collect\(\)", line):
+                offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, "unaudited .collect() site(s):\n" + "\n".join(offenders)
