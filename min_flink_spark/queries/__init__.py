@@ -130,6 +130,8 @@ _PRIORITY = [
     "partitioned_pruned_read",
     "bucketed_cobucket_join_stats",
     "funnel_time_to_convert",
+    "event_transition_probs",
+    "cohort_retention",
 ]
 
 

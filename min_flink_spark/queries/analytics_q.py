@@ -692,3 +692,101 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delay_sec").alias("min_sec"),
         F.max("delay_sec").alias("max_sec"),
     )
+
+
+@query(
+    "event_transition_probs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+      FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / tot.total AS prob
+    FROM trans t JOIN totals tot USING (from_type)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the sequence-statistics pass behind next-action
+    modeling and anomalous-flow detection. One per-user window (lead)
+    on a single key shuffle, then two narrow aggregations; transition
+    probability is one exact-integer division, so the matrix is
+    bit-stable. event_id breaks timestamp ties."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return trans.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("prob"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day,
+                      time_bucket(INTERVAL '1 day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE day_offset BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted as
+    active at each day offset ≤7 — the product-analytics staple. The
+    per-user first day is one grouped min (map-side combinable); the
+    activity join is on the user key only (narrow row per user joins
+    back); offsets are exact calendar-day integers, so every count is
+    bit-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", F.col("day_offset").cast("bigint").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
