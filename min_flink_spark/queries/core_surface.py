@@ -558,6 +558,7 @@ def q_bucketed_cobucket_join(spark, sf_dir: str):
     this driver row pins the VALUES through the bucketed writer,
     catalog round trip, and bucket-pruned scan)."""
     import hashlib as _h
+    import os as _os
 
     from pyspark.sql import functions as F
 
@@ -565,6 +566,15 @@ def q_bucketed_cobucket_join(spark, sf_dir: str):
 
     tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
     lt, rt = f"mfs_ord_{tag}", f"mfs_li_{tag}"
+    # saveAsTable(overwrite) refuses a managed LOCATION left on disk by
+    # a PRIOR session (the table isn't in this session's catalog, so
+    # overwrite can't claim it) — drop both the entry and the directory
+    import shutil as _sh
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (lt, rt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _sh.rmtree(_os.path.join(wh, t), ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), "o_orderpriority"
     )
