@@ -746,3 +746,70 @@ def cluster_sample(
         F.lit(buckets),
     )
     return df.filter(b < keep)
+
+
+def bpe_train_merges(
+    words: DataFrame,
+    rounds: int = 3,
+    word_col: str = "word",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Distributed BPE merge training, ``rounds`` greedy steps: each
+    round counts adjacent symbol pairs across the WORD-TYPE table
+    (weighted by word frequency), picks the globally most frequent pair
+    (ties → lexicographically smallest), and merges every
+    left-to-right non-overlapping occurrence. Returns
+    ``(merge_rank, pair, total)`` — the learned merge list, which IS a
+    BPE tokenizer's model.
+
+    Spark-first shape: tokenization reduces the corpus to word TYPES
+    once (the only corpus-scale pass — everything after runs on the
+    vocabulary, ~10^5 rows at any corpus size, the same reduction
+    classical BPE trainers exploit); each round is one explode +
+    hash-agg + a 1-row top-1 broadcast back. Words ride as
+    space-separated symbol strings so the merge step is a plain
+    string ``replace`` of ``' a b '`` with ``' ab '`` — forward-scan
+    non-overlapping, the exact BPE application rule, identical in any
+    engine (the oracle replays all rounds in SQL). Fixed round count =
+    fixed plan depth; real trainers run ~30k rounds and would
+    localCheckpoint every few rounds like connected_components."""
+    from min_flink_spark.operators.relational import top_k
+
+    w = words.select(
+        F.concat_ws(" ", F.split(F.col(word_col), "")).alias("sym"),
+        F.col(cnt_col).cast("bigint").alias("cnt"),
+    )
+    pairs_expr = F.expr(
+        "CASE WHEN size(split(sym, ' ')) > 1 THEN "
+        "transform(sequence(1, size(split(sym, ' ')) - 1), "
+        "          i -> concat(element_at(split(sym, ' '), i), ' ', "
+        "                      element_at(split(sym, ' '), i + 1))) "
+        "ELSE array() END"
+    )
+    merges = []
+    for r in range(1, rounds + 1):
+        counts = (
+            w.select(F.explode(pairs_expr).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("total"))
+        )
+        best = top_k(
+            counts, k=1, order_by=[F.col("total").desc(), F.col("pair").asc()]
+        ).select(F.lit(r).cast("bigint").alias("merge_rank"), "pair", "total")
+        merges.append(best)
+        w = w.crossJoin(F.broadcast(best.select(F.col("pair").alias("_p")))).select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("_p"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "), F.replace(F.col("_p"), F.lit(" "), F.lit("")), F.lit(" ")
+                    ),
+                )
+            ).alias("sym"),
+            "cnt",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

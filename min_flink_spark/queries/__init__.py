@@ -132,6 +132,7 @@ _PRIORITY = [
     "funnel_time_to_convert",
     "event_transition_probs",
     "cohort_retention",
+    "bpe_merge_training",
 ]
 
 

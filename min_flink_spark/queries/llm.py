@@ -1132,3 +1132,64 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return negative_pair_sample(emb, k=4)
+
+
+def _bpe_round_sql(r: int) -> str:
+    return f"""
+p{r} AS (
+  SELECT pair, CAST(sum(cnt) AS BIGINT) AS total FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(sym,' '))),
+                  i -> string_split(sym,' ')[i] || ' ' ||
+                       string_split(sym,' ')[i+1])) AS pair,
+           cnt
+    FROM w{r}
+  ) GROUP BY pair
+),
+b{r} AS (SELECT pair, total, {r} AS rank FROM p{r}
+         ORDER BY total DESC, pair ASC LIMIT 1),
+w{r + 1} AS (
+  SELECT trim(replace(' ' || sym || ' ',
+                      ' ' || b.pair || ' ',
+                      ' ' || replace(b.pair, ' ', '') || ' ')) AS sym, cnt
+  FROM w{r} CROSS JOIN b{r} b
+)"""
+
+
+@query(
+    "bpe_merge_training",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKS}) AS word FROM documents
+    ),
+    w1 AS (
+      SELECT array_to_string(string_split(word, ''), ' ') AS sym,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY word
+    ),
+    {_bpe_round_sql(1)},
+    {_bpe_round_sql(2)},
+    {_bpe_round_sql(3)}
+    SELECT CAST(rank AS BIGINT) AS merge_rank, pair, total FROM (
+      SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+    ) ORDER BY merge_rank
+    """,
+)
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 3 greedy merge rounds
+    (operators/pipeline.bpe_train_merges): one corpus pass reduces to
+    the word-TYPE table, then every round is an explode + weighted
+    hash-agg + 1-row top-1 broadcast-back on vocabulary-sized data.
+    The oracle replays all three rounds in SQL — pair counting, the
+    (count, pair) tie rule, and the forward-scan non-overlapping merge
+    application are bit-identical, so a training divergence in ANY
+    round flips the hash."""
+    from min_flink_spark.functions.text import tokens
+    from min_flink_spark.operators.pipeline import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return bpe_train_merges(words, rounds=3)

@@ -566,3 +566,28 @@ def test_cluster_sample_keeps_whole_groups(spark):
     assert 0 < len(kept_users) < 40
     again = {r.user for r in cluster_sample(df.repartition(7), "user", 10, 3).collect()}
     assert again == kept_users
+
+
+def test_bpe_train_merges_known_corpus(spark):
+    """Hand-computed merges on a tiny corpus: 'low'x5 + 'lower'x2 +
+    'newest'x6 — classic BPE example; round 1 must merge the most
+    frequent weighted pair with deterministic tie-breaking, and merged
+    symbols must participate in later rounds."""
+    from min_flink_spark.operators.pipeline import bpe_train_merges
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6)], "word string, cnt bigint"
+    )
+    got = [
+        (r.merge_rank, r.pair, r.total)
+        for r in bpe_train_merges(words, rounds=3).orderBy("merge_rank").collect()
+    ]
+    # pair counts r1: 'l o'=7, 'o w'=7, 'e s'=6, 's t'=6, 'n e'=6, 'e w'=6,
+    # 'w e'=8 ('lower' 2 + 'newest' 6) -> best 'w e'
+    assert got[0] == (1, "w e", 8)
+    # r2: 'low':5(l o,o w) 'l o we r':2 'n e we s t':6 -> 'l o'=7,'o w'=5,
+    # 'o we'=2, 'n e'=6,'e we'=6,'we s'=6,'s t'=6 -> best 'l o' 7
+    assert got[1] == (2, "l o", 7)
+    # r3: 'lo w':5, 'lo we r':2, 'n e we s t':6 -> 'lo w'=5,'lo we'=2,
+    # 'we r'=2,'n e'=6,'e we'=6,'we s'=6,'s t'=6 -> tie at 6 -> 'e we'
+    assert got[2] == (3, "e we", 6)
