@@ -813,3 +813,36 @@ def bpe_train_merges(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "word",
+    out_col: str = "sym",
+) -> DataFrame:
+    """Apply a learned BPE merge list (``bpe_train_merges`` output) to
+    a word column IN RANK ORDER — the tokenization side of the model.
+    Merges arrive as a 1-row-per-merge frame; they are collected into
+    one ordered array (bounded: the model, not data), broadcast, and
+    applied as chained forward-scan replaces via ``aggregate`` over
+    the merge array — no per-merge join, one projection regardless of
+    model size."""
+    ordered = merges.orderBy("merge_rank").select(
+        F.array_agg(F.col("pair")).alias("_merges")
+    )
+    sym0 = F.concat(
+        F.lit(" "), F.concat_ws(" ", F.split(F.col(text_col), "")), F.lit(" ")
+    )
+    applied = F.aggregate(
+        F.col("_merges"),
+        sym0,
+        lambda acc, p: F.replace(
+            acc,
+            F.concat(F.lit(" "), p, F.lit(" ")),
+            F.concat(F.lit(" "), F.replace(p, F.lit(" "), F.lit("")), F.lit(" ")),
+        ),
+    )
+    return df.crossJoin(F.broadcast(ordered)).withColumn(
+        out_col, F.trim(applied)
+    ).drop("_merges")

@@ -133,6 +133,7 @@ _PRIORITY = [
     "event_transition_probs",
     "cohort_retention",
     "bpe_merge_training",
+    "bpe_tokenized_lengths",
 ]
 
 

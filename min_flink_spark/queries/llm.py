@@ -1193,3 +1193,74 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return bpe_train_merges(words, rounds=3)
+
+
+@query(
+    "bpe_tokenized_lengths",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKS}) AS word FROM documents
+    ),
+    w1 AS (
+      SELECT array_to_string(string_split(word, ''), ' ') AS sym,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY word
+    ),
+    {_bpe_round_sql(1)},
+    {_bpe_round_sql(2)},
+    {_bpe_round_sql(3)},
+    docs_tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS word FROM documents
+    ),
+    applied AS (
+      SELECT doc_id,
+        len(string_split(trim(
+          replace(replace(replace(
+            ' ' || array_to_string(string_split(word, ''), ' ') || ' ',
+            ' ' || (SELECT pair FROM b1) || ' ',
+            ' ' || (SELECT replace(pair, ' ', '') FROM b1) || ' '),
+            ' ' || (SELECT pair FROM b2) || ' ',
+            ' ' || (SELECT replace(pair, ' ', '') FROM b2) || ' '),
+            ' ' || (SELECT pair FROM b3) || ' ',
+            ' ' || (SELECT replace(pair, ' ', '') FROM b3) || ' ')
+        ), ' ')) AS n
+      FROM docs_tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n) AS BIGINT) AS n_bpe_syms
+    FROM applied GROUP BY doc_id
+    """,
+)
+def q_bpe_tokenized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of the trained BPE model: the 3 learned merges
+    tokenize every document and per-doc BPE-symbol counts come out —
+    the sequence-length accounting step every packing/budgeting
+    pipeline runs. Plan: merges apply to the word-TYPE table (one
+    projection chaining the ordered replaces via aggregate over the
+    broadcast model), then doc words join the typed lengths on the
+    word key — the model is O(rounds) and the expensive string work
+    happens once per TYPE, not per token occurrence."""
+    from min_flink_spark.functions.text import tokens
+    from min_flink_spark.operators.pipeline import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    types = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    merges = bpe_train_merges(types, rounds=3)
+    typed = bpe_apply_merges(types.select("word"), merges).select(
+        "word", F.size(F.split(F.col("sym"), " ")).alias("n")
+    )
+    return (
+        doc_words.join(typed, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n").alias("n_bpe_syms"),
+        )
+    )
