@@ -134,6 +134,8 @@ _PRIORITY = [
     "cohort_retention",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
+    "k_anonymity_report",
+    "dp_noisy_counts",
 ]
 
 

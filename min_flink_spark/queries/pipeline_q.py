@@ -1639,3 +1639,79 @@ def q_incremental_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(2.0), F.col("n_exact") * 0.02)
         ).alias("est_ok"),
     )
+
+
+@query(
+    "k_anonymity_report",
+    oracle="""
+    SELECT event_type,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 20 AS violates_k
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (event type ×
+    hour of day): every equivalence class is sized and classes below
+    k=20 are flagged — the release gate a privacy review runs before
+    sharing event-level data. One hash aggregation; at 100 TB the
+    same plan, map-side combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < 20).alias("violates_k"),
+    )
+
+
+@query(
+    "dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+    ),
+    u AS (
+      SELECT event_type, n,
+             (CAST(('0x' || substr(md5('dp:' || event_type), 1, 8)) AS BIGINT)
+              + 0.5) / 4294967296.0 AS uni
+      FROM c
+    )
+    SELECT event_type, n,
+           n + CAST(round(
+                 -2.0 * (CASE WHEN uni < 0.5 THEN -1.0 ELSE 1.0 END)
+                      * round(ln(1.0 - 2.0 * abs(uni - 0.5)) * 1000000.0)
+                      / 1000000.0
+               ) AS BIGINT) AS noisy_n
+    FROM u
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release mechanism shape: per-group counts
+    plus integer-rounded Laplace noise (scale b=2 ⇒ ε=0.5 for a
+    count's sensitivity of 1) via inverse-CDF sampling. The uniform is
+    md5-derived FOR THE GATE (deterministic, engine-replayable — a
+    production release swaps in a CSPRNG; the mechanism, sensitivity
+    accounting, and rounding pipeline are what this pins). ln() rides
+    the micro-rounding contract so both engines compute the identical
+    noise integer."""
+    from min_flink_spark.functions.hashing import md5_prefix_int
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    uni = (
+        md5_prefix_int(F.concat(F.lit("dp:"), F.col("event_type"))) + 0.5
+    ) / F.lit(4294967296.0)
+    lap = (
+        F.lit(-2.0)
+        * F.when(uni < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.round(F.log(1.0 - 2.0 * F.abs(uni - 0.5)) * 1000000.0)
+        / 1000000.0
+    )
+    return c.select(
+        "event_type",
+        "n",
+        (F.col("n") + F.round(lap).cast("bigint")).alias("noisy_n"),
+    )
