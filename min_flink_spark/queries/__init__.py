@@ -136,6 +136,8 @@ _PRIORITY = [
     "bpe_tokenized_lengths",
     "k_anonymity_report",
     "dp_noisy_counts",
+    "split_leakage_report",
+    "group_aware_split",
 ]
 
 

@@ -1264,3 +1264,61 @@ def q_bpe_tokenized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_bpe_syms"),
         )
     )
+
+
+@query(
+    "split_leakage_report",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT * FROM ({_minhash_oracle()}) t
+    ),
+    corpus2 AS (SELECT doc_id FROM ({SQL_CORPUS_NEAR})),
+    split AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 < 8 AS is_train
+      FROM corpus2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(count(*) FILTER (WHERE sa.is_train != sb.is_train) AS BIGINT)
+             AS n_cross_split_pairs
+    FROM pairs
+    JOIN split sa ON sa.doc_id = pairs.doc_a
+    JOIN split sb ON sb.doc_id = pairs.doc_b
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: after a deterministic 80/20 doc split,
+    count MinHash-LSH near-dup candidate pairs that CROSS the split
+    boundary — each one is an eval answer sitting in the training set.
+    Run over the near-dup corpus (originals ∪ truncated copies) so
+    cross-split leaks genuinely exist to be caught. Composition of the
+    banded candidate generator (never all-pairs) with the md5 split;
+    two narrow joins on the doc key; the oracle replays signatures,
+    banding, split, and the boundary test."""
+    from min_flink_spark.functions.hashing import md5_prefix_int
+    from min_flink_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = _spark_near_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id").select("doc_a", "doc_b")
+    split = corpus.select(
+        "doc_id",
+        (
+            F.pmod(
+                md5_prefix_int(
+                    F.concat(F.lit("sp:"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(10),
+            )
+            < 8
+        ).alias("is_train"),
+    )
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("is_train").alias("ta"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("is_train").alias("tb"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(
+            F.when(F.col("ta") != F.col("tb"), 1).otherwise(0)
+        ).cast("bigint").alias("n_cross_split_pairs"),
+    )

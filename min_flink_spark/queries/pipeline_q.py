@@ -1715,3 +1715,52 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") + F.round(lap).cast("bigint")).alias("noisy_n"),
     )
+
+
+@query(
+    "group_aware_split",
+    oracle="""
+    WITH assign AS (
+      SELECT source,
+             CASE WHEN CAST(('0x' || substr(md5('gs:' || source), 1, 8))
+                       AS BIGINT) % 10 < 8 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('gs:' || source), 1, 8))
+                       AS BIGINT) % 10 < 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT a.split,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+    FROM documents d JOIN assign a ON d.source = a.source
+    GROUP BY a.split
+    """,
+)
+def q_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split: the md5 bucket is computed on
+    the SOURCE, so every document of a source lands in one split —
+    the leakage-safe assignment when correlated documents share a
+    provenance (doc-level splitting, train_val_test_split, would put
+    near-identical siblings on both sides of the boundary).
+    Assignment is a distinct-sources projection joined back on the
+    group key; deterministic, resumable, engine-replayable."""
+    from min_flink_spark.functions.hashing import md5_prefix_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.pmod(
+        md5_prefix_int(F.concat(F.lit("gs:"), F.col("source"))), F.lit(10)
+    )
+    assign = docs.select("source").distinct().select(
+        "source",
+        F.when(b < 8, "train").when(b < 9, "val").otherwise("test").alias("split"),
+    )
+    return (
+        docs.join(assign, "source")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
