@@ -55,6 +55,10 @@ EXPECTED_CROSS = {
     "coarse_to_fine_topk",      # k query vectors broadcast into the corpus
                                 # (non-equi self-exclusion, bounded side)
     "contrastive_negative_pairs",  # 1-row corpus-count scalar cross join
+    "trend_slope_by_type",      # 1-row time-anchor scalar cross join
+    "bpe_merge_training",       # one 1-row best-pair scalar broadcast
+                                # back per merge round (3 rounds)
+    "bpe_tokenized_lengths",    # same rounds + 1-row model broadcast
 }
 EXPECTED_SINGLE_PARTITION = {
     "global_sort_expensive_orders",  # the query IS a global sort
