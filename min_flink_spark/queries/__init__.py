@@ -138,6 +138,7 @@ _PRIORITY = [
     "dp_noisy_counts",
     "split_leakage_report",
     "group_aware_split",
+    "bigram_lm_surprisal",
 ]
 
 

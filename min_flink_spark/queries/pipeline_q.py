@@ -1764,3 +1764,72 @@ def q_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars"),
         )
     )
+
+
+@query(
+    "bigram_lm_surprisal",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM d
+    ),
+    bg AS (
+      SELECT a.doc_id, a.term AS w1, b.term AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+    ),
+    lc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS lt FROM bc GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(round(-ln(CAST(bc.c AS DOUBLE) / lc.lt) * 1000000)
+                  AS BIGINT) AS su
+      FROM bg
+      JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+      JOIN lc ON bg.w1 = lc.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(su) AS DOUBLE) / 1000000.0 / count(*) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal per document — the conditional
+    (context-aware) upgrade of unigram_surprisal_score:
+    s(w₂|w₁) = −ln(c(w₁w₂)/c(w₁·)) with the left-context total as the
+    normalizer, so per-context probabilities sum to 1. Bigrams build
+    inside the token array (positional transform, no self-join); the
+    model tables (bigram + left-context counts) come from two hash-aggs
+    and join back on the bigram key. Per-pair surprisals ride the
+    micro-int contract → per-doc sums exact, one final division."""
+    from min_flink_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) > 1 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "          i -> struct(element_at(toks, i) AS w1, "
+                "                      element_at(toks, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    lc = bc.groupBy("w1").agg(F.sum("c").alias("lt"))
+    su = F.round(
+        -F.log(F.col("c").cast("double") / F.col("lt")) * 1000000
+    ).cast("bigint")
+    scored = bg.join(bc, ["w1", "w2"]).join(lc, "w1").select("doc_id", su.alias("su"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum("su").cast("double") / 1000000.0 / F.count(F.lit(1))
+        ).alias("avg_surprisal"),
+    )
