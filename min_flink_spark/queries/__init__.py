@@ -139,6 +139,7 @@ _PRIORITY = [
     "split_leakage_report",
     "group_aware_split",
     "bigram_lm_surprisal",
+    "rfm_customer_scores",
 ]
 
 

@@ -790,3 +790,56 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.col("day_offset").cast("bigint").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "rfm_customer_scores",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, c_custkey) AS BIGINT)
+             AS r_score,
+           CAST(ntile(4) OVER (ORDER BY freq DESC, c_custkey) AS BIGINT)
+             AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, c_custkey)
+                AS BIGINT) AS m_score,
+           freq, monetary_cents
+    FROM base
+    """,
+)
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile scoring (recency / frequency / monetary) per
+    customer — the segmentation pass behind lifecycle marketing and
+    churn targeting. One grouped pass builds the three metrics
+    (monetary in exact cents), then three global ntile(4) windows with
+    custkey tiebreaks make every quartile boundary deterministic.
+    Global ntile is a single-partition sort of ONE ROW PER CUSTOMER
+    (the aggregate, not the fact table) — at extreme customer counts
+    swap ntile for percentile-threshold joins; the metric pass is
+    unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("c_custkey"))
+    wf = Window.orderBy(F.col("freq").desc(), F.col("c_custkey"))
+    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("c_custkey"))
+    return base.select(
+        "c_custkey",
+        F.ntile(4).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(4).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(4).over(wm).cast("bigint").alias("m_score"),
+        "freq",
+        "monetary_cents",
+    )
