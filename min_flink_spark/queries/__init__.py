@@ -140,6 +140,7 @@ _PRIORITY = [
     "group_aware_split",
     "bigram_lm_surprisal",
     "rfm_customer_scores",
+    "image_header_dims",
 ]
 
 

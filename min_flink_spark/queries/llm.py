@@ -1322,3 +1322,53 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ta") != F.col("tb"), 1).otherwise(0)
         ).cast("bigint").alias("n_cross_split_pairs"),
     )
+
+
+@query(
+    "image_header_dims",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                ELSE 'image/gif' END AS mime,
+           CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def q_image_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image-header parser under the driver gate: PNG and GIF
+    headers are SYNTHESIZED in-plan from deterministic per-doc
+    dimensions (binary construction via hex/unhex codegen — big-endian
+    u32 IHDR fields for PNG, little-endian u16s for GIF), then
+    operators/multimodal.image_dimensions parses them back on the
+    Arrow batch path. The oracle states the generator's ground truth,
+    so mime detection, endianness, and field offsets are all
+    value-checked — if the parser misread a single byte the dims
+    wouldn't round-trip. (Pixel DECODE stays honestly stubbed; header
+    parsing is the codec-free part and it is real.)"""
+    from min_flink_spark.operators.multimodal import image_dimensions
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (16 + F.col("doc_id") % 1000).cast("int")
+    h = (16 + (F.col("doc_id") * 7) % 800).cast("int")
+    hex_u32 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    le_u16 = lambda c: F.concat(  # little-endian u16 hex  # noqa: E731
+        F.substring(F.lpad(F.hex(c), 4, "0"), 3, 2),
+        F.substring(F.lpad(F.hex(c), 4, "0"), 1, 2),
+    )
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A"),  # signature
+            F.lit("0000000D49484452"),  # IHDR length + type
+            hex_u32(w),
+            hex_u32(h),
+        )
+    )
+    gif = F.unhex(
+        F.concat(F.lit("474946383961"), le_u16(w), le_u16(h))  # 'GIF89a'
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif).alias("payload"),
+    )
+    return image_dimensions(media)
