@@ -141,6 +141,8 @@ _PRIORITY = [
     "bigram_lm_surprisal",
     "rfm_customer_scores",
     "image_header_dims",
+    "nested_rollup_roundtrip",
+    "streaming_csv_source_counts",
 ]
 
 

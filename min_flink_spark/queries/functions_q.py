@@ -494,3 +494,53 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("k_min"),
         F.max("k").alias("k_max"),
     )
+
+
+@query(
+    "nested_rollup_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS total_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_nested_rollup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep nested-type round trip under the gate (§1.2 type system):
+    line items are packed into one array<struct<qty,price_cents>> PER
+    ORDER (sorted by line number for determinism), carried through a
+    join against orders as a nested column, then exploded back and
+    re-aggregated — the totals must equal the flat join the oracle
+    computes, proving nothing is lost or reordered through
+    ObjectHashAggregate's collect path, the nested carry, and the
+    explode. The nested column never reaches the output (scalar-only
+    contract); integer units keep the money exact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "qty", "price_cents"))
+        ).alias("items")
+    )
+    carried = orders.join(nested, F.col("o_orderkey") == F.col("l_orderkey"))
+    exploded = carried.select(
+        "o_orderkey", "o_orderpriority", F.explode("items").alias("it")
+    )
+    return exploded.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_orderkey").alias("n_orders"),
+        F.sum("it.qty").alias("total_qty"),
+        (
+            F.sum(F.col("it.price_cents").cast("decimal(18,0)")).cast("double")
+            / 100.0
+        ).alias("total_price"),
+    )

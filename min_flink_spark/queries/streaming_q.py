@@ -811,3 +811,54 @@ def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("wd.start").alias("day_start"), "event_type", "max_n", "n_windows"
     )
+
+
+@query(
+    "streaming_csv_source_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def q_streaming_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming over a TEXT-format source: a CSV snapshot (every 3rd
+    event, written in-plan with a pinned timestamp format) streams
+    through the file source into an update-mode aggregation — format
+    breadth on the readStream path (the parquet streaming source
+    carries every other streaming query). Micro-unit sums prove the
+    doubles survived the text round trip bit-exactly."""
+    import hashlib as _h
+    import os as _os
+
+    from min_flink_spark.sources import load_table
+    from min_flink_spark.streaming.runner import stream_files
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    scratch = _os.path.join(
+        "/tmp/mfs_stream_csv", _h.sha1(sf_dir.encode()).hexdigest()[:12]
+    )
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(scratch)
+    )
+    s = stream_files(
+        spark,
+        scratch,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double",
+        "csv",
+        header="true",
+        timestampNTZFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias("value_micro"),
+    )
+    return run_to_completion(agg, output_mode="update")
