@@ -143,6 +143,8 @@ _PRIORITY = [
     "image_header_dims",
     "nested_rollup_roundtrip",
     "streaming_csv_source_counts",
+    "er_candidate_features",
+    "copurchase_pmi_top",
 ]
 
 

@@ -843,3 +843,92 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary_cents",
     )
+
+
+@query(
+    "copurchase_pmi_top",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total FROM baskets),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, c_ab,
+           CAST(round(ln(CAST(n.total AS DOUBLE) * pair.c_ab
+                         / (ia.c * ib.c)) * 1000000) AS BIGINT) AS pmi_micro
+    FROM pair
+    JOIN item ia ON ia.l_partkey = pair.part_a
+    JOIN item ib ON ib.l_partkey = pair.part_b
+    CROSS JOIN n
+    ORDER BY pmi_micro DESC, part_a ASC, part_b ASC LIMIT 50
+    """,
+)
+def q_copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining: pointwise mutual information over part
+    co-purchases — PMI = ln(N·c_ab/(c_a·c_b)) separates genuinely
+    associated pairs from popularity artifacts (raw co-counts rank
+    bestsellers together regardless of affinity). Basket dedup, one
+    bounded per-order pair join (never all-pairs), min-support 3 cut
+    BEFORE the item joins, micro-rounded ln per pair (exact-int hash),
+    top-50 via TakeOrderedAndProject with full tiebreak."""
+    from min_flink_spark.operators.relational import top_k
+
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = baskets.agg(F.count_distinct("l_orderkey").alias("total"))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    scored = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("total").cast("double")
+                    * F.col("c_ab")
+                    / (F.col("ca") * F.col("cb"))
+                )
+                * 1000000
+            ).cast("bigint").alias("pmi_micro"),
+        )
+    )
+    return top_k(
+        scored,
+        k=50,
+        order_by=[
+            F.col("pmi_micro").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        ],
+    )

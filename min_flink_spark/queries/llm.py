@@ -1372,3 +1372,79 @@ def q_image_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif).alias("payload"),
     )
     return image_dimensions(media)
+
+
+@query(
+    "er_candidate_features",
+    oracle=f"""
+    WITH corpus AS ({SQL_CORPUS_NEAR}),
+    {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT doc_a, doc_b,
+             CAST(round(CAST(n_inter AS DOUBLE)
+                        / (sa.n_sh + sb.n_sh - n_inter) * 1000000)
+                  AS BIGINT) AS jaccard_micro
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    )
+    SELECT c.doc_a, c.doc_b, c.jaccard_micro,
+           CAST(levenshtein(substr(ca.text, 1, 60), substr(cb.text, 1, 60))
+                AS BIGINT) AS edit_dist,
+           CAST(round(CAST(least(length(ca.text), length(cb.text)) AS DOUBLE)
+                      / greatest(length(ca.text), length(cb.text)) * 1000000)
+                AS BIGINT) AS len_ratio_micro
+    FROM cand c
+    JOIN corpus ca ON ca.doc_id = c.doc_a
+    JOIN corpus cb ON cb.doc_id = c.doc_b
+    """,
+)
+def q_er_candidate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution feature table: blocked candidate pairs
+    (inverted-index shingle Jaccard ≥ 0.3 — never all-pairs) scored
+    with the classic match features — set Jaccard, prefix-bounded edit
+    distance (O(len²), so only on candidates), and length ratio — the
+    input a pairwise match classifier trains on. Ratios ride as
+    micro-ints so the feature values hash exactly; every join is an
+    equi-join on the pair/doc keys."""
+    from min_flink_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _spark_near_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.3).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard") * 1000000).cast("bigint").alias("jaccard_micro"),
+    )
+    ta = corpus.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 60).alias("_ta"),
+        F.length("text").alias("_la"),
+    )
+    tb = corpus.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 60).alias("_tb"),
+        F.length("text").alias("_lb"),
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_micro",
+            F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
+            F.round(
+                F.least("_la", "_lb").cast("double")
+                / F.greatest("_la", "_lb")
+                * 1000000
+            ).cast("bigint").alias("len_ratio_micro"),
+        )
+    )
