@@ -145,6 +145,7 @@ _PRIORITY = [
     "streaming_csv_source_counts",
     "er_candidate_features",
     "copurchase_pmi_top",
+    "weekly_active_growth",
 ]
 
 

@@ -932,3 +932,53 @@ def q_copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("part_b").asc(),
         ],
     )
+
+
+@query(
+    "weekly_active_growth",
+    oracle="""
+    WITH wk AS (
+      SELECT time_bucket(INTERVAL '7 days', ts,
+                         TIMESTAMP '2024-01-01') AS week_start,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT week_start, wau, n_events,
+           coalesce(lag(wau) OVER (ORDER BY week_start), 0) AS prev_wau,
+           CASE WHEN lag(wau) OVER (ORDER BY week_start) IS NULL THEN 0.0
+                ELSE CAST(wau - lag(wau) OVER (ORDER BY week_start) AS DOUBLE)
+                     / lag(wau) OVER (ORDER BY week_start) END AS wow_growth
+    FROM wk
+    """,
+)
+def q_weekly_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: weekly active users anchored to a fixed
+    epoch, with week-over-week growth rate — the north-star-metric
+    query every product team schedules. One distinct-count aggregation
+    per week, a single lag window over the handful of week rows (the
+    ORDER BY runs on #weeks rows, not events), and one exact-int
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        # startTime 4 days: Spark's window grid anchors at the epoch
+        # (1970-01-01, a Thursday); +4 days lands the grid on Mondays,
+        # matching the oracle's 2024-01-01 (Monday) bucket origin
+        F.window("ts", "7 days", startTime="4 days").alias("w")
+    ).agg(
+        F.count_distinct("user_id").alias("wau"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(F.col("w.start").alias("week_start"), "wau", "n_events")
+    w = Window.orderBy("week_start")
+    prev = F.lag("wau").over(w)
+    return wk.select(
+        "week_start",
+        "wau",
+        "n_events",
+        # coalesce: a NULL in a BIGINT column rides as NaN-in-float64
+        # through the gate's pandas materialization, flipping the dtype
+        F.coalesce(prev, F.lit(0)).alias("prev_wau"),
+        F.when(prev.isNull(), F.lit(0.0))
+        .otherwise((F.col("wau") - prev).cast("double") / prev)
+        .alias("wow_growth"),
+    )
