@@ -146,6 +146,7 @@ _PRIORITY = [
     "er_candidate_features",
     "copurchase_pmi_top",
     "weekly_active_growth",
+    "concurrent_sessions_sweep",
 ]
 
 

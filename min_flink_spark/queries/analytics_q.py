@@ -982,3 +982,85 @@ def q_weekly_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("wau") - prev).cast("double") / prev)
         .alias("wow_growth"),
     )
+
+
+@query(
+    "concurrent_sessions_sweep",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '4 hours'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM sessions
+      UNION ALL
+      SELECT e, -1 FROM sessions
+    ),
+    sweep AS (
+      SELECT t, sum(sum(d)) OVER (ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS live
+      FROM deltas GROUP BY t
+    )
+    SELECT time_bucket(INTERVAL '1 day', t) AS day,
+           CAST(max(live) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY 1
+    """,
+)
+def q_concurrent_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day by SWEEP LINE: sessions
+    (4-hour-gap islands) become ±1 boundary deltas, a single ordered
+    cumulative sum gives the live count at every boundary, and the
+    daily max is the capacity-planning number. The sweep's global
+    cumsum runs over #session-boundaries rows (two per session — tiny
+    next to events), grouped by timestamp first so coincident starts
+    and ends collapse deterministically before the running sum; ends
+    tie with starts at the same instant by summing their deltas
+    together (a session touching another's start counts as
+    overlapping at that instant on both engines identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+            <= 4 * 3600 * 1_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = sessions.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        sessions.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
+    sweep = per_t.withColumn(
+        "live",
+        F.sum("dd").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sweep.groupBy(F.date_trunc("day", F.col("t")).alias("day")).agg(
+        F.max("live").cast("bigint").alias("peak_concurrency")
+    )
