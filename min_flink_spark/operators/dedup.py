@@ -498,3 +498,66 @@ def incremental_near_dup(
     # return it directly — the stored-index schema is exactly
     # near_dup_index's output.
     return matches, new_idx
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via the pigeonhole band trick (the
+    classic web-dedup scheme): any two signatures within Hamming
+    distance d < bands must agree EXACTLY on at least one of the
+    ``bands`` bit-slices, so candidates come from per-band equality
+    joins — never an all-pairs Hamming scan — and the exact
+    ``bit_count(xor)`` check on candidates gives precision 1.0.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    Scale: each band join groups the corpus into 2^(bits/bands)
+    buckets; candidate volume is Σ_bucket n², bounded the same way the
+    MinHash band join is. Requires ``max_hamming < bands`` for
+    guaranteed recall 1.0 (pigeonhole); looser thresholds need more
+    bands."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole recall guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(slices).alias("s")
+    ).select(id_col, "simhash", F.col("s.band").alias("band"), F.col("s.key").alias("key"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("bigint")
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

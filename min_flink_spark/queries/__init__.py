@@ -147,6 +147,7 @@ _PRIORITY = [
     "copurchase_pmi_top",
     "weekly_active_growth",
     "concurrent_sessions_sweep",
+    "simhash_hamming_pairs",
 ]
 
 

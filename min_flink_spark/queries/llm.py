@@ -1448,3 +1448,71 @@ def q_er_candidate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("len_ratio_micro"),
         )
     )
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH corpus AS ({SQL_CORPUS_NEAR}),
+    tok AS (
+      SELECT DISTINCT doc_id, t AS tok
+      FROM (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM corpus)
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+      FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(id_a) AS BIGINT) AS min_id_a,
+           CAST(max(id_b) AS BIGINT) AS max_id_b
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    GROUP BY 1
+    """,
+)
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole band trick
+    (operators/dedup.simhash_hamming_pairs) — the classic web-scale
+    dedup: Hamming ≤ 3 over 32-bit signatures means the pair agrees
+    exactly on ≥1 of 4 byte slices, so candidates come from per-band
+    equality joins (recall 1.0 by pigeonhole, never an all-pairs
+    Hamming scan) and the exact bit_count(xor) rerank gives precision
+    1.0. Run over the near-dup corpus where truncated copies sit a few
+    bits away; the oracle replays signatures, banding, and the Hamming
+    cut bit for bit."""
+    from min_flink_spark.operators.dedup import simhash_hamming_pairs
+
+    corpus = _spark_near_corpus(spark, sf_dir)
+    pairs = simhash_hamming_pairs(corpus, max_hamming=3)
+    # synthetic docs share a tight vocabulary, so signatures cluster and
+    # the pair set is large at high SF — the gate row carries the
+    # per-distance DISTRIBUTION (plus id extrema), which pins the same
+    # computation without shipping millions of pairs through the
+    # comparator
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("id_a").alias("min_id_a"),
+        F.max("id_b").alias("max_id_b"),
+    )
