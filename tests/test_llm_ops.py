@@ -576,3 +576,37 @@ def test_score_with_model_real_runtime_if_available(spark):
 
     out = score_with_model(df, factory).collect()
     assert all(abs(r.model_score - (2.0 * r.x + 1.0)) < 1e-5 for r in out)
+
+
+def test_simhash_hamming_pairs_matches_brute_force(spark):
+    """Pigeonhole guarantee: the banded candidate path must find
+    EXACTLY the pairs a brute-force Hamming scan finds at d <= 3
+    (recall 1.0 by construction, precision 1.0 from the exact
+    rerank)."""
+    from itertools import combinations
+
+    from min_flink_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near 1
+        (3, "the quick brown fox jumps over a lazy dog today"),  # near 1
+        (4, "completely different content about spark engines"),
+        (5, "entirely unrelated text concerning database systems"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_hamming_pairs(df, max_hamming=3).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(df, max_hamming=4, bands=4)

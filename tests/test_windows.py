@@ -91,3 +91,32 @@ def test_keyed_stream_fluent_windows(spark, sf_dir):
     n_events = ev.count()
     assert sum(r["n"] for r in blocks) == n_events
     assert all(r["n"] <= 10 for r in blocks)
+
+
+def test_sliding_count_window_membership(spark):
+    """size=3, slide=2 over 7 ordered rows per key: window j covers
+    positions [2j, 2j+3); hand-checked counts incl. the partial tail,
+    and partition invariance."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.windows import sliding_count_window
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(7)], "k bigint, seq bigint"
+    )
+    out = {
+        (r.k, r.window_id): r.n
+        for r in sliding_count_window(
+            df, ["k"], [F.col("seq").asc()], 3, 2, F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # windows: [0,3)=3 rows, [2,5)=3, [4,7)=3, [6,9)=1 (partial)
+    assert out == {(1, 0): 3, (1, 1): 3, (1, 2): 3, (1, 3): 1}
+    again = {
+        (r.k, r.window_id): r.n
+        for r in sliding_count_window(
+            df.repartition(5), ["k"], [F.col("seq").asc()], 3, 2,
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    assert again == out
