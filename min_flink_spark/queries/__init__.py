@@ -148,6 +148,7 @@ _PRIORITY = [
     "weekly_active_growth",
     "concurrent_sessions_sweep",
     "simhash_hamming_pairs",
+    "streaming_complete_topk",
 ]
 
 

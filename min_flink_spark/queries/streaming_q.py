@@ -862,3 +862,38 @@ def q_streaming_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias("value_micro"),
     )
     return run_to_completion(agg, output_mode="update")
+
+
+@query(
+    "streaming_complete_topk",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM events
+    GROUP BY event_type
+    ORDER BY value_micro DESC, event_type ASC
+    LIMIT 3
+    """,
+)
+def q_streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode — the third streaming output mode (update
+    and append carry every other streaming query): the sink receives
+    the FULL re-ranked result each trigger, which is the only mode
+    where ORDER BY + LIMIT are legal inside a streaming query — the
+    continuously-maintained leaderboard topology. Micro-unit sums and
+    a full tiebreak make the top-3 membership deterministic."""
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    agg = (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias(
+                "value_micro"
+            ),
+        )
+        .orderBy(F.col("value_micro").desc(), F.col("event_type").asc())
+        .limit(3)
+    )
+    return run_to_completion(agg, output_mode="complete")
