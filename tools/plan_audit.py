@@ -59,6 +59,7 @@ EXPECTED_CROSS = {
     "bpe_merge_training",       # one 1-row best-pair scalar broadcast
                                 # back per merge round (3 rounds)
     "bpe_tokenized_lengths",    # same rounds + 1-row model broadcast
+    "copurchase_pmi_top",       # 1-row basket-total scalar cross join
 }
 EXPECTED_SINGLE_PARTITION = {
     "global_sort_expensive_orders",  # the query IS a global sort
