@@ -149,6 +149,7 @@ _PRIORITY = [
     "concurrent_sessions_sweep",
     "simhash_hamming_pairs",
     "streaming_complete_topk",
+    "streaming_dedup_within_watermark",
 ]
 
 

@@ -897,3 +897,33 @@ def q_streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS survivors
+    FROM (
+      SELECT DISTINCT user_id, event_type FROM events
+    ) GROUP BY user_id, event_type
+    """,
+)
+def q_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the bounded-state dedup API
+    (Spark 3.5+): unlike plain dropDuplicates (whose key state lives
+    forever), state for a key is EVICTED once the watermark passes its
+    event time + delay, so the operator holds only the
+    reorder-window's keys at any moment — the semantics production
+    dedup actually wants (duplicates arrive close together; a forever
+    set is an OOM). Bounded input in one batch dedups exactly, so the
+    oracle is the plain DISTINCT."""
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    deduped = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("survivors"))
+    )
+    return run_to_completion(deduped, output_mode="update")
