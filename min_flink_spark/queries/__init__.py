@@ -150,6 +150,8 @@ _PRIORITY = [
     "simhash_hamming_pairs",
     "streaming_complete_topk",
     "streaming_dedup_within_watermark",
+    "interevent_gap_histogram",
+    "csv_corrupt_record_quarantine",
 ]
 
 

@@ -1064,3 +1064,48 @@ def q_concurrent_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep.groupBy(F.date_trunc("day", F.col("t")).alias("day")).agg(
         F.max("live").cast("bigint").alias("peak_concurrency")
     )
+
+
+@query(
+    "interevent_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(length(bin(gap_us // 1000000)) - 1 AS BIGINT)
+             AS log2_gap_sec,
+           CAST(count(*) AS BIGINT) AS n
+    FROM gaps
+    WHERE gap_us IS NOT NULL AND gap_us >= 1000000
+    GROUP BY 1, 2
+    """,
+)
+def q_interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale latency histogram with EXACT integer bucketing: the
+    gap to the user's previous event lands in bucket ⌊log₂(gap
+    seconds)⌋ computed as ``length(bin(x)) − 1`` — a pure integer
+    operation identical in any engine, where a float ln(x)/ln(2) drifts
+    at bucket boundaries. The latency-distribution shape every
+    operational dashboard wants, exactly replayable: one lag window on
+    the user shuffle, one hash aggregation. Sub-second gaps are
+    excluded (bucket 0 would conflate them with 1-second gaps)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") >= 1000000))
+    # `div`/`//`: explicit FLOOR division on both sides — a float
+    # divide + cast truncates in Spark but rounds in DuckDB
+    bucket = (
+        F.length(F.bin(F.expr("gap_us div 1000000"))) - 1
+    ).cast("bigint")
+    return gaps.groupBy("event_type", bucket.alias("log2_gap_sec")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

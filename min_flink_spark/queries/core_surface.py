@@ -588,3 +588,55 @@ def q_bucketed_cobucket_join(spark, sf_dir: str):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("total_qty"),
     )
+
+
+@query(
+    "csv_corrupt_record_quarantine",
+    oracle="""
+    SELECT event_id % 10 = 0 AS quarantined,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+    FROM events GROUP BY 1
+    """,
+)
+def q_csv_corrupt_quarantine(spark, sf_dir: str):
+    """Dead-letter ingestion under the gate: a CSV scratch where every
+    10th row carries an unparseable numeric field reads back in
+    PERMISSIVE mode with a corrupt-record column — malformed rows
+    quarantine (raw line captured, parsed field NULL) instead of
+    failing the job or silently vanishing. The oracle replays the
+    deterministic corruption rule, so the quarantine boundary itself
+    is value-checked: a reader that dropped bad rows or mis-parsed
+    good ones flips a count. (The raw scan is cached before filtering
+    on the corrupt column — filtering ONLY that column on an uncached
+    scan is unsupported.)"""
+    import hashlib as _h
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("not-a-number")).otherwise(
+                F.col("value").cast("string")
+            ),
+        ).alias("value")
+    )
+    scratch = _os.path.join(
+        "/tmp/mfs_corrupt_csv", _h.sha1(sf_dir.encode()).hexdigest()[:12]
+    )
+    lines.write.mode("overwrite").text(scratch)
+    back = (
+        spark.read.schema("event_id bigint, value double, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(scratch)
+        .cache()
+    )
+    return back.groupBy(F.col("_bad").isNotNull().alias("quarantined")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_ids"),
+    )
