@@ -748,6 +748,41 @@ def cluster_sample(
     return df.filter(b < keep)
 
 
+def _merge_pair(sym: Column, pair: Column) -> Column:
+    """One BPE merge applied to a single-space-separated symbol string,
+    exactly forward-scan non-overlapping (the real BPE rule).
+
+    Plain ``replace`` on a single-space padding consumes the separator
+    shared by adjacent occurrences, silently skipping every alternating
+    match. Doubling the separators first makes each boundary two spaces
+    wide: the pattern ``' left  right '`` takes one space from each
+    flanking boundary and the one-space replacement restores it, so
+    consecutive occurrences chain exactly like a token-array forward
+    scan (left-to-right, non-overlapping, a just-merged token never
+    re-eligible within the same pass). Equivalence holds because tokens
+    contain no spaces and ``concat(left, right) != left`` for non-empty
+    ``right``; property-tested against a reference scan over random
+    symbol sequences. Identical plain-``replace`` semantics in DuckDB
+    let every oracle replay the rule verbatim."""
+    return F.replace(
+        F.trim(
+            F.replace(
+                F.concat(
+                    F.lit(" "), F.replace(sym, F.lit(" "), F.lit("  ")), F.lit(" ")
+                ),
+                F.concat(
+                    F.lit(" "), F.replace(pair, F.lit(" "), F.lit("  ")), F.lit(" ")
+                ),
+                F.concat(
+                    F.lit(" "), F.replace(pair, F.lit(" "), F.lit("")), F.lit(" ")
+                ),
+            )
+        ),
+        F.lit("  "),
+        F.lit(" "),
+    )
+
+
 def bpe_train_merges(
     words: DataFrame,
     rounds: int = 3,
@@ -767,10 +802,17 @@ def bpe_train_merges(
     vocabulary, ~10^5 rows at any corpus size, the same reduction
     classical BPE trainers exploit); each round is one explode +
     hash-agg + a 1-row top-1 broadcast back. Words ride as
-    space-separated symbol strings so the merge step is a plain
-    string ``replace`` of ``' a b '`` with ``' ab '`` — forward-scan
-    non-overlapping, the exact BPE application rule, identical in any
-    engine (the oracle replays all rounds in SQL). Fixed round count =
+    space-separated symbol strings and the merge step is a plain
+    string ``replace`` run on a DOUBLE-space-separated copy: pattern
+    ``' a  b '`` → ``' ab '`` consumes one space of each flanking
+    separator and leaves the other, so back-to-back occurrences chain
+    (``a a a a a a`` → ``aa aa aa``) — bit-identical to the
+    forward-scan non-overlapping rule real BPE trainers
+    (subword-nmt/HF) apply, property-tested against a token-array
+    reference scan in ``tests/test_properties.py``. A naive
+    single-space padded replace eats the shared separator and skips
+    every alternating occurrence (``aaaa`` → ``aa a a``). The oracle
+    replays the same double-space replace in SQL. Fixed round count =
     fixed plan depth; real trainers run ~30k rounds and would
     localCheckpoint every few rounds like connected_components."""
     from min_flink_spark.operators.relational import top_k
@@ -798,15 +840,7 @@ def bpe_train_merges(
         ).select(F.lit(r).cast("bigint").alias("merge_rank"), "pair", "total")
         merges.append(best)
         w = w.crossJoin(F.broadcast(best.select(F.col("pair").alias("_p")))).select(
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("_p"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "), F.replace(F.col("_p"), F.lit(" "), F.lit("")), F.lit(" ")
-                    ),
-                )
-            ).alias("sym"),
+            _merge_pair(F.col("sym"), F.col("_p")).alias("sym"),
             "cnt",
         )
     out = merges[0]
@@ -823,26 +857,29 @@ def bpe_apply_merges(
 ) -> DataFrame:
     """Apply a learned BPE merge list (``bpe_train_merges`` output) to
     a word column IN RANK ORDER — the tokenization side of the model.
-    Merges arrive as a 1-row-per-merge frame; they are collected into
-    one ordered array (bounded: the model, not data), broadcast, and
-    applied as chained forward-scan replaces via ``aggregate`` over
-    the merge array — no per-merge join, one projection regardless of
-    model size."""
-    ordered = merges.orderBy("merge_rank").select(
-        F.array_agg(F.col("pair")).alias("_merges")
+    Merges arrive as a 1-row-per-merge frame; they are aggregated into
+    one array of (merge_rank, pair) structs (bounded: the model, not
+    data) and ``array_sort``-ed so rank order is enforced INSIDE the
+    array — a bare ``orderBy`` before ``array_agg`` is not guaranteed
+    to survive the final exchange, and rank is dropped from the array,
+    so a reorder there would be silent. The sorted pair list is
+    broadcast and applied as chained forward-scan replaces
+    (``_merge_pair`` double-space rule — exact BPE application) via
+    ``aggregate`` over the merge array — no per-merge join, one
+    projection regardless of model size."""
+    ordered = merges.agg(
+        F.array_sort(
+            F.array_agg(F.struct(F.col("merge_rank"), F.col("pair")))
+        ).alias("_ranked")
+    ).select(
+        F.transform(F.col("_ranked"), lambda m: m["pair"]).alias("_merges")
     )
-    sym0 = F.concat(
-        F.lit(" "), F.concat_ws(" ", F.split(F.col(text_col), "")), F.lit(" ")
-    )
+    sym0 = F.concat_ws(" ", F.split(F.col(text_col), ""))
     applied = F.aggregate(
         F.col("_merges"),
         sym0,
-        lambda acc, p: F.replace(
-            acc,
-            F.concat(F.lit(" "), p, F.lit(" ")),
-            F.concat(F.lit(" "), F.replace(p, F.lit(" "), F.lit("")), F.lit(" ")),
-        ),
+        lambda acc, p: _merge_pair(acc, p),
     )
     return df.crossJoin(F.broadcast(ordered)).withColumn(
-        out_col, F.trim(applied)
+        out_col, applied
     ).drop("_merges")

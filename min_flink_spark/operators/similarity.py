@@ -549,32 +549,50 @@ def negative_pair_sample(
     the sample reproducible across engines, partitionings and reruns
     (resumable pipelines), and the plan is explode(k) + one equi-join
     back on the id — fully shuffled-hash-joinable at any corpus size.
-    Requires ids dense in [0, N); N crosses the driver as ONE scalar.
+
+    Preconditions are VALIDATED, not assumed: ids must be dense in
+    ``[0, N)`` with ``N >= 2`` — a 1-row corpus makes the offset a
+    ``pmod`` by zero (NULL partners) and a non-dense id space makes
+    computed ``neg_id``s miss the corpus; both used to surface only as
+    silently missing join partners. One bounded-metadata aggregate
+    (count/min/max — three scalars) crosses to the driver and raises
+    instead. The mod arithmetic then rides as literals.
 
     Collisions between slots (two offsets landing equal) are kept —
     the spec is per-slot independent draws; dedupe downstream if a
     training recipe needs distinct negatives."""
     from min_flink_spark.functions.hashing import md5_prefix_int
 
-    n_row = corpus.select(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    anchors = corpus.select(F.col(id_col).alias("anchor_id")).crossJoin(
-        F.broadcast(n_row)
-    )
-    slots = anchors.select(
+    n, mn, mx = corpus.agg(
+        F.count(F.lit(1)).cast("bigint"),
+        F.min(F.col(id_col)).cast("bigint"),
+        F.max(F.col(id_col)).cast("bigint"),
+    ).collect()[0]
+    if n < 2:
+        raise ValueError(
+            f"negative_pair_sample needs >= 2 corpus rows, got {n}: "
+            "offsets are drawn mod (N-1)"
+        )
+    if mn != 0 or mx != n - 1:
+        raise ValueError(
+            f"negative_pair_sample needs ids dense in [0, N): got "
+            f"min={mn}, max={mx} for N={n} rows (use a global_index "
+            "pass to densify first)"
+        )
+    slots = corpus.select(F.col(id_col).alias("anchor_id")).select(
         "anchor_id",
-        "_n",
         F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot"),
     )
     offset = F.lit(1) + F.pmod(
         md5_prefix_int(F.concat(F.lit(salt + ":"), F.col("slot").cast("string"))),
-        F.col("_n") - F.lit(1),
+        F.lit(n - 1),
     )
     paired = slots.select(
         "anchor_id",
         F.col("slot").cast("bigint").alias("slot"),
-        F.pmod(F.col("anchor_id") + offset, F.col("_n")).alias("neg_id"),
+        F.pmod(F.col("anchor_id") + offset, F.lit(n)).alias("neg_id"),
     )
-    # join back to assert the partner exists (and to let callers carry
-    # partner payload columns through the same equi-join)
+    # join back so callers can carry partner payload columns through
+    # the same equi-join; density was validated, so it drops nothing
     ids = corpus.select(F.col(id_col).alias("neg_id"))
     return paired.join(ids, "neg_id").select("anchor_id", "slot", "neg_id")

@@ -1134,6 +1134,16 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pair_sample(emb, k=4)
 
 
+def _bpe_apply_sql(inner: str, b: str) -> str:
+    """SQL twin of one ``_merge_pair`` application (double-space rule)
+    with the pair pulled from the 1-row CTE ``b``."""
+    return (
+        f"replace(trim(replace(' ' || replace({inner}, ' ', '  ') || ' ', "
+        f"' ' || (SELECT replace(pair, ' ', '  ') FROM {b}) || ' ', "
+        f"' ' || (SELECT replace(pair, ' ', '') FROM {b}) || ' ')), '  ', ' ')"
+    )
+
+
 def _bpe_round_sql(r: int) -> str:
     return f"""
 p{r} AS (
@@ -1148,9 +1158,12 @@ p{r} AS (
 b{r} AS (SELECT pair, total, {r} AS rank FROM p{r}
          ORDER BY total DESC, pair ASC LIMIT 1),
 w{r + 1} AS (
-  SELECT trim(replace(' ' || sym || ' ',
-                      ' ' || b.pair || ' ',
-                      ' ' || replace(b.pair, ' ', '') || ' ')) AS sym, cnt
+  -- double-space separators so the replace chains adjacent
+  -- occurrences: exact forward-scan BPE (operators/pipeline._merge_pair)
+  SELECT replace(trim(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                              ' ' || replace(b.pair, ' ', '  ') || ' ',
+                              ' ' || replace(b.pair, ' ', '') || ' ')),
+                 '  ', ' ') AS sym, cnt
   FROM w{r} CROSS JOIN b{r} b
 )"""
 
@@ -1214,16 +1227,9 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     applied AS (
       SELECT doc_id,
-        len(string_split(trim(
-          replace(replace(replace(
-            ' ' || array_to_string(string_split(word, ''), ' ') || ' ',
-            ' ' || (SELECT pair FROM b1) || ' ',
-            ' ' || (SELECT replace(pair, ' ', '') FROM b1) || ' '),
-            ' ' || (SELECT pair FROM b2) || ' ',
-            ' ' || (SELECT replace(pair, ' ', '') FROM b2) || ' '),
-            ' ' || (SELECT pair FROM b3) || ' ',
-            ' ' || (SELECT replace(pair, ' ', '') FROM b3) || ' ')
-        ), ' ')) AS n
+        len(string_split({_bpe_apply_sql(_bpe_apply_sql(_bpe_apply_sql(
+            "array_to_string(string_split(word, ''), ' ')", "b1"), "b2"), "b3")},
+            ' ')) AS n
       FROM docs_tok
     )
     SELECT doc_id,

@@ -220,9 +220,23 @@ def late_data_router(ts_col: str, delay_ms: int, on_time_fn, late_fn):
     Spark's own batch-granular watermark advance. Both downstream
     functions receive (DataFrame, batch_id).
 
+    Restart semantics: the scalar lives in this closure, NOT in the
+    checkpoint, so after a checkpointed restart the first batch
+    classifies everything on-time and the watermark rebuilds from that
+    batch onward — weaker than Spark/Flink, whose watermark persists
+    in the checkpoint/savepoint. Callers needing restart-exact routing
+    must persist ``state["max_ms"]`` alongside their sink ledger (one
+    scalar; the ``exactly_once_sink`` marker directory is a natural
+    home) and seed it back in before the query restarts.
+
     Scale: the split is two complementary filters over the same batch
     lineage (Stream.side_output); the scalar max aggregates
-    executor-side — no row ever crosses to the driver."""
+    executor-side — no row ever crosses to the driver. The per-batch
+    ``localCheckpoint`` (one computation, three consumers) is
+    unpersisted in a ``finally`` before the next batch arrives — on a
+    long-running stream leaked batch blocks would otherwise accumulate
+    without bound (the hazard incremental_near_dup's docstring
+    documents for its callers)."""
     state = {"max_ms": None}
 
     def route(bdf, batch_id: int) -> None:
@@ -231,22 +245,27 @@ def late_data_router(ts_col: str, delay_ms: int, on_time_fn, late_fn):
         from min_flink_spark.core.stream import Stream
 
         bdf = bdf.localCheckpoint(eager=True)  # one computation, three uses
-        wm = state["max_ms"]
-        if wm is None:
-            late, on_time = None, bdf
-        else:
-            cutoff = wm - delay_ms
-            main_s, late_s = Stream(bdf).side_output(
-                (F.unix_millis(F.col(ts_col).cast("timestamp")) < F.lit(cutoff))
-            )
-            late, on_time = late_s.df, main_s.df
-        if late is not None:
-            late_fn(late, batch_id)
-        on_time_fn(on_time, batch_id)
-        mx = bdf.agg(
-            F.max(F.unix_millis(F.col(ts_col).cast("timestamp")))
-        ).collect()[0][0]
-        if mx is not None:
-            state["max_ms"] = mx if wm is None else max(wm, mx)
+        try:
+            wm = state["max_ms"]
+            if wm is None:
+                late, on_time = None, bdf
+            else:
+                cutoff = wm - delay_ms
+                main_s, late_s = Stream(bdf).side_output(
+                    (F.unix_millis(F.col(ts_col).cast("timestamp")) < F.lit(cutoff))
+                )
+                late, on_time = late_s.df, main_s.df
+            if late is not None:
+                late_fn(late, batch_id)
+            on_time_fn(on_time, batch_id)
+            mx = bdf.agg(
+                F.max(F.unix_millis(F.col(ts_col).cast("timestamp")))
+            ).collect()[0][0]
+            if mx is not None:
+                state["max_ms"] = mx if wm is None else max(wm, mx)
+        finally:
+            # downstream fns have acted (writes/collects) by now; the
+            # blocks must not outlive the batch on an unbounded stream
+            bdf.unpersist()
 
     return route

@@ -501,6 +501,22 @@ def test_negative_pair_sample_contract(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_negative_pair_sample_rejects_degenerate_corpora(spark):
+    """A 1-row corpus (pmod by zero → NULL partners) and a non-dense id
+    space (computed partners miss the corpus) must raise, not silently
+    drop join rows."""
+    import pytest
+
+    from min_flink_spark.operators.similarity import negative_pair_sample
+
+    one = spark.range(1).select(F.col("id").alias("vec_id"))
+    with pytest.raises(ValueError, match="needs >= 2"):
+        negative_pair_sample(one, k=2)
+    sparse = spark.createDataFrame([(0,), (2,), (5,)], "vec_id bigint")
+    with pytest.raises(ValueError, match="dense"):
+        negative_pair_sample(sparse, k=2)
+
+
 def test_merge_grouped_stats_equals_full_recompute(spark):
     """merge(old, delta) must be bit-identical to stats over the union
     — including keys present in only one part."""

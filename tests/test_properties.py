@@ -641,3 +641,60 @@ def test_scd2_intervals_partition_timeline(spark, rows):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
             assert a.s != b.s  # compacted: no same-state neighbors
+
+
+def _bpe_scan_model(toks, left, right):
+    """Reference forward-scan merge: left-to-right, non-overlapping, a
+    just-merged token never re-eligible within the same pass — the rule
+    subword-nmt/HF apply."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_pair_matches_forward_scan(spark):
+    """_merge_pair (double-space replace) ≡ token-array forward scan on
+    every symbol sequence up to length 6 over an alphabet whose tokens
+    can collide with merged output ('ab', 'aa') — the adjacent-run and
+    prefix-ambiguity cases a padded single-space replace gets wrong
+    ('a a a a' must become 'aa aa', not 'aa a a')."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.pipeline import _merge_pair
+
+    alph = ["a", "b", "ab", "aa"]
+    cases = []
+    for n in range(1, 7):
+        for toks in itertools.product(alph, repeat=n):
+            for pair in (("a", "a"), ("a", "b"), ("ab", "a"), ("aa", "aa")):
+                cases.append((" ".join(toks), pair[0] + " " + pair[1],
+                              " ".join(_bpe_scan_model(list(toks), *pair))))
+    df = spark.createDataFrame(cases, "sym string, pair string, want string")
+    got = df.select(
+        "sym", "pair", "want", _merge_pair(F.col("sym"), F.col("pair")).alias("got")
+    )
+    bad = got.filter(F.col("got") != F.col("want")).limit(5).collect()
+    assert not bad, f"forward-scan divergence: {bad}"
+
+
+def test_bpe_apply_merges_rank_order_enforced(spark):
+    """bpe_apply_merges must apply merges in merge_rank order even when
+    the input frame arrives shuffled: rank 1 = (a,a), rank 2 = (aa,aa)
+    on 'aaaa' yields one 'aaaa' token only if rank order held; the
+    reverse order leaves 'aa aa'."""
+    from min_flink_spark.operators.pipeline import bpe_apply_merges
+
+    merges = spark.createDataFrame(
+        [(2, "aa aa"), (1, "a a")], "merge_rank bigint, pair string"
+    ).repartition(4)
+    words = spark.createDataFrame([("aaaa",), ("aab",)], "word string")
+    out = {r.word: r.sym for r in bpe_apply_merges(words, merges).collect()}
+    assert out == {"aaaa": "aaaa", "aab": "aa b"}
