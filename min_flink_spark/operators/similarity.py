@@ -555,16 +555,21 @@ def negative_pair_sample(
     ``pmod`` by zero (NULL partners) and a non-dense id space makes
     computed ``neg_id``s miss the corpus; both used to surface only as
     silently missing join partners. One bounded-metadata aggregate
-    (count/min/max — three scalars) crosses to the driver and raises
-    instead. The mod arithmetic then rides as literals.
+    (count/count-distinct/min/max — four scalars) crosses to the
+    driver and raises instead; ``count_distinct`` is what makes the
+    check sound — count/min/max alone are fooled by duplicate ids
+    compensating for gaps (ids ``[0,1,1,3]`` give n=4, min=0, max=3),
+    whereas distinct=n plus min=0/max=n-1 genuinely implies density.
+    The mod arithmetic then rides as literals.
 
     Collisions between slots (two offsets landing equal) are kept —
     the spec is per-slot independent draws; dedupe downstream if a
     training recipe needs distinct negatives."""
     from min_flink_spark.functions.hashing import md5_prefix_int
 
-    n, mn, mx = corpus.agg(
+    n, nd, mn, mx = corpus.agg(
         F.count(F.lit(1)).cast("bigint"),
+        F.count_distinct(F.col(id_col)).cast("bigint"),
         F.min(F.col(id_col)).cast("bigint"),
         F.max(F.col(id_col)).cast("bigint"),
     ).collect()[0]
@@ -573,11 +578,12 @@ def negative_pair_sample(
             f"negative_pair_sample needs >= 2 corpus rows, got {n}: "
             "offsets are drawn mod (N-1)"
         )
-    if mn != 0 or mx != n - 1:
+    if nd != n or mn != 0 or mx != n - 1:
         raise ValueError(
             f"negative_pair_sample needs ids dense in [0, N): got "
-            f"min={mn}, max={mx} for N={n} rows (use a global_index "
-            "pass to densify first)"
+            f"min={mn}, max={mx}, distinct={nd} for N={n} rows "
+            "(duplicate ids multiply join partners and mask gaps; "
+            "use a global_index pass to densify first)"
         )
     slots = corpus.select(F.col(id_col).alias("anchor_id")).select(
         "anchor_id",

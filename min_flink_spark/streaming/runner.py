@@ -232,11 +232,17 @@ def late_data_router(ts_col: str, delay_ms: int, on_time_fn, late_fn):
     Scale: the split is two complementary filters over the same batch
     lineage (Stream.side_output); the scalar max aggregates
     executor-side — no row ever crosses to the driver. The per-batch
-    ``localCheckpoint`` (one computation, three consumers) is
-    unpersisted in a ``finally`` before the next batch arrives — on a
-    long-running stream leaked batch blocks would otherwise accumulate
-    without bound (the hazard incremental_near_dup's docstring
-    documents for its callers)."""
+    ``localCheckpoint`` (one computation, three consumers) is freed in
+    a ``finally`` before the next batch arrives — on a long-running
+    stream leaked batch blocks would otherwise accumulate without
+    bound. ``DataFrame.unpersist()`` does NOT do this (localCheckpoint
+    persists the internal RDD outside the cacheManager that unpersist
+    consults — verified on Spark 4.1.2), so the fix snapshots
+    ``sc.getPersistentRDDs()`` ids before checkpointing and unpersists
+    the newly-added RDD ids directly in the ``finally``. Safe here
+    because one foreachBatch body runs at a time for this query; a
+    caller running concurrent persisting jobs on the same context
+    should not share it with this router."""
     state = {"max_ms": None}
 
     def route(bdf, batch_id: int) -> None:
@@ -244,6 +250,8 @@ def late_data_router(ts_col: str, delay_ms: int, on_time_fn, late_fn):
 
         from min_flink_spark.core.stream import Stream
 
+        jsc = bdf.sparkSession.sparkContext._jsc.sc()
+        before_ids = _persistent_rdd_ids(jsc)
         bdf = bdf.localCheckpoint(eager=True)  # one computation, three uses
         try:
             wm = state["max_ms"]
@@ -265,7 +273,27 @@ def late_data_router(ts_col: str, delay_ms: int, on_time_fn, late_fn):
                 state["max_ms"] = mx if wm is None else max(wm, mx)
         finally:
             # downstream fns have acted (writes/collects) by now; the
-            # blocks must not outlive the batch on an unbounded stream
-            bdf.unpersist()
+            # blocks must not outlive the batch on an unbounded stream.
+            # DataFrame.unpersist() is a no-op for localCheckpoint
+            # blocks, so free the underlying RDDs by id delta.
+            _unpersist_new_rdds(jsc, before_ids)
 
     return route
+
+
+def _persistent_rdd_ids(jsc) -> set:
+    """Ids of currently-persisted RDDs (JVM-side registry snapshot)."""
+    ids = set()
+    it = jsc.getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_new_rdds(jsc, before_ids: set) -> None:
+    """Blocking-unpersist every RDD persisted since ``before_ids``."""
+    it = jsc.getPersistentRDDs().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() not in before_ids:
+            kv._2().unpersist(True)

@@ -515,6 +515,11 @@ def test_negative_pair_sample_rejects_degenerate_corpora(spark):
     sparse = spark.createDataFrame([(0,), (2,), (5,)], "vec_id bigint")
     with pytest.raises(ValueError, match="dense"):
         negative_pair_sample(sparse, k=2)
+    # duplicates compensating for a gap fool count/min/max alone:
+    # n=4, min=0, max=3 — only count_distinct exposes the hole at id 2
+    dup_gap = spark.createDataFrame([(0,), (1,), (1,), (3,)], "vec_id bigint")
+    with pytest.raises(ValueError, match="distinct"):
+        negative_pair_sample(dup_gap, k=2)
 
 
 def test_merge_grouped_stats_equals_full_recompute(spark):

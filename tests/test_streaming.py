@@ -190,3 +190,29 @@ def test_late_data_side_output_routes_to_quarantine(spark, tmp_path):
     b2.coalesce(1).write.mode("append").parquet(d)
     run_foreach_batch(s, router, output_mode="append", checkpoint_dir=ckpt)
     assert late == [3] and sorted(on_time) == [1, 2, 4]
+
+
+def test_late_data_router_frees_localcheckpoint_blocks(spark):
+    """The per-batch localCheckpoint must not leak persisted blocks
+    across batches (DataFrame.unpersist() is a no-op for them on this
+    Spark — localCheckpoint persists outside the cacheManager); after
+    the route the JVM persistent-RDD registry must be back to its
+    pre-batch state."""
+    from min_flink_spark.streaming.runner import (
+        _persistent_rdd_ids,
+        late_data_router,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = _persistent_rdd_ids(jsc)
+    router = late_data_router(
+        "ts", delay_ms=1000,
+        on_time_fn=lambda df, bid: df.count(),
+        late_fn=lambda df, bid: df.count(),
+    )
+    bdf = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "event_id bigint, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for bid in range(3):  # several batches: a leak would accumulate
+        router(bdf, bid)
+    assert _persistent_rdd_ids(jsc) == before
