@@ -125,6 +125,119 @@ def global_index(
     return out
 
 
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "_grank",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row rank under the TOTAL order ``order_by``
+    (callers must make the key unique — add an id tiebreak), as one
+    declarative all-JVM plan with no single-partition stage and no
+    driver round-trip.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY is the
+    canonical 100 TB scale-killer (one task sorts everything — the
+    ``WindowExec: No Partition Defined`` warning). Equivalent rank,
+    distributed:
+
+      1. range-partition on the key (sampled skew-aware boundaries,
+         the same machinery as a distributed ORDER BY),
+      2. local ``row_number`` per range partition — a PARTITIONED
+         window, never a global one,
+      3. per-partition row counts turned into prefix offsets by a
+         self-join over the ≤``num_partitions``-row count frame
+         (an O(P²) triangle join on a partition-count-bounded frame —
+         deliberately NOT an unpartitioned window, which would re-warn,
+         and NOT a collect, so the whole thing stays one lazy plan),
+      4. broadcast the offsets (bounded by partition count, not SF)
+         back on partition id: rank = offset + local row number.
+
+    Both consumers of the range exchange (the window branch and the
+    count branch) are the identical exchange subplan, so Catalyst
+    reuses it (``ReusedExchange`` — plan-locked by test; reuse is what
+    guarantees both branches see the same sampled boundaries).
+
+    With ``total_col`` set, the total row count rides along as a column
+    from the same count frame (1-row broadcast cross join) — rank
+    thresholds like ntile cut-ranks or percentile positions can then be
+    computed in-plan without any driver-side count().
+
+    Unlike :func:`global_index` (Arrow ``mapInPandas`` + bounded
+    driver collect) this variant is pure JVM codegen and fully lazy;
+    prefer it when the consumer is relational. ``global_index`` remains
+    for callers that need the materialized-epoch / backing-block
+    contract."""
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(n, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    local = ranged.withColumn("_lrn", F.row_number().over(w))
+    pc = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    off = (
+        pc.alias("a")
+        .join(pc.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._pc"), F.lit(0)).alias("_off"))
+    )
+    out = local.join(F.broadcast(off), "_pid").withColumn(
+        rank_col, (F.col("_off") + F.col("_lrn")).cast("bigint")
+    )
+    if total_col is not None:
+        total = pc.agg(F.sum("_pc").cast("bigint").alias(total_col))
+        out = out.crossJoin(F.broadcast(total))
+    return out.drop("_pid", "_lrn", "_off")
+
+
+def prefix_sum_over_groups(
+    df: DataFrame,
+    part_col: str | Column,
+    order_by: list[Column],
+    value_col: str | Column,
+    out_col: str = "_cumsum",
+) -> DataFrame:
+    """Global running sum in ``order_by`` order WITHOUT an
+    unpartitioned window, for inputs whose ``part_col`` (e.g. a
+    calendar day) is domain-bounded and sorts consistently with the
+    global order (every row of a lesser partition precedes every row
+    of a greater one).
+
+    Two-level decomposition: a PARTITIONED window gives the running
+    sum within each partition; the carry-in from all earlier
+    partitions comes from a triangle self-join over the per-partition
+    totals frame — O(B²) join rows where B is the number of distinct
+    partitions (days: thousands over a decade), independent of row
+    count. Identical values to ``sum() OVER (ORDER BY ...)``; the
+    shape survives 100× because no stage ever sees more than one
+    partition's rows in one task."""
+    part = F.col(part_col) if isinstance(part_col, str) else part_col
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    tagged = df.withColumn("_ppart", part)
+    w = (
+        Window.partitionBy("_ppart")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = tagged.withColumn("_plocal", F.sum(val).over(w))
+    tot = tagged.groupBy("_ppart").agg(F.sum(val).alias("_ptot"))
+    carry = (
+        tot.alias("a")
+        .join(tot.alias("b"), F.col("b._ppart") < F.col("a._ppart"), "left")
+        .groupBy(F.col("a._ppart").alias("_ppart"))
+        .agg(F.coalesce(F.sum("b._ptot"), F.lit(0)).alias("_pcarry"))
+    )
+    return (
+        local.join(F.broadcast(carry), "_ppart")
+        .withColumn(out_col, F.col("_pcarry") + F.col("_plocal"))
+        .drop("_ppart", "_plocal", "_pcarry")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from min_flink_spark.operators.graph import connected_components
+from min_flink_spark.operators.relational import prefix_sum_over_groups
 from min_flink_spark.queries.llm import SQL_CORPUS_NEAR, SQL_SHINGLES
 from min_flink_spark.registry import query
 from min_flink_spark.sources import load_table, register_views
@@ -667,13 +668,25 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: per user, delay between FIRST
-    click and FIRST purchase (converting users only), then exact
+    click and FIRST purchase (converting users only), then EXACT
     percentiles across users — the product-analytics companion to the
     funnel-count query. One conditional-min grouped pass (map-side
-    combinable, no self-join of the two event subsets) + a scalar
-    percentile aggregate; delays are exact integer micros divided once,
-    so Spark percentile ≡ DuckDB quantile_cont interpolates identical
-    inputs."""
+    combinable, no self-join of the two event subsets); the exact
+    p50/p90 are then computed as value-at-rank + linear interpolation
+    over a ``global_rank`` of the delays instead of Spark's single-
+    reducer ``percentile()`` aggregate, whose buffer holds EVERY value
+    in one task (the 100× scale-killer this replaces). Rank positions
+    ``pos = q·(n−1)`` (0-based) come in-plan from the rank frame's own
+    count column; only the ≤6 rows at ranks {1, n, ⌊pos⌋+1, ⌈pos⌉+1}
+    survive the filter into a constant-size final aggregate, and the
+    interpolation ``(⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi`` is the
+    identical double op tree Spark's percentile() and DuckDB's
+    quantile_cont both evaluate, so results stay bit-exact with the
+    unchanged oracle (equality with percentile() is pinned by test).
+    Ties in delay_sec are harmless: equal keys range-partition
+    together and value-at-rank is tie-invariant."""
+    from min_flink_spark.operators.relational import global_rank
+
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     firsts = ev.groupBy("user_id").agg(
@@ -685,12 +698,54 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_us").isNotNull()
         & (F.col("p_us") >= F.col("c_us"))
     ).select(((F.col("p_us") - F.col("c_us")) / 1000000.0).alias("delay_sec"))
-    return converted.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.expr("percentile(delay_sec, 0.5)").alias("p50_sec"),
-        F.expr("percentile(delay_sec, 0.9)").alias("p90_sec"),
-        F.min("delay_sec").alias("min_sec"),
-        F.max("delay_sec").alias("max_sec"),
+    ranked = global_rank(
+        converted, [F.col("delay_sec").asc()], rank_col="_rk", total_col="_n"
+    )
+
+    def pos(q: float):
+        return F.lit(q) * (F.col("_n") - 1).cast("double")
+
+    def lo_rank(q: float):
+        return F.floor(pos(q)).cast("bigint") + 1
+
+    def hi_rank(q: float):
+        return F.ceil(pos(q)).cast("bigint") + 1
+
+    needed = ranked.filter(
+        (F.col("_rk") == 1)
+        | (F.col("_rk") == F.col("_n"))
+        | (F.col("_rk") == lo_rank(0.5))
+        | (F.col("_rk") == hi_rank(0.5))
+        | (F.col("_rk") == lo_rank(0.9))
+        | (F.col("_rk") == hi_rank(0.9))
+    )
+
+    def at(rank_expr):
+        return F.max(F.when(F.col("_rk") == rank_expr, F.col("delay_sec")))
+
+    one_row = needed.agg(
+        F.coalesce(F.max("_n"), F.lit(0)).cast("bigint").alias("n_converted"),
+        at(lo_rank(0.5)).alias("_v50lo"),
+        at(hi_rank(0.5)).alias("_v50hi"),
+        at(lo_rank(0.9)).alias("_v90lo"),
+        at(hi_rank(0.9)).alias("_v90hi"),
+        at(F.lit(1)).alias("min_sec"),
+        at(F.col("_n")).alias("max_sec"),
+    )
+
+    def interp(q: float, lo: str, hi: str):
+        p = F.lit(q) * (F.col("n_converted") - 1).cast("double")
+        return F.when(F.ceil(p) == F.floor(p), F.col(lo)).otherwise(
+            (F.ceil(p).cast("double") - p) * F.col(lo)
+            + (p - F.floor(p).cast("double")) * F.col(hi)
+        )
+
+    return one_row.select(
+        "n_converted",
+        interp(0.5, "_v50lo", "_v50hi").alias("p50_sec"),
+        interp(0.9, "_v90lo", "_v90hi").alias("p90_sec"),
+        "min_sec",
+        "max_sec",
     )
 
 
@@ -818,12 +873,21 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quartile scoring (recency / frequency / monetary) per
     customer — the segmentation pass behind lifecycle marketing and
     churn targeting. One grouped pass builds the three metrics
-    (monetary in exact cents), then three global ntile(4) windows with
-    custkey tiebreaks make every quartile boundary deterministic.
-    Global ntile is a single-partition sort of ONE ROW PER CUSTOMER
-    (the aggregate, not the fact table) — at extreme customer counts
-    swap ntile for percentile-threshold joins; the metric pass is
-    unchanged."""
+    (monetary in exact cents); quartiles are then EXACT ntile(4)
+    replicas computed distributed: ``global_rank`` range-partitions
+    each metric order (custkey tiebreak → total order), local
+    partitioned row_number + offset self-join gives every customer its
+    global rank with no single-partition window, and the ntile cut
+    ranks (``b_j = j*(n div 4) + least(j, n mod 4)``) ride in-plan
+    from the same count frame — score = 1 + #cut-ranks below. Values
+    are bit-identical to ``ntile(4) OVER (ORDER BY ...)`` (the oracle
+    replays exactly that); unlike the global window this survives 100×
+    because the widest stage is a range-partitioned sort of one row
+    per customer. Catalyst reuses both the orders aggregation exchange
+    across the three rank branches and each range exchange between its
+    window/count consumers."""
+    from min_flink_spark.operators.relational import global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -832,16 +896,36 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    wr = Window.orderBy(F.col("last_order").desc(), F.col("c_custkey"))
-    wf = Window.orderBy(F.col("freq").desc(), F.col("c_custkey"))
-    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("c_custkey"))
-    return base.select(
-        "c_custkey",
-        F.ntile(4).over(wr).cast("bigint").alias("r_score"),
-        F.ntile(4).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(4).over(wm).cast("bigint").alias("m_score"),
-        "freq",
-        "monetary_cents",
+
+    def quartile(metric: str, score_name: str) -> DataFrame:
+        ranked = global_rank(
+            base.select("c_custkey", metric),
+            [F.col(metric).desc(), F.col("c_custkey").asc()],
+            rank_col="_rk",
+            total_col="_n",
+        )
+        base_sz = F.expr("_n div 4")
+        rem = F.pmod(F.col("_n"), F.lit(4))
+
+        def cut(j: int):
+            return base_sz * j + F.least(F.lit(j), rem)
+
+        score = (
+            F.lit(1)
+            + (F.col("_rk") > cut(1)).cast("int")
+            + (F.col("_rk") > cut(2)).cast("int")
+            + (F.col("_rk") > cut(3)).cast("int")
+        ).cast("bigint")
+        return ranked.select("c_custkey", score.alias(score_name))
+
+    return (
+        base.select("c_custkey", "freq", "monetary_cents")
+        .join(quartile("last_order", "r_score"), "c_custkey")
+        .join(quartile("freq", "f_score"), "c_custkey")
+        .join(quartile("monetary_cents", "m_score"), "c_custkey")
+        .select(
+            "c_custkey", "r_score", "f_score", "m_score", "freq", "monetary_cents"
+        )
     )
 
 
@@ -1021,15 +1105,20 @@ def q_weekly_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_concurrent_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak session concurrency per day by SWEEP LINE: sessions
-    (4-hour-gap islands) become ±1 boundary deltas, a single ordered
-    cumulative sum gives the live count at every boundary, and the
-    daily max is the capacity-planning number. The sweep's global
-    cumsum runs over #session-boundaries rows (two per session — tiny
-    next to events), grouped by timestamp first so coincident starts
-    and ends collapse deterministically before the running sum; ends
-    tie with starts at the same instant by summing their deltas
-    together (a session touching another's start counts as
-    overlapping at that instant on both engines identically)."""
+    (4-hour-gap islands) become ±1 boundary deltas, a running sum of
+    the deltas gives the live count at every boundary, and the daily
+    max is the capacity-planning number. Deltas are grouped by
+    timestamp first so coincident starts and ends collapse
+    deterministically before the running sum; ends tie with starts at
+    the same instant by summing their deltas together (a session
+    touching another's start counts as overlapping at that instant on
+    both engines identically). The running sum is the two-level
+    ``prefix_sum_over_groups`` decomposition — a DAY-partitioned
+    window plus carry-in offsets from a triangle self-join over the
+    per-day delta totals (calendar-bounded frame) — which produces
+    values identical to the oracle's global ``sum() OVER (ORDER BY
+    t)`` with no unpartitioned window: at 100× the widest stage sorts
+    one day's boundaries, not the whole history."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     flagged = ev.select(
@@ -1055,11 +1144,12 @@ def q_concurrent_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
     per_t = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
-    sweep = per_t.withColumn(
-        "live",
-        F.sum("dd").over(
-            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    sweep = prefix_sum_over_groups(
+        per_t,
+        F.date_trunc("day", F.col("t")),
+        [F.col("t").asc()],
+        "dd",
+        out_col="live",
     )
     return sweep.groupBy(F.date_trunc("day", F.col("t")).alias("day")).agg(
         F.max("live").cast("bigint").alias("peak_concurrency")

@@ -391,3 +391,70 @@ def test_collect_confined_to_bounded_metadata_sites():
             if re.search(r"\.collect\(\)", line):
                 offenders.append(f"{rel}:{i}: {line.strip()}")
     assert not offenders, "unaudited .collect() site(s):\n" + "\n".join(offenders)
+
+
+def _unpartitioned_windows(df):
+    """Window nodes with an EMPTY partitionSpec in the optimized
+    logical plan — each one is a single-task global sort at runtime
+    (the `WindowExec: No Partition Defined` warning)."""
+    hits = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            hits.append(node.simpleStringWithNodeId())
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["rfm_customer_scores", "concurrent_sessions_sweep", "funnel_time_to_convert"],
+)
+def test_no_unpartitioned_window_in_descaled_trio(spark, sf_dir, name):
+    """VERDICT r4/r5 carried item: these three carried a global-sort /
+    single-reducer-percentile stage over SF-scaling rows. They are now
+    global_rank / prefix_sum_over_groups decompositions — any Window
+    node with no PARTITION BY regressing into their plans reintroduces
+    the single-task bottleneck."""
+    df = QUERIES[name](spark, sf_dir)
+    assert _unpartitioned_windows(df) == []
+
+
+def test_funnel_interpolation_matches_percentile_aggregate(spark, sf_dir):
+    """The value-at-rank + linear-interpolation p50/p90 must be
+    bit-identical to Spark's exact percentile() aggregate (which is
+    itself pinned to DuckDB quantile_cont by the oracle) on the real
+    funnel delays."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.sources import load_table
+
+    got = QUERIES["funnel_time_to_convert"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", us)).alias("c_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    want = (
+        firsts.filter(
+            F.col("c_us").isNotNull()
+            & F.col("p_us").isNotNull()
+            & (F.col("p_us") >= F.col("c_us"))
+        )
+        .select(((F.col("p_us") - F.col("c_us")) / 1000000.0).alias("delay_sec"))
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.expr("percentile(delay_sec, 0.5)").alias("p50_sec"),
+            F.expr("percentile(delay_sec, 0.9)").alias("p90_sec"),
+        )
+        .collect()[0]
+    )
+    assert got["n_converted"] == want["n_converted"] > 0
+    assert math.isclose(got["p50_sec"], want["p50_sec"], rel_tol=0, abs_tol=0)
+    assert math.isclose(got["p90_sec"], want["p90_sec"], rel_tol=0, abs_tol=0)

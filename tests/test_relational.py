@@ -182,3 +182,72 @@ def test_detect_skew_ranks_heavy_keys(spark):
     assert top[0]["k"] == "hot"
     assert top[0]["n_rows"] == 80
     assert abs(top[0]["share"] - 0.8) < 1e-9
+
+
+def test_global_rank_matches_unpartitioned_row_number(spark):
+    """global_rank's range-partition + offset-self-join decomposition
+    must equal row_number() OVER (ORDER BY ...) exactly — including
+    with duplicate order values, skewed distributions, and more
+    partitions than rows."""
+    from pyspark.sql import Window
+
+    from min_flink_spark.operators.relational import global_rank
+
+    rows = [(i, (i * 37) % 11, f"u{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, name string")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: (r["_grank"], r["_total"])
+        for r in global_rank(df, order, total_col="_total").collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(v[1] == 500 for v in got.values())
+    # more partitions than rows: empty range partitions must not shift offsets
+    tiny = spark.createDataFrame([(3,), (1,), (2,)], "v long")
+    got_tiny = sorted(
+        (r["v"], r["_grank"])
+        for r in global_rank(tiny, [F.col("v").asc()], num_partitions=8).collect()
+    )
+    assert got_tiny == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_global_rank_plan_reuses_range_exchange(spark):
+    """The window branch and the count branch must consume the SAME
+    range exchange (ReusedExchange in the final adaptive plan) — reuse
+    is what guarantees both branches see identical sampled partition
+    boundaries; divergent exchanges could silently misalign offsets."""
+    from min_flink_spark.operators.relational import global_rank
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    out = global_rank(df, [F.col("v").asc(), F.col("id").asc()])
+    out.collect()  # AQE: reuse is visible only in the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or "TableCacheQueryStage" in plan, plan
+
+
+def test_prefix_sum_over_groups_matches_global_cumsum(spark):
+    """Two-level day-partitioned running sum == sum() OVER (ORDER BY t)
+    over the whole frame, including negative deltas and multiple rows
+    per group."""
+    from pyspark.sql import Window
+
+    from min_flink_spark.operators.relational import prefix_sum_over_groups
+
+    rows = [(i, i // 10, 1 if i % 3 else -2) for i in range(200)]
+    df = spark.createDataFrame(rows, "t long, g long, d long")
+    got = {
+        r["t"]: r["cum"]
+        for r in prefix_sum_over_groups(
+            df, F.col("g"), [F.col("t").asc()], "d", out_col="cum"
+        ).collect()
+    }
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["t"]: r["cum"] for r in df.withColumn("cum", F.sum("d").over(w)).collect()}
+    assert got == want
