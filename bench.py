@@ -14,9 +14,11 @@ what a long-running cluster actually sees (cold-start costs are fixed,
 not proportional to data). Set SPARK_GRAFT_WARMUP=0 to time cold.
 
 Each query is timed SPARK_GRAFT_REPS times (full-set passes, not
-back-to-back reps; default 2, or 1 when SPARK_GRAFT_WARMUP=0 — a
+back-to-back reps; default 3, or 1 when SPARK_GRAFT_WARMUP=0 — a
 second pass would run warm and min() would silently report steady-state
-under a cold-timing request) and the per-query minimum is reported.
+under a cold-timing request) and BOTH the per-query minimum and median
+are reported ("queries"/"value" stay the min for continuity with the
+BENCH_r* history; "queries_median"/"value_median" ride alongside).
 Rationale
 (round-3 methodology fix): single-shot timings on a shared 32-core JVM
 jitter ±15-40% from GC pauses and scheduling beats inherited from
@@ -24,13 +26,19 @@ whichever query ran before — r2's text_stats "+41% regression" was
 exactly this (no code change; 6 steady-state runs measured 0.61-0.81 s
 vs the recorded 1.06 s). The min over passes is the standard
 steady-state estimator: it converges on the query's actual cost and
-makes round-over-round deltas reflect code changes, not noise.
+makes round-over-round deltas reflect code changes, not noise. The
+median is the honesty check on the min (round-5 verdict item 4): a min
+that keeps improving while the median drifts up means the machine got
+lucky once, not that the code got faster — r4's embedding_cosine_topk
+"+15%" that r5 measured back at -14.6% is exactly the ambiguity the
+min+median pair resolves.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -85,16 +93,17 @@ def main() -> None:
         # lineitem-based query, contradicting the cold request
         spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "1" if cold else "2")))
-    times: dict[str, float] = {}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "1" if cold else "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
-            elapsed = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, elapsed), elapsed)
+            samples[name].append(round(time.perf_counter() - t0, 3))
             assert rows is not None
+    times = {name: min(s) for name, s in samples.items()}
+    medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -108,6 +117,9 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "value_median": round(sum(medians.values()), 3),
+                "queries_median": medians,
+                "reps": reps,
                 "sf": sf_val,
             }
         )

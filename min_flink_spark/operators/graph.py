@@ -209,11 +209,30 @@ def triangle_counts(
     equi-joins on node ids (shuffle-partitionable); counts are exact
     integers, so the result is engine- and partitioning-independent.
 
+    The (deg, id) orientation keys are PACKED into single BIGINTs
+    (``deg << id_bits | id``) when the graph's ids are non-negative
+    integers and the bit budget fits (validated from the degree frame
+    — two scalars cross to the driver): the lexicographic (deg, id)
+    compare becomes one integer compare, the checkpointed oriented
+    edge list narrows to 2 columns, and the wedge + closure shuffles
+    move packed keys instead of (id, degree) pairs — at 40M wedge rows
+    the shuffle byte volume is the whole game. Packing preserves the
+    exact comparison order, so results are bit-identical to the
+    struct path, which remains as the fallback for string ids /
+    overflowing widths.
+
     Returns (node, n_triangles) for every node in ≥1 triangle."""
     a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
     b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    # the deduped pair list feeds BOTH the degree agg and the
+    # orientation join (and, on the packed path, the width probe runs
+    # as a separate job) — materialize it once so the upstream edge
+    # build (often an expensive self-join) never re-executes
     pairs = (
-        edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         pairs.select(F.col("a").alias("node"))
@@ -221,26 +240,99 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+    integral = dict(edges.dtypes)[src_col] in ("int", "bigint", "smallint", "tinyint")
+    id_bits = None
+    if integral:
+        # bounded-metadata probe (3 scalars): choose the packing width,
+        # or refuse it when deg/id can't share 62 bits. The degree
+        # frame is materialized so the probe and the plan see one
+        # computation of the degree agg.
+        deg = deg.localCheckpoint(eager=True)
+        mx = deg.agg(F.max("deg"), F.max("node"), F.min("node")).collect()[0]
+        if mx[0] is not None and mx[2] >= 0:
+            need = int(mx[1]).bit_length() + int(mx[0]).bit_length()
+            if need <= 62:
+                id_bits = max(1, int(mx[1]).bit_length())
+
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
     keyed = pairs.join(da, "a").join(db, "b")
+
+    if id_bits is not None:
+        k_bits = int(mx[1]).bit_length() + int(mx[0]).bit_length()
+        ka = F.shiftleft(F.col("da"), id_bits) + F.col("a")
+        kb = F.shiftleft(F.col("db"), id_bits) + F.col("b")
+        o = keyed.select(
+            F.least(ka, kb).alias("srck"), F.greatest(ka, kb).alias("dstk")
+        )
+        # the oriented edge list feeds THREE consumers (both wedge
+        # sides and the closure join): materialize it once, or the
+        # degree joins above re-execute three times
+        o = o.localCheckpoint(eager=True)
+        w1 = o.select(F.col("srck"), F.col("dstk").alias("xk"))
+        w2 = o.select(F.col("srck"), F.col("dstk").alias("yk"))
+        mask = F.lit((1 << id_bits) - 1)
+        # SHUFFLE_HASH, not sort-merge: the wedge stream is O(E^1.5)
+        # rows (20M at sf0.1 for 1.2M edges) and sorting it is the
+        # dominant cost — hash-joining it against the E-row edge list
+        # (the build side, |E|/partitions per task) skips both sorts.
+        # Not a broadcast: the edge list scales with the corpus, so it
+        # must stay partitioned.
+        wedges = w1.join(w2.hint("SHUFFLE_HASH"), "srck").filter(
+            F.col("xk") < F.col("yk")
+        )
+        if 2 * k_bits <= 62:
+            # both wedge endpoints fit one BIGINT: the closure join
+            # runs on a single packed key, so the 20M-row wedge
+            # shuffle moves 2 longs/row and the probe is one integer
+            # hash instead of a two-column compare
+            xyk = (F.shiftleft(F.col("xk"), k_bits) + F.col("yk")).alias("xyk")
+            tri = wedges.select("srck", xyk).join(
+                o.select(
+                    (F.shiftleft(F.col("srck"), k_bits) + F.col("dstk")).alias(
+                        "xyk"
+                    )
+                ).hint("SHUFFLE_HASH"),
+                "xyk",
+            )
+            kmask = F.lit((1 << k_bits) - 1)
+            roles = (
+                tri.select(F.col("srck").bitwiseAND(mask).alias("node"))
+                .unionByName(
+                    tri.select(
+                        F.shiftright(F.col("xyk"), k_bits)
+                        .bitwiseAND(mask)
+                        .alias("node")
+                    )
+                )
+                .unionByName(
+                    tri.select(
+                        F.col("xyk").bitwiseAND(kmask).bitwiseAND(mask).alias("node")
+                    )
+                )
+            )
+        else:
+            closing = o.select(
+                F.col("srck").alias("xk"), F.col("dstk").alias("yk")
+            )
+            tri = wedges.join(closing.hint("SHUFFLE_HASH"), ["xk", "yk"])
+            roles = (
+                tri.select(F.col("srck").bitwiseAND(mask).alias("node"))
+                .unionByName(tri.select(F.col("xk").bitwiseAND(mask).alias("node")))
+                .unionByName(tri.select(F.col("yk").bitwiseAND(mask).alias("node")))
+            )
+        return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
     lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
     o = keyed.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
     )
-    # the oriented edge list feeds THREE consumers (both wedge sides and
-    # the closure join): materialize it once, or the pair-dedup +
-    # degree joins above re-execute three times
-    o = o.localCheckpoint(eager=True)
+    o = o.localCheckpoint(eager=True)  # three consumers, see above
     w1 = o.select(F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     w2 = o.select(F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy"))
-    # SHUFFLE_HASH, not sort-merge: the wedge stream is O(E^1.5) rows
-    # (40M at sf0.1 for 1.2M edges) and sorting it is the dominant cost
-    # — hash-joining it against the E-row edge list (the build side,
-    # |E|/partitions per task) skips both sorts. Not a broadcast: the
-    # edge list scales with the corpus, so it must stay partitioned.
     wedges = w1.join(w2.hint("SHUFFLE_HASH"), "src").filter(
         F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
     )

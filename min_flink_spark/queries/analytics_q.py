@@ -516,11 +516,13 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
+    # `<` emits each unordered pair once — half the self-join output of
+    # the oracle's `!=` + least/greatest form, identical canonical set
     edges = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )

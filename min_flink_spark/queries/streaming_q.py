@@ -883,7 +883,18 @@ def q_streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FULL re-ranked result each trigger, which is the only mode
     where ORDER BY + LIMIT are legal inside a streaming query — the
     continuously-maintained leaderboard topology. Micro-unit sums and
-    a full tiebreak make the top-3 membership deterministic."""
+    a full tiebreak make the top-3 membership deterministic.
+
+    PRECONDITION (state cardinality): complete mode re-emits and
+    therefore RETAINS the entire result as state forever — it is only
+    sane over a grouped aggregate whose key domain is bounded (here
+    event_type: a handful of values, SF-invariant). Complete mode over
+    an unbounded/SF-scaling key (user_id, order_id) or over a
+    non-aggregated stream grows state and per-trigger sink volume
+    without limit — use update/append + a batch top-k over the sink
+    instead. Spark enforces the aggregate half (complete without
+    aggregation is rejected); the bounded-key half is this contract,
+    locked by test."""
     s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
     agg = (
         s.groupBy("event_type")

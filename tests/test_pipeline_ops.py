@@ -561,6 +561,29 @@ def test_triangle_counts_known_graphs(spark):
     assert again == got
 
 
+def test_triangle_counts_packed_equals_string_fallback(spark):
+    """The packed-BIGINT orientation path (integral ids, widths fit)
+    and the struct-comparison fallback (here forced via string ids)
+    must count identically — packing is a representation change, not a
+    semantics change. Graph: two triangles sharing edge (1,2) plus a
+    pendant edge."""
+    from min_flink_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (4, 5)]
+    ints = spark.createDataFrame(edges, "src bigint, dst bigint")
+    strs = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    got_int = sorted(
+        (str(r.node), r.n_triangles) for r in triangle_counts(ints).collect()
+    )
+    got_str = sorted(
+        (r.node.lstrip("n"), r.n_triangles)
+        for r in triangle_counts(strs).collect()
+    )
+    assert got_int == got_str == [("1", 2), ("2", 2), ("3", 1), ("4", 1)]
+
+
 def test_snapshot_diff_statuses(spark):
     from min_flink_spark.operators.pipeline import snapshot_diff
 

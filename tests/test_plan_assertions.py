@@ -376,6 +376,7 @@ def test_collect_confined_to_bounded_metadata_sites():
     allowed = {
         "streaming/runner.py",    # 1-row max-event-time scalar (late router)
         "operators/relational.py",  # per-partition offset counts (global_index)
+        "operators/graph.py",     # 3-scalar max-deg/max-id packing probe
         "operators/pipeline.py",  # per-source totals (domain_mix)
         "operators/similarity.py",  # k×dim centroids (IVF)
         "core/stream.py",         # Stream.collect — the user-facing sink

@@ -385,3 +385,50 @@ def test_metrics_recorder_captures_progress(spark, sf_dir, tmp_path):
         assert rec.state_rows() == 5  # one state row per event_type
     finally:
         stop_recording(spark, rec)
+
+
+def test_complete_mode_requires_bounded_key_grouped_aggregate(spark):
+    """streaming_complete_topk's state-cardinality contract: complete
+    mode retains the full result as state forever, so (a) Spark itself
+    must reject complete mode without an aggregate (behavioral pin for
+    the half the engine enforces), and (b) every complete-mode usage in
+    the package must sit on a grouped aggregate over a bounded,
+    SF-invariant key — source-locked so a new complete-mode query over
+    user_id/order_id cannot sneak in unreviewed."""
+    import pathlib
+    import re
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryException
+
+    # (a) no aggregation -> complete mode is illegal (AnalysisException
+    # surfaces at start-or-run time depending on version)
+    s = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with _pytest.raises(Exception) as ei:
+        (
+            s.select("value")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ill_complete")
+            .start()
+        )
+    assert "complete" in str(ei.value).lower()
+
+    # (b) the only complete-mode call sites are the audited
+    # bounded-key aggregates (event_type: handful of values)
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "min_flink_spark"
+    allowed = {"queries/streaming_q.py"}
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"output_mode\s*=\s*[\"']complete[\"']", line):
+                if rel not in allowed:
+                    offenders.append(f"{rel}:{i}")
+    assert not offenders, (
+        "complete-mode usage outside the audited bounded-key sites: "
+        + ", ".join(offenders)
+    )
