@@ -883,3 +883,41 @@ def bpe_apply_merges(
     return df.crossJoin(F.broadcast(ordered)).withColumn(
         out_col, applied
     ).drop("_merges")
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_cols: list[str],
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance pass every
+    100 TB lakehouse runs (cf. Iceberg/Delta OPTIMIZE bin-packing):
+    assign each data file to an output bin of ~``target_bytes`` so a
+    rewrite job can merge thousands of small files into full-size ones.
+
+    Packing rule: within each table partition, files sort by size
+    descending (ties on file id), and a file's bin is
+    ``floor(exclusive-prefix-sum(size) / target_bytes)`` — the
+    deterministic sequential-fill variant of first-fit-decreasing.
+    Guarantees: every bin's byte total is < target + its largest file
+    (overflow bounded by ONE file); a file larger than the target gets
+    a bin to itself (its exclusive prefix sum already crossed the
+    boundary); the plan is a pure function of the inventory, so a
+    re-run after a partial rewrite reproduces the remaining bins.
+
+    Scale shape: ONE partitioned window over the file inventory —
+    which is metadata (one row per file, ~10^6 rows per petabyte), not
+    data — partitioned by the table partition key, so no global sort
+    and no single-task stage. Returns the inventory plus ``bin_id``.
+    """
+    w = (
+        Window.partitionBy(*[F.col(cq) for cq in partition_cols])
+        .orderBy(F.col(size_col).desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.withColumn(
+        "bin_id", F.floor(cum_excl / F.lit(float(target_bytes))).cast("int")
+    )

@@ -25,27 +25,35 @@ from min_flink_spark.queries import windows  # noqa: F401
 # rearranging this list.
 #
 # ROUND-6 PREFIX (positions 1-50):
-#   1-7   changed in r5/r6 (BPE pair + contrastive density fix; the
+#   1-3   BRAND-NEW in r6 (audio_wav_stats, ann_pq_topk,
+#         compaction_plan_bins) — new/changed always first,
+#   4-10  changed in r5/r6 (BPE pair + contrastive density fix; the
 #         de-bottlenecked rfm/funnel/sweep trio; packed-key
-#         triangles) — changed always first; all 7 are also
-#         never-driver-checked,
-#   8-9   the two r1-stale stragglers (window_rank_lag,
+#         triangles) — all 7 also never-driver-checked,
+#   11-12 the two r1-stale stragglers (window_rank_lag,
 #         pandas_udaf_geomean),
-#   10-49 every remaining never-driver-checked round-4 query in the
-#         long-standing list order — the whole 47-query never-checked
-#         set now sits inside the prefix, nothing deferred,
-#   50    one r2-stale filler (array_function_sampler, alphabetical
-#         head of the oldest block).
+#   13-49 the remaining never-driver-checked round-4 queries in the
+#         long-standing list order,
+#   50    one more of that never-checked set; the three displaced by
+#         the new heads (interevent_gap_histogram,
+#         csv_corrupt_record_quarantine never-checked;
+#         array_function_sampler r2-filler) open the r7 tail.
 #
 # ROUND-7 ROTATION NOTE (positions 51+, already in promotion order):
-# the three r4-dehinted queries whose plan changed AFTER their r3 rows
-# open the tail (51-53), then the 41 remaining r2-stale queries
-# (54-94), then the r3 block, then the r5-fresh block.  Promote
-# 51-onward next round; any query changed during round 7 jumps ahead
-# of everything (changed always first).  The guardrail test enforces
-# this shape — re-sorting this list IS the rotation.
+# the two never-checked queries displaced by r6's new heads plus the
+# r2 filler open the tail (51-53), then the three r4-dehinted queries
+# whose plan changed AFTER their r3 rows (54-56), then the 41
+# remaining r2-stale queries, then the r3 block, then the r5-fresh
+# block.  Promote 51-onward next round; any query changed during
+# round 7 jumps ahead of everything (changed always first).  The
+# guardrail test enforces this shape — re-sorting this list IS the
+# rotation.
 _PRIORITY = [
-    # ---- 1-7: changed in r5/r6 (all never-checked) ----
+    # ---- 1-3: brand-new in r6 ----
+    "audio_wav_stats",
+    "ann_pq_topk",
+    "compaction_plan_bins",
+    # ---- 4-10: changed in r5/r6 (all never-checked) ----
     "bpe_merge_training",
     "bpe_tokenized_lengths",
     "contrastive_negative_pairs",
@@ -96,10 +104,10 @@ _PRIORITY = [
     "streaming_complete_topk",
     "streaming_dedup_within_watermark",
     "interevent_gap_histogram",
+    # ---- 51-53: displaced by the r6 new heads (r7 opens here) ----
     "csv_corrupt_record_quarantine",
-    # ---- 50: r2-stale filler ----
     "array_function_sampler",
-    # ---- 51-53: r4-dehinted, plan changed after r3 rows (r7 head) ----
+    # ---- 54-56: r4-dehinted, plan changed after r3 rows ----
     "small_quantity_revenue",
     "disjunctive_predicate_revenue",
     "waiting_supplier_counts",

@@ -590,6 +590,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {SQL_BF_TOP5}
+    SELECT query_id, bf_ids, TRUE AS recall_ok FROM bf
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): 8
+    subspaces × 32 codes, md5-seeded deterministic k-means, ADC
+    shortlist (20×k) + exact-cosine rerank — the memory-bound ANN path
+    (codes are m small ints per vector; the raw vectors are touched
+    only for the rerank joins). Driver-checked via the recall
+    certificate: measured micro-recall 0.78-0.94 across SFs on
+    near-uniform vectors (PQ's hardest case — no subspace structure to
+    exploit); the gate sits at 0.55 so a genuine codebook/ADC
+    regression reds the row while centroid low-order summation drift
+    under a different partitioning cannot (tests/test_llm_ops.py
+    asserts the tighter aggregate bound)."""
+    from min_flink_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_codes=32,
+        shortlist_mult=20,
+        kmeans_iters=3,
+    )
+    return _ann_recall_certificate(emb, ann, bound=0.55)
+
+
+@query(
     "levenshtein_rerank",
     oracle=f"""
     WITH corpus AS ({SQL_CORPUS_NEAR}),
@@ -1378,6 +1411,114 @@ def q_image_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif).alias("payload"),
     )
     return image_dimensions(media)
+
+
+@query(
+    "audio_wav_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 97 = 0 THEN -1
+                ELSE CAST(sr AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 97 = 0 THEN -1
+                ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 97 = 0 THEN -1
+                ELSE CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END
+                          AS INTEGER) END AS bits,
+           CASE WHEN doc_id % 97 = 0 THEN -1
+                ELSE CAST((100 + doc_id % 10000) * 1000 // sr AS BIGINT)
+                END AS duration_ms
+    FROM (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                             ELSE 48000 END AS sr
+      FROM documents
+    )
+    """,
+)
+def q_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio-header parser under the driver gate — the audio
+    counterpart of ``image_header_dims``: RIFF/WAVE headers are
+    SYNTHESIZED in-plan from deterministic per-doc PCM parameters
+    (hex/unhex codegen — little-endian u16/u32 fields, an extra LIST
+    chunk ahead of ``fmt `` so the chunk WALK is load-bearing, and a
+    ``data`` size declared without its payload, the object-storage
+    header-fetch shape), then operators/multimodal.audio_stats parses
+    them back on the Arrow batch path. Every 97th doc carries a
+    truncated non-WAVE payload and must quarantine. The oracle states
+    the generator's ground truth, so endianness, chunk offsets,
+    word-alignment stepping, and the frames→duration integer math are
+    all value-checked. The OPERATOR emits true nulls for quarantined
+    rows; the gate row coalesces them to -1 on both sides because the
+    driver materializes a nullable-int oracle column as float64
+    (fetchdf) and would dtype-mismatch the hash. (Sample DECODE stays
+    honestly stubbed; header parsing is the codec-free part and it is
+    real.)"""
+    from min_flink_spark.operators.multimodal import audio_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    sr = (
+        F.when(d % 5 == 0, 8000)
+        .when(d % 5 == 1, 16000)
+        .when(d % 5 == 2, 22050)
+        .when(d % 5 == 3, 44100)
+        .otherwise(48000)
+        .cast("bigint")
+    )
+    ch = (1 + d % 2).cast("bigint")
+    bits = F.when(d % 3 == 0, 8).otherwise(16).cast("bigint")
+    block_align = ((ch * bits) / 8).cast("bigint")
+    n_frames = (100 + d % 10000).cast("bigint")
+    data_size = n_frames * block_align
+    byte_rate = sr * block_align
+
+    def le(c, width_bytes):  # little-endian hex of a bigint column
+        hx = F.lpad(F.hex(c), 2 * width_bytes, "0")
+        return F.concat(
+            *[
+                F.substring(hx, 2 * i + 1, 2)
+                for i in reversed(range(width_bytes))
+            ]
+        )
+
+    wav = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # 'RIFF'
+            le(data_size + 50, 4),  # total size after this field
+            F.lit("57415645"),  # 'WAVE'
+            F.lit("4C495354"), le(F.lit(4).cast("bigint"), 4),  # 'LIST' len=4
+            F.lit("494E464F"),  # 'INFO'
+            F.lit("666D7420"), le(F.lit(16).cast("bigint"), 4),  # 'fmt ' len=16
+            le(F.lit(1).cast("bigint"), 2),  # PCM
+            le(ch, 2),
+            le(sr, 4),
+            le(byte_rate, 4),
+            le(block_align, 2),
+            le(bits, 2),
+            F.lit("64617461"),  # 'data'
+            le(data_size, 4),
+        )
+    )
+    media = docs.select(
+        d.alias("media_id"),
+        F.when(d % 97 == 0, F.unhex(F.lit("52494646"))).otherwise(wav).alias(
+            "payload"
+        ),
+    )
+    parsed = audio_stats(media)
+    return parsed.select(
+        "media_id",
+        *[
+            F.coalesce(F.col(cq), F.lit(-1).cast(t)).alias(cq)
+            for cq, t in (
+                ("sample_rate", "int"),
+                ("channels", "int"),
+                ("bits", "int"),
+                ("duration_ms", "bigint"),
+            )
+        ],
+    )
 
 
 @query(

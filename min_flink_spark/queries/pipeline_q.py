@@ -1833,3 +1833,60 @@ def q_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("su").cast("double") / 1000000.0 / F.count(F.lit(1))
         ).alias("avg_surprisal"),
     )
+
+
+@query(
+    "compaction_plan_bins",
+    oracle="""
+    WITH files AS (
+      SELECT date_trunc('day', ts) AS dt,
+             CAST(event_id % 64 AS BIGINT) AS file_id,
+             CAST(sum(length(props)) + 100 * count(*) AS BIGINT) AS size_bytes
+      FROM events GROUP BY 1, 2
+    ),
+    binned AS (
+      SELECT dt, file_id, size_bytes,
+             CAST(floor(COALESCE(sum(size_bytes) OVER (
+                    PARTITION BY dt
+                    ORDER BY size_bytes DESC, file_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) / 4000.0) AS INTEGER) AS bin_id
+      FROM files
+    )
+    SELECT dt, bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+           CAST(max(size_bytes) AS BIGINT) AS largest_file
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def q_compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance compaction planning
+    (operators/pipeline.py:compaction_plan): a deterministic file
+    inventory is derived from events — one "file" per (day,
+    event_id % 64) with a realistic byte size — and packed into
+    ~4000-byte output bins per day via the sequential-fill
+    first-fit-decreasing rule (one PARTITIONED window over metadata
+    rows, no global sort). The gate row carries per-bin file counts,
+    byte totals, and the largest member, which pins the sort order,
+    the exclusive prefix sum, and the floor-division boundary exactly;
+    the oracle replays the identical plan in SQL."""
+    from min_flink_spark.operators.pipeline import compaction_plan
+
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.date_trunc("day", "ts").alias("dt"),
+        (F.col("event_id") % 64).cast("bigint").alias("file_id"),
+    ).agg(
+        (F.sum(F.length("props")) + 100 * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("size_bytes")
+    )
+    planned = compaction_plan(
+        files, target_bytes=4000, partition_cols=["dt"]
+    )
+    return planned.groupBy("dt", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").cast("bigint").alias("bin_bytes"),
+        F.max("size_bytes").cast("bigint").alias("largest_file"),
+    )

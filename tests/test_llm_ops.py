@@ -610,3 +610,127 @@ def test_simhash_hamming_pairs_matches_brute_force(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_hamming_pairs(df, max_hamming=4, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (operators/similarity.pq_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_recall_vs_brute_force(emb):
+    """Gated-query params (32 codes, 20x shortlist, 3 Lloyd iters)
+    measured 0.78-0.94 micro-recall across SFs; the aggregate test
+    bound sits at 0.6 — tighter than the 0.55 certificate gate, looser
+    than any measurement, so a genuine codebook/ADC regression fails
+    here first."""
+    from min_flink_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = pq_topk(
+        emb, queries, k=5, n_codes=32, shortlist_mult=20, kmeans_iters=3
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.6
+
+
+def test_pq_deterministic_and_excludes_self(emb):
+    from min_flink_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = sorted(map(tuple, pq_topk(emb, queries, k=3).collect()))
+    r2 = sorted(map(tuple, pq_topk(emb, queries, k=3).collect()))
+    assert r1 == r2  # md5-seeded kmeans + sorted partial reduce: no RNG
+    assert all(q != v for q, v, _ in r1)
+
+
+def test_pq_contract_errors(spark, emb):
+    import pytest as _pytest
+
+    from min_flink_spark.operators.similarity import pq_topk
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert pq_topk(empty, empty, k=3).count() == 0
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_topk(emb, emb.limit(1), k=3, m_subspaces=7).count()
+
+
+# ---------------------------------------------------------------------------
+# WAV header parsing (operators/multimodal.parse_wav_header / audio_stats)
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(
+    sample_rate=16000,
+    channels=2,
+    bits=16,
+    n_frames=1000,
+    pre_chunks=(),
+    data_payload=False,
+):
+    """Build a real RIFF/WAVE byte string without any audio library."""
+    ba = channels * bits // 8
+    data_size = n_frames * ba
+    chunks = b""
+    for cid, payload in pre_chunks:
+        chunks += cid + len(payload).to_bytes(4, "little") + payload
+        if len(payload) % 2:
+            chunks += b"\x00"  # word-aligned chunk stepping
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * ba).to_bytes(4, "little")
+        + ba.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks += b"fmt " + (16).to_bytes(4, "little") + fmt
+    chunks += b"data" + data_size.to_bytes(4, "little")
+    if data_payload:
+        chunks += b"\x00" * data_size
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_header_roundtrip():
+    from min_flink_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(_wav_bytes()) == (16000, 2, 16, 62)  # 1000*1000//16000
+    # declared-size-only payload (object-storage header fetch) parses too
+    assert parse_wav_header(_wav_bytes(data_payload=True)) == (16000, 2, 16, 62)
+    # extra chunks before fmt, including an ODD-size one that forces the
+    # word-alignment step — a walk without +pad lands mid-chunk and fails
+    odd = _wav_bytes(pre_chunks=((b"LIST", b"INFO"), (b"junk", b"abc")))
+    assert parse_wav_header(odd) == (16000, 2, 16, 62)
+    assert parse_wav_header(_wav_bytes(sample_rate=44100, channels=1, bits=8, n_frames=44100)) == (
+        44100, 1, 8, 1000,
+    )
+
+
+def test_wav_header_rejects_garbage():
+    from min_flink_spark.operators.multimodal import parse_wav_header
+
+    good = _wav_bytes()
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(b"RIFF") is None
+    assert parse_wav_header(b"OggS" + good[4:]) is None  # wrong container
+    assert parse_wav_header(good[:20]) is None  # truncated before fmt
+    # fmt present but no data chunk
+    assert parse_wav_header(good[: len(good) - 8]) is None
+
+
+def test_audio_stats_kernel_quarantines(spark):
+    from min_flink_spark.operators.multimodal import audio_stats
+
+    rows = [
+        (1, _wav_bytes()),
+        (2, _wav_bytes(sample_rate=8000, channels=1, bits=8, n_frames=8000)),
+        (3, b"not audio at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {r["media_id"]: r for r in audio_stats(df).collect()}
+    assert (got[1]["sample_rate"], got[1]["channels"], got[1]["bits"]) == (16000, 2, 16)
+    assert got[2]["duration_ms"] == 1000
+    assert all(got[3][cq] is None for cq in ("sample_rate", "channels", "bits", "duration_ms"))
+    assert got[4]["sample_rate"] is None

@@ -635,3 +635,53 @@ def test_bpe_train_merges_known_corpus(spark):
     # r3: 'lo w':5, 'lo we r':2, 'n e we s t':6 -> 'lo w'=5,'lo we'=2,
     # 'we r'=2,'n e'=6,'e we'=6,'we s'=6,'s t'=6 -> tie at 6 -> 'e we'
     assert got[2] == (3, "e we", 6)
+
+
+# ---------------------------------------------------------------------------
+# compaction planner (operators/pipeline.compaction_plan)
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_bins_bounded_overflow(spark):
+    """Sequential-fill FFD guarantee: a bin's byte total minus its
+    largest member is < target (overflow bounded by ONE file)."""
+    from min_flink_spark.operators.pipeline import compaction_plan
+
+    rows = [
+        ("p1", i, int(37 + (i * 7919) % 500)) for i in range(200)
+    ] + [("p2", i, int(5 + (i * 104729) % 90)) for i in range(120)]
+    df = spark.createDataFrame(rows, "part string, file_id bigint, size_bytes bigint")
+    target = 1000
+    plan = compaction_plan(df, target, ["part"]).collect()
+    bins = {}
+    for r in plan:
+        bins.setdefault((r["part"], r["bin_id"]), []).append(r["size_bytes"])
+    for sizes in bins.values():
+        assert sum(sizes) - max(sizes) < target
+
+
+def test_compaction_oversized_file_is_alone(spark):
+    from min_flink_spark.operators.pipeline import compaction_plan
+
+    rows = [("p", 1, 5000), ("p", 2, 3500), ("p", 3, 200), ("p", 4, 150)]
+    df = spark.createDataFrame(rows, "part string, file_id bigint, size_bytes bigint")
+    plan = compaction_plan(df, 1000, ["part"]).collect()
+    by_bin = {}
+    for r in plan:
+        by_bin.setdefault(r["bin_id"], []).append(r["file_id"])
+    for b, members in by_bin.items():
+        if any(m in (1, 2) for m in members):
+            assert len(members) == 1  # > target ⇒ a bin to itself
+
+
+def test_compaction_plan_partitioning_invariant(spark):
+    """The plan is a pure function of the inventory — identical under
+    any input partitioning (the window is partitioned by the table
+    partition key with a total order inside)."""
+    from min_flink_spark.operators.pipeline import compaction_plan
+
+    rows = [("p%d" % (i % 3), i, int(20 + (i * 131) % 400)) for i in range(300)]
+    df = spark.createDataFrame(rows, "part string, file_id bigint, size_bytes bigint")
+    a = sorted(map(tuple, compaction_plan(df, 800, ["part"]).collect()))
+    b = sorted(map(tuple, compaction_plan(df.repartition(13), 800, ["part"]).collect()))
+    assert a == b

@@ -378,7 +378,10 @@ def test_collect_confined_to_bounded_metadata_sites():
         "operators/relational.py",  # per-partition offset counts (global_index)
         "operators/graph.py",     # 3-scalar max-deg/max-id packing probe
         "operators/pipeline.py",  # per-source totals (domain_mix)
-        "operators/similarity.py",  # k×dim centroids (IVF)
+        "operators/similarity.py",  # k×dim centroids (IVF); PQ's m×n_codes
+        # codebooks / per-partition partial sums / broadcast-side query
+        # vectors — all bounded metadata by the shared small-queries
+        # contract
         "core/stream.py",         # Stream.collect — the user-facing sink
         "queries/streaming_q.py",  # streaming oracle sinks (bounded partials)
     }
