@@ -346,3 +346,101 @@ def triangle_counts(
         .unionByName(tri.select(F.col("y").alias("node")))
     )
     return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: ``(node, hops)`` — minimum hop distance from
+    ANY seed node, for every node reachable within ``max_hops``
+    (unreached nodes are absent, seeds carry hops 0). The k-hop
+    neighborhood primitive behind blast-radius/contagion queries and
+    graph-sampled training neighborhoods (GraphSAGE-style frontier
+    expansion).
+
+    Per round: the newest frontier equi-joins the (directed) edge
+    list, and discovered endpoints anti-join the visited set — two
+    key-joins on the node id, co-locatable by bucketing, never a
+    global structure. The visited set is localCheckpointed per round
+    (iterative-lineage discipline, as ``connected_components``), the
+    superseded round's blocks are freed, and only an empty-frontier
+    early-exit count (one scalar) crosses to the driver. Rounds are
+    FIXED at ``max_hops`` so the result is a pure function of
+    (edges, sources, max_hops) — engine-replayable by unrolling.
+
+    Pass a symmetrized edge list for undirected semantics; edges are
+    followed src→dst as given.
+    """
+    visited = (
+        sources.select(F.col(node_col)).distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    prev_v = None
+    for h in range(1, max_hops + 1):
+        discovered = (
+            frontier.join(edges, frontier[node_col] == edges[src])
+            .select(F.col(dst).alias(node_col))
+            .distinct()
+            .join(visited, node_col, "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        nxt = visited.unionByName(discovered).localCheckpoint(eager=True)
+        if prev_v is not None:
+            prev_v.unpersist()
+        prev_v = nxt
+        frontier = nxt.filter(F.col("hops") == h)
+        visited = nxt
+        if frontier.limit(1).count() == 0:
+            break
+    return visited
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> list[DataFrame]:
+    """Iterative k-core peeling: repeatedly delete nodes of degree < k
+    (with their edges) — the standard dense-subgraph/degeneracy pass
+    that strips low-engagement periphery before expensive graph
+    analytics (a near-clique survives; tendrils and stars dissolve).
+
+    ``edges`` must be SYMMETRIZED and deduplicated (u→v and v→u both
+    present, no self-loops): degree is then a plain groupBy count on
+    the src side. Each round = one hash-agg (degrees) + two semi-joins
+    (keep edges whose BOTH endpoints survive) — all key-joins on the
+    node id; the edge list shrinks monotonically and is re-checkpointed
+    per round, so late rounds cost less, not more. Rounds are FIXED
+    (``rounds``), making the trajectory a pure function of the input —
+    at the fixed point the rule is idempotent, so extra rounds are
+    harmless and the unrolled-SQL replay is exact.
+
+    Returns the list of per-round surviving edge frames
+    ``[edges_1, .., edges_rounds]`` (each checkpointed); callers
+    aggregate counts/stats per round. Intermediate frames stay
+    persisted (bounded: the shrinking chain) until the session frees
+    them; callers that only need the last round may unpersist the rest.
+    """
+    out: list[DataFrame] = []
+    cur = edges
+    for _ in range(rounds):
+        deg = cur.groupBy(F.col(src).alias("_n")).agg(
+            F.count(F.lit(1)).alias("_d")
+        )
+        keep = deg.filter(F.col("_d") >= k).select("_n")
+        cur = (
+            cur.join(keep, cur[src] == keep["_n"], "left_semi")
+            .join(keep, cur[dst] == keep["_n"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        out.append(cur)
+    return out

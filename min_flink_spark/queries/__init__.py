@@ -25,35 +25,36 @@ from min_flink_spark.queries import windows  # noqa: F401
 # rearranging this list.
 #
 # ROUND-6 PREFIX (positions 1-50):
-#   1-3   BRAND-NEW in r6 (audio_wav_stats, ann_pq_topk,
-#         compaction_plan_bins) — new/changed always first,
-#   4-10  changed in r5/r6 (BPE pair + contrastive density fix; the
+#   1-5   BRAND-NEW in r6 (audio_wav_stats, ann_pq_topk,
+#         compaction_plan_bins, bfs_reach_copurchase,
+#         kcore_copurchase) — new/changed always first,
+#   6-12  changed in r5/r6 (BPE pair + contrastive density fix; the
 #         de-bottlenecked rfm/funnel/sweep trio; packed-key
 #         triangles) — all 7 also never-driver-checked,
-#   11-12 the two r1-stale stragglers (window_rank_lag,
+#   13-14 the two r1-stale stragglers (window_rank_lag,
 #         pandas_udaf_geomean),
-#   13-49 the remaining never-driver-checked round-4 queries in the
-#         long-standing list order,
-#   50    one more of that never-checked set; the three displaced by
-#         the new heads (interevent_gap_histogram,
-#         csv_corrupt_record_quarantine never-checked;
-#         array_function_sampler r2-filler) open the r7 tail.
+#   15-50 the remaining never-driver-checked round-4 queries in the
+#         long-standing list order; the five displaced by the new
+#         heads (simhash_hamming_pairs..interevent_gap_histogram-era
+#         tail members, see the r7 section) open the r7 tail.
 #
 # ROUND-7 ROTATION NOTE (positions 51+, already in promotion order):
-# the two never-checked queries displaced by r6's new heads plus the
-# r2 filler open the tail (51-53), then the three r4-dehinted queries
-# whose plan changed AFTER their r3 rows (54-56), then the 41
+# the four never-checked queries displaced by r6's new heads plus the
+# r2 filler open the tail (51-55), then the three r4-dehinted queries
+# whose plan changed AFTER their r3 rows (56-58), then the 41
 # remaining r2-stale queries, then the r3 block, then the r5-fresh
 # block.  Promote 51-onward next round; any query changed during
 # round 7 jumps ahead of everything (changed always first).  The
 # guardrail test enforces this shape — re-sorting this list IS the
 # rotation.
 _PRIORITY = [
-    # ---- 1-3: brand-new in r6 ----
+    # ---- 1-5: brand-new in r6 ----
     "audio_wav_stats",
     "ann_pq_topk",
     "compaction_plan_bins",
-    # ---- 4-10: changed in r5/r6 (all never-checked) ----
+    "bfs_reach_copurchase",
+    "kcore_copurchase",
+    # ---- 6-12: changed in r5/r6 (all never-checked) ----
     "bpe_merge_training",
     "bpe_tokenized_lengths",
     "contrastive_negative_pairs",
@@ -102,12 +103,12 @@ _PRIORITY = [
     "weekly_active_growth",
     "simhash_hamming_pairs",
     "streaming_complete_topk",
+    # ---- 51-55: displaced by the r6 new heads (r7 opens here) ----
     "streaming_dedup_within_watermark",
     "interevent_gap_histogram",
-    # ---- 51-53: displaced by the r6 new heads (r7 opens here) ----
     "csv_corrupt_record_quarantine",
     "array_function_sampler",
-    # ---- 54-56: r4-dehinted, plan changed after r3 rows ----
+    # ---- 56-58: r4-dehinted, plan changed after r3 rows ----
     "small_quantity_revenue",
     "disjunctive_predicate_revenue",
     "waiting_supplier_counts",

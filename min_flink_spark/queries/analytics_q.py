@@ -1201,3 +1201,143 @@ def q_interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("event_type", bucket.alias("log2_gap_sec")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+_BFS_ROUND = """
+  d{h} AS (
+    SELECT node, {h} AS hops FROM (
+      SELECT DISTINCT e.dst AS node FROM e JOIN d{prev} ON e.src = d{prev}.node
+    ) f WHERE NOT EXISTS (SELECT 1 FROM v{prev} x WHERE x.node = f.node)
+  ),
+  v{h} AS (SELECT * FROM v{prev} UNION ALL SELECT * FROM d{h})
+"""
+
+
+@query(
+    "bfs_reach_copurchase",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    d0 AS (SELECT DISTINCT src AS node, 0 AS hops FROM e WHERE src < 5),
+    v0 AS (SELECT * FROM d0),
+    {_BFS_ROUND.format(h=1, prev=0)},
+    {_BFS_ROUND.format(h=2, prev=1)},
+    {_BFS_ROUND.format(h=3, prev=2)}
+    SELECT hops,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM v3 GROUP BY hops
+    """,
+)
+def q_bfs_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.bfs_hops) over the part
+    co-purchase graph from seed parts (ids < 5), 3 fixed hops — the
+    k-hop-neighborhood primitive behind blast-radius analysis and
+    GraphSAGE-style neighborhood sampling. Per round: frontier×edges
+    equi-join + anti-join against the visited set (two key-joins,
+    bucketing-co-locatable); visited is checkpointed per round and the
+    only driver crossing is the empty-frontier early-exit scalar. The
+    gate row carries the per-hop frontier census (count/extrema/id
+    checksum), which pins every frontier's exact membership; the
+    oracle replays the expansion with unrolled rounds."""
+    from min_flink_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    seeds = edges.filter(F.col("src") < 5).select(F.col("src").alias("node"))
+    reached = bfs_hops(edges, seeds, max_hops=3)
+    return reached.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+        F.max("node").cast("bigint").alias("max_node"),
+        F.sum("node").cast("bigint").alias("node_checksum"),
+    )
+
+
+_KCORE_ROUND = """
+  e{i} AS (
+    SELECT s.src, s.dst FROM e{prev} s
+    WHERE s.src IN (SELECT src FROM e{prev} GROUP BY src HAVING count(*) >= 100)
+      AND s.dst IN (SELECT src FROM e{prev} GROUP BY src HAVING count(*) >= 100)
+  )
+"""
+
+_KCORE_STATS = """
+  SELECT {i} AS peel_round,
+         CAST(count(*) AS BIGINT) AS n_directed_edges,
+         CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(sum(DISTINCT src), 0) AS BIGINT) AS node_checksum
+  FROM e{i}
+"""
+
+
+@query(
+    "kcore_copurchase",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    {_KCORE_ROUND.format(i=1, prev=0)},
+    {_KCORE_ROUND.format(i=2, prev=1)},
+    {_KCORE_ROUND.format(i=3, prev=2)}
+    {_KCORE_STATS.format(i=1)} UNION ALL
+    {_KCORE_STATS.format(i=2)} UNION ALL
+    {_KCORE_STATS.format(i=3)}
+    """,
+)
+def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/graph.k_core, k=100, 3 fixed rounds)
+    on the part co-purchase graph — dense-subgraph extraction: nodes
+    of degree < 100 peel off with their edges each round, cascading
+    until only the mutually-dense core survives (the degeneracy pass
+    that strips periphery before expensive graph analytics). Each
+    round is one hash-agg + two semi-joins on the shrinking,
+    re-checkpointed edge list. The gate row carries the full peeling
+    TRAJECTORY (per-round edge/node counts + id checksum), pinning
+    every intermediate graph, not just the fixed point; the oracle
+    replays the rounds unrolled. k=100 sits inside the degree range
+    at every SF (median degree 89-119, max 138-222), so real
+    cascading occurs at each scale."""
+    from min_flink_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = k_core(edges, k=100, rounds=3)
+    stats = None
+    for i, df in enumerate(rounds, start=1):
+        s = df.agg(
+            F.lit(i).alias("peel_round"),
+            F.count(F.lit(1)).alias("n_directed_edges"),
+            F.count_distinct(F.col("src")).alias("n_nodes"),
+            F.coalesce(F.sum_distinct(F.col("src")), F.lit(0))
+            .cast("bigint")
+            .alias("node_checksum"),
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    return stats

@@ -177,3 +177,60 @@ def test_iterate_fixed_point_strict_raises(spark):
     init = spark.createDataFrame([(0,)], "x bigint")
     with _pytest.raises(RuntimeError, match="did not converge"):
         iterate_fixed_point(init, lambda df: df.select((F.col("x") + 1).alias("x")), max_iter=3)
+
+
+def test_bfs_hops_chain_and_early_exit(spark):
+    from min_flink_spark.operators.graph import bfs_hops
+
+    # undirected chain 1-2-3-4-5 (symmetrized), seed {1}
+    und = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond max_hops
+    # directed: 1→2→3 only; 3's out-edge absence stops the walk (early
+    # exit fires when the frontier empties before max_hops)
+    d_edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    got_d = {
+        r["node"]: r["hops"] for r in bfs_hops(d_edges, seeds, max_hops=5).collect()
+    }
+    assert got_d == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_hops_min_distance_from_any_seed(spark):
+    from min_flink_spark.operators.graph import bfs_hops
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}  # min over both seeds
+
+
+def test_k_core_peels_pendant_keeps_clique(spark):
+    from min_flink_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + pendant 4 hanging off 1
+    und = [(1, 2), (1, 3), (2, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    rounds = k_core(edges, k=2, rounds=3)
+    per_round = [
+        sorted({r["src"] for r in df.select("src").distinct().collect()})
+        for df in rounds
+    ]
+    assert per_round[0] == [1, 2, 3]  # pendant 4 (deg 1) peels immediately
+    assert per_round[1] == [1, 2, 3] == per_round[2]  # fixed point: idempotent
+    # cascading: chain 1-2-3-4 at k=2 dissolves completely (endpoints
+    # peel, middles become endpoints, repeat)
+    chain = [(1, 2), (2, 3), (3, 4)]
+    cedges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src bigint, dst bigint"
+    )
+    crounds = k_core(cedges, k=2, rounds=3)
+    assert crounds[-1].count() == 0
