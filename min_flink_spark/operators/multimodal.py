@@ -301,6 +301,107 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
     return (sample_rate, channels, bits, n_frames * 1000 // sample_rate)
 
 
+def parse_mp4_duration(b: bytes) -> tuple[int, int] | None:
+    """REAL (codec-free) video header parsing: (timescale, duration_ms)
+    from ISO-BMFF/MP4 bytes, or None — the video counterpart of
+    ``parse_image_dims``/``parse_wav_header``. MP4 is a box tree:
+    (4-byte big-endian size, 4-byte type) headers, where ``moov``
+    contains ``mvhd`` whose movie-level timescale (units/second) and
+    duration (units) sit at fixed offsets after the version byte.
+
+    - top-level walk requires a leading ``ftyp`` box (the MP4 brand
+      marker) and finds ``moov``; a 32-bit size of 1 means a 64-bit
+      largesize follows (large-file form), size 0 means to-end-of-file.
+    - inside ``moov``, child walk finds ``mvhd``: version 0 → u32
+      creation/modification, then u32 timescale @12 / u32 duration
+      @16 (offsets from the box payload start); version 1 → u64
+      times, u32 timescale @20, u64 duration @24.
+    - duration_ms = duration * 1000 // timescale.
+
+    The walk tolerates other boxes in any order (free/mdat/udta) and a
+    payload truncated after the mvhd fields (the object-storage
+    header-fetch shape — mdat is never needed)."""
+
+    def _walk(lo: int, hi: int, want: bytes) -> int | None:
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i : i + 4], "big")
+            btype = b[i + 4 : i + 8]
+            payload = i + 8
+            if size == 1:  # 64-bit largesize follows the type
+                if i + 16 > hi:
+                    return None
+                size = int.from_bytes(b[i + 8 : i + 16], "big")
+                payload = i + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - i
+            if size < payload - i:
+                return None  # corrupt: size smaller than its own header
+            if btype == want:
+                return payload
+            i += size
+        return None
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    moov = _walk(0, len(b), b"moov")
+    if moov is None:
+        return None
+    mvhd = _walk(moov, len(b), b"mvhd")
+    if mvhd is None:
+        return None
+    if mvhd + 4 > len(b):
+        return None
+    version = b[mvhd]
+    if version == 0:
+        if mvhd + 20 > len(b):
+            return None
+        timescale = int.from_bytes(b[mvhd + 12 : mvhd + 16], "big")
+        duration = int.from_bytes(b[mvhd + 16 : mvhd + 20], "big")
+    elif version == 1:
+        if mvhd + 32 > len(b):
+            return None
+        timescale = int.from_bytes(b[mvhd + 20 : mvhd + 24], "big")
+        duration = int.from_bytes(b[mvhd + 24 : mvhd + 32], "big")
+    else:
+        return None
+    if timescale <= 0:
+        return None
+    return (timescale, duration * 1000 // timescale)
+
+
+VIDEO_SCHEMA = "media_id bigint, timescale int, duration_ms bigint"
+
+
+def video_stats(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, timescale, duration_ms) via Arrow-batched MP4 box
+    walking — rows whose payload isn't recognizable ISO-BMFF get nulls
+    (same quarantine contract as ``image_dimensions``/``audio_stats``).
+    O(header bytes) per row; mdat (the actual media data) is never
+    touched, so a feature-film and a clip cost the same."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[payload_col].map(
+                lambda x: (
+                    (parse_mp4_duration(bytes(x)) or (None, None))
+                    if x is not None
+                    else (None, None)
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "timescale": parsed.map(lambda t: t[0]).astype("Int32"),
+                    "duration_ms": parsed.map(lambda t: t[1]).astype("Int64"),
+                }
+            )
+
+    return media.mapInPandas(_kernel, schema=VIDEO_SCHEMA)
+
+
 AUDIO_SCHEMA = (
     "media_id bigint, sample_rate int, channels int, bits int, duration_ms bigint"
 )

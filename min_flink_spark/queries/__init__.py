@@ -25,36 +25,37 @@ from min_flink_spark.queries import windows  # noqa: F401
 # rearranging this list.
 #
 # ROUND-6 PREFIX (positions 1-50):
-#   1-5   BRAND-NEW in r6 (audio_wav_stats, ann_pq_topk,
+#   1-6   BRAND-NEW in r6 (audio_wav_stats, ann_pq_topk,
 #         compaction_plan_bins, bfs_reach_copurchase,
-#         kcore_copurchase) — new/changed always first,
-#   6-12  changed in r5/r6 (BPE pair + contrastive density fix; the
+#         kcore_copurchase, video_mp4_stats) — new/changed always
+#         first,
+#   7-13  changed in r5/r6 (BPE pair + contrastive density fix; the
 #         de-bottlenecked rfm/funnel/sweep trio; packed-key
 #         triangles) — all 7 also never-driver-checked,
-#   13-14 the two r1-stale stragglers (window_rank_lag,
+#   14-15 the two r1-stale stragglers (window_rank_lag,
 #         pandas_udaf_geomean),
-#   15-50 the remaining never-driver-checked round-4 queries in the
-#         long-standing list order; the five displaced by the new
-#         heads (simhash_hamming_pairs..interevent_gap_histogram-era
-#         tail members, see the r7 section) open the r7 tail.
+#   16-50 the remaining never-driver-checked round-4 queries in the
+#         long-standing list order; the six displaced by the new
+#         heads (see the r7 section) open the r7 tail.
 #
 # ROUND-7 ROTATION NOTE (positions 51+, already in promotion order):
-# the four never-checked queries displaced by r6's new heads plus the
-# r2 filler open the tail (51-55), then the three r4-dehinted queries
-# whose plan changed AFTER their r3 rows (56-58), then the 41
+# the five never-checked queries displaced by r6's new heads plus the
+# r2 filler open the tail (51-56), then the three r4-dehinted queries
+# whose plan changed AFTER their r3 rows (57-59), then the 41
 # remaining r2-stale queries, then the r3 block, then the r5-fresh
 # block.  Promote 51-onward next round; any query changed during
 # round 7 jumps ahead of everything (changed always first).  The
 # guardrail test enforces this shape — re-sorting this list IS the
 # rotation.
 _PRIORITY = [
-    # ---- 1-5: brand-new in r6 ----
+    # ---- 1-6: brand-new in r6 ----
     "audio_wav_stats",
     "ann_pq_topk",
     "compaction_plan_bins",
     "bfs_reach_copurchase",
     "kcore_copurchase",
-    # ---- 6-12: changed in r5/r6 (all never-checked) ----
+    "video_mp4_stats",
+    # ---- 7-13: changed in r5/r6 (all never-checked) ----
     "bpe_merge_training",
     "bpe_tokenized_lengths",
     "contrastive_negative_pairs",
@@ -62,10 +63,10 @@ _PRIORITY = [
     "funnel_time_to_convert",
     "concurrent_sessions_sweep",
     "triangle_counts_copurchase",
-    # ---- 8-9: r1-stale stragglers ----
+    # ---- 14-15: r1-stale stragglers ----
     "window_rank_lag",
     "pandas_udaf_geomean",
-    # ---- 10-49: remaining never driver-checked ----
+    # ---- 16-50: remaining never driver-checked ----
     "pagerank_copurchase",
     "char_entropy_quality",
     "scd2_user_state_intervals",
@@ -102,17 +103,17 @@ _PRIORITY = [
     "copurchase_pmi_top",
     "weekly_active_growth",
     "simhash_hamming_pairs",
+    # ---- 51-56: displaced by the r6 new heads (r7 opens here) ----
     "streaming_complete_topk",
-    # ---- 51-55: displaced by the r6 new heads (r7 opens here) ----
     "streaming_dedup_within_watermark",
     "interevent_gap_histogram",
     "csv_corrupt_record_quarantine",
     "array_function_sampler",
-    # ---- 56-58: r4-dehinted, plan changed after r3 rows ----
+    # ---- 57-59: r4-dehinted, plan changed after r3 rows ----
     "small_quantity_revenue",
     "disjunctive_predicate_revenue",
     "waiting_supplier_counts",
-    # ---- 54-94: last driver row r2 (r7 block) ----
+    # ---- 60-100: last driver row r2 (r7 block) ----
     "contamination_overlap",
     "corpus_drift_report",
     "cross_join_status_grid",
@@ -154,7 +155,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 95-139: last driver row r3 ----
+    # ---- 101-145: last driver row r3 ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -200,7 +201,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 140-189: fresh r5 rows (rotate last) ----
+    # ---- 146-195: fresh r5 rows (rotate last) ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",

@@ -1522,6 +1522,95 @@ def q_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_mp4_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 89 = 0 THEN -1
+                ELSE CAST(ts AS INTEGER) END AS timescale,
+           CASE WHEN doc_id % 89 = 0 THEN -1
+                ELSE CAST((1000 + (doc_id * 13) % 1000000) * 1000 // ts
+                          AS BIGINT) END AS duration_ms
+    FROM (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                             WHEN 2 THEN 90000 ELSE 48000 END AS ts
+      FROM documents
+    )
+    """,
+)
+def q_video_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video-header parser under the driver gate — completing
+    the image/audio/VIDEO header triad: ISO-BMFF (MP4) containers are
+    SYNTHESIZED in-plan from deterministic per-doc movie parameters
+    (hex/unhex codegen — big-endian box sizes, an interleaved ``free``
+    box and a ``udta`` sibling ahead of ``mvhd`` so the box WALK is
+    load-bearing, and both mvhd version 0 (u32 fields) and version 1
+    (u64 times/duration) alternating by doc parity), then
+    operators/multimodal.video_stats walks the boxes back on the Arrow
+    batch path. Every 89th doc carries an mdat-only payload (no ftyp)
+    and must quarantine (coalesced to -1 on both sides — the
+    fetchdf nullable-int trap, as audio_wav_stats). The oracle states
+    the generator's ground truth, so box-size arithmetic, version
+    dispatch, field offsets, and units→ms integer math are all
+    value-checked. (Frame DECODE is ffmpeg's job and stays honestly
+    out of scope; duration/timescale extraction needs no codec and is
+    real.)"""
+    from min_flink_spark.operators.multimodal import video_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ts = (
+        F.when(d % 4 == 0, 600)
+        .when(d % 4 == 1, 1000)
+        .when(d % 4 == 2, 90000)
+        .otherwise(48000)
+        .cast("bigint")
+    )
+    du = (1000 + (d * 13) % 1000000).cast("bigint")
+    hex8 = lambda c: F.lpad(F.hex(c), 8, "0")  # big-endian u32  # noqa: E731
+    hex16 = lambda c: F.lpad(F.hex(c), 16, "0")  # big-endian u64  # noqa: E731
+    common = F.concat(
+        F.lit("000000106674797069736F6D00000200"),  # ftyp isom
+        F.lit("0000000866726565"),  # free box (walk must skip it)
+    )
+    moov_v0 = F.concat(
+        F.lit("0000002C6D6F6F76"),  # moov size 44
+        F.lit("0000000875647461"),  # udta sibling before mvhd
+        F.lit("0000001C6D766864"),  # mvhd size 28
+        F.lit("00000000"),  # version 0 + flags
+        F.lit("0000000000000000"),  # creation + modification (u32 each)
+        hex8(ts),
+        hex8(du),
+    )
+    moov_v1 = F.concat(
+        F.lit("000000386D6F6F76"),  # moov size 56
+        F.lit("0000000875647461"),
+        F.lit("000000286D766864"),  # mvhd size 40
+        F.lit("01000000"),  # version 1 + flags
+        F.lit("0000000000000000" * 2),  # creation + modification (u64 each)
+        hex8(ts),
+        hex16(du),
+    )
+    mp4 = F.unhex(
+        F.concat(common, F.when(d % 2 == 0, moov_v0).otherwise(moov_v1))
+    )
+    media = docs.select(
+        d.alias("media_id"),
+        F.when(d % 89 == 0, F.unhex(F.lit("000000086D646174")))
+        .otherwise(mp4)
+        .alias("payload"),
+    )
+    parsed = video_stats(media)
+    return parsed.select(
+        "media_id",
+        F.coalesce(F.col("timescale"), F.lit(-1).cast("int")).alias("timescale"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1).cast("bigint")).alias(
+            "duration_ms"
+        ),
+    )
+
+
+@query(
     "er_candidate_features",
     oracle=f"""
     WITH corpus AS ({SQL_CORPUS_NEAR}),

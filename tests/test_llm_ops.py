@@ -734,3 +734,79 @@ def test_audio_stats_kernel_quarantines(spark):
     assert got[2]["duration_ms"] == 1000
     assert all(got[3][cq] is None for cq in ("sample_rate", "channels", "bits", "duration_ms"))
     assert got[4]["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# MP4 header parsing (operators/multimodal.parse_mp4_duration / video_stats)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype, payload, largesize=False, size_zero=False):
+    if largesize:
+        return (
+            (1).to_bytes(4, "big")
+            + btype
+            + (16 + len(payload)).to_bytes(8, "big")
+            + payload
+        )
+    if size_zero:
+        return (0).to_bytes(4, "big") + btype + payload
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _mp4_bytes(timescale=90000, duration=450000, version=0, wrap=None):
+    if version == 0:
+        mvhd = (
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        )
+    else:
+        mvhd = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+        )
+    moov_payload = _box(b"udta", b"") + _box(b"mvhd", mvhd)
+    moov = _box(b"moov", moov_payload, **(wrap or {}))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(b"free", b"") + moov
+
+
+def test_mp4_duration_roundtrip_both_versions():
+    from min_flink_spark.operators.multimodal import parse_mp4_duration
+
+    assert parse_mp4_duration(_mp4_bytes()) == (90000, 5000)
+    assert parse_mp4_duration(_mp4_bytes(version=1)) == (90000, 5000)
+    # u64 duration beyond u32 range (version 1's reason to exist)
+    big = 90000 * 100_000
+    assert parse_mp4_duration(_mp4_bytes(duration=big, version=1)) == (
+        90000, 100_000_000,
+    )
+    # largesize (size==1 + 64-bit size) and to-end-of-file (size==0) forms
+    assert parse_mp4_duration(_mp4_bytes(wrap={"largesize": True})) == (90000, 5000)
+    assert parse_mp4_duration(_mp4_bytes(wrap={"size_zero": True})) == (90000, 5000)
+
+
+def test_mp4_duration_rejects_garbage():
+    from min_flink_spark.operators.multimodal import parse_mp4_duration
+
+    good = _mp4_bytes()
+    assert parse_mp4_duration(b"") is None
+    assert parse_mp4_duration(b"\x00\x00\x00\x08mdat") is None  # no ftyp
+    assert parse_mp4_duration(good[:20]) is None  # truncated before moov
+    # timescale 0 must not divide-by-zero
+    assert parse_mp4_duration(_mp4_bytes(timescale=0)) is None
+
+
+def test_video_stats_kernel_quarantines(spark):
+    from min_flink_spark.operators.multimodal import video_stats
+
+    rows = [
+        (1, _mp4_bytes()),
+        (2, _mp4_bytes(timescale=600, duration=1234, version=1)),
+        (3, b"definitely not a video"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {r["media_id"]: r for r in video_stats(df).collect()}
+    assert (got[1]["timescale"], got[1]["duration_ms"]) == (90000, 5000)
+    assert (got[2]["timescale"], got[2]["duration_ms"]) == (600, 2056)
+    assert got[3]["timescale"] is None and got[4]["duration_ms"] is None
