@@ -1257,6 +1257,10 @@ def q_bfs_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
+        # materialize once: every BFS round (and the seed derivation)
+        # joins against the edge list; without this the lineitem
+        # self-join re-executes per hop
+        .localCheckpoint(eager=True)
     )
     seeds = edges.filter(F.col("src") < 5).select(F.col("src").alias("node"))
     reached = bfs_hops(edges, seeds, max_hops=3)

@@ -698,3 +698,107 @@ def test_bpe_apply_merges_rank_order_enforced(spark):
     words = spark.createDataFrame([("aaaa",), ("aab",)], "word string")
     out = {r.word: r.sym for r in bpe_apply_merges(words, merges).collect()}
     assert out == {"aaaa": "aaaa", "aab": "aa b"}
+
+
+# ---------------------------------------------------------------------------
+# media header parsers: round-trip on arbitrary parameters (pure Python —
+# the kernels are deterministic byte walks, so hypothesis drives them
+# directly, no Spark per example)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    sr=st.integers(min_value=1, max_value=2**31 - 1),
+    ch=st.integers(min_value=1, max_value=64),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    frames=st.integers(min_value=0, max_value=2**20),
+    junk=st.lists(
+        st.binary(min_size=0, max_size=9), min_size=0, max_size=3
+    ),
+)
+@settings(deadline=None)
+def test_wav_roundtrip_any_params(sr, ch, bits, frames, junk):
+    """parse_wav_header inverts the generator for ANY PCM parameter
+    combination, with arbitrary (odd- or even-sized) foreign chunks
+    injected ahead of fmt — pinning LE field packing, the word-aligned
+    walk, and the frames→ms integer math."""
+    from min_flink_spark.operators.multimodal import parse_wav_header
+
+    ba = ch * bits // 8
+    data_size = frames * ba
+    chunks = b""
+    for i, payload in enumerate(junk):
+        cid = f"jk{i:02d}".encode()
+        chunks += cid + len(payload).to_bytes(4, "little") + payload
+        if len(payload) % 2:
+            chunks += b"\x00"
+    chunks += (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + sr.to_bytes(4, "little") + min(sr * ba, 2**32 - 1).to_bytes(4, "little")
+        + ba.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    chunks += b"data" + data_size.to_bytes(4, "little")
+    wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    assert parse_wav_header(wav) == (sr, ch, bits, data_size // ba * 1000 // sr)
+
+
+@given(
+    ts=st.integers(min_value=1, max_value=2**31 - 1),
+    du=st.integers(min_value=0, max_value=2**62),
+    version=st.sampled_from([0, 1]),
+    pre=st.lists(st.binary(min_size=0, max_size=7), min_size=0, max_size=3),
+)
+@settings(deadline=None)
+def test_mp4_roundtrip_any_params(ts, du, version, pre):
+    """parse_mp4_duration inverts the generator for any timescale/
+    duration/version, with arbitrary boxes injected at top level before
+    moov — pinning BE sizes, version dispatch, and units→ms math.
+    Durations beyond u32 force version 1 (the real-world constraint)."""
+    from min_flink_spark.operators.multimodal import parse_mp4_duration
+
+    if du >= 2**32:
+        version = 1
+
+    def box(btype, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    if version == 0:
+        mvhd = (
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + ts.to_bytes(4, "big") + du.to_bytes(4, "big")
+        )
+    else:
+        mvhd = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + ts.to_bytes(4, "big") + du.to_bytes(8, "big")
+        )
+    b = box(b"ftyp", b"isom")
+    for i, p in enumerate(pre):
+        b += box(f"sk{i:02d}".encode(), p)
+    b += box(b"moov", box(b"mvhd", mvhd))
+    assert parse_mp4_duration(b) == (ts, du * 1000 // ts)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=3000), min_size=1, max_size=60),
+    target=st.integers(min_value=100, max_value=2000),
+)
+@settings(deadline=None)
+def test_compaction_model_overflow_bound(sizes, target):
+    """The sequential-fill FFD rule (the exact expression
+    compaction_plan computes per partition — sort desc, exclusive
+    prefix sum, floor division) keeps every bin under target + its
+    largest member and isolates oversized files, for ANY inventory.
+    Pure-Python replica of the window expression; the Spark plan is
+    pinned to this rule by the oracle query and the targeted tests."""
+    ordered = sorted(enumerate(sizes), key=lambda t: (-t[1], t[0]))
+    bins = {}
+    cum = 0
+    for fid, sz in ordered:
+        bins.setdefault(cum // target, []).append(sz)
+        cum += sz
+    for members in bins.values():
+        assert sum(members) - max(members) < target
+        if members[0] > target:
+            assert len(members) == 1
