@@ -5,6 +5,8 @@ undirected co-purchase graph; the pipeline computes
   - connected components (pointer-jumping label propagation),
   - integer PageRank (bit-reproducible importance ranks),
   - degree-ordered triangle counts (local clustering),
+  - multi-source BFS hop distance from a seed set (blast radius),
+  - k-core membership after fixed-round peeling (dense-core flag),
 and joins them into one per-part feature table — the shape a
 recommender or graph-ML feature store materializes nightly.
 
@@ -20,7 +22,9 @@ from pyspark.sql import functions as F
 
 from min_flink_spark import get_spark
 from min_flink_spark.operators.graph import (
+    bfs_hops,
     connected_components,
+    k_core,
     pagerank_integer,
     triangle_counts,
 )
@@ -49,15 +53,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ).select(F.col("node"), F.col("component"))
     ranks = pagerank_integer(edges, iterations=3)
     tris = triangle_counts(edges)
+    seeds = edges.filter(F.col("src") < 5).select(F.col("src").alias("node"))
+    hops = bfs_hops(edges, seeds, max_hops=3)
+    core = (
+        k_core(edges, k=100, rounds=3)[-1]
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("in_core", F.lit(True))
+    )
 
     features = (
         ranks.join(comps, "node", "left")
         .join(tris, "node", "left")
+        .join(hops, "node", "left")
+        .join(core, "node", "left")
         .select(
             F.col("node").alias("part_id"),
             "component",
             F.col("rank").alias("pagerank_units"),
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.col("hops").alias("seed_hops"),
+            F.coalesce("in_core", F.lit(False)).alias("in_k100_core"),
         )
     )
     print("parts in graph:", features.count())

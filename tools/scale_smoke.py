@@ -98,6 +98,69 @@ def shapes(spark, rows: int):
     yield "pagerank_3_rounds", _pagerank
     yield "triangle_counts", _triangles
 
+    # round-6 iterative shapes: BFS frontier expansion and k-core
+    # peeling on the symmetrized version of the same synthetic graph
+    def _sym():
+        e = _edges().filter(F.col("src") != F.col("dst"))
+        return (
+            e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def _bfs():
+        from min_flink_spark.operators.graph import bfs_hops
+
+        sym = _sym()
+        seeds = sym.filter(F.col("src") < 5).select(F.col("src").alias("node"))
+        return bfs_hops(sym, seeds, max_hops=3).count()
+
+    def _kcore():
+        from min_flink_spark.operators.graph import k_core
+
+        # sym degree ~40 at every size (degree-bounded regime), so a
+        # threshold inside the degree spread produces real cascading
+        return k_core(_sym(), k=35, rounds=3)[-1].count()
+
+    yield "bfs_3_hops", _bfs
+    yield "kcore_3_rounds", _kcore
+
+    # round-6 PQ-ANN: synthetic embedding corpus (rows/20 vectors, the
+    # node-space scaling) — deterministic per-row numpy generation, no
+    # disk; measures the 3 corpus kernel passes + ADC scan
+    n_vec = max(rows // 20, 10_000)
+
+    def _vectors(n):
+        import numpy as np
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                V = np.abs(np.sin(np.outer(ids + 1, np.arange(1, 65))))
+                yield pd.DataFrame(
+                    {"vec_id": ids, "embedding": list(V.astype("float32"))}
+                )
+
+        return spark.range(0, n, 1, 64).mapInPandas(
+            gen, "vec_id bigint, embedding array<float>"
+        )
+
+    def _pq():
+        from min_flink_spark.operators.similarity import pq_topk
+
+        corpus = _vectors(n_vec)
+        return pq_topk(
+            corpus,
+            corpus.filter(F.col("vec_id") < 10),
+            k=5,
+            n_codes=32,
+            shortlist_mult=20,
+            kmeans_iters=3,
+        ).count()
+
+    yield "pq_topk", _pq
+
 
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
