@@ -48,11 +48,13 @@ from min_flink_spark.queries import windows  # noqa: F401
 # guardrail test enforces this shape — re-sorting this list IS the
 # rotation.
 _PRIORITY = [
-    # ---- 1-6: brand-new in r6 ----
+    # ---- 1-6: brand-new in r6 (bfs first: its edge build gained a
+    # checkpoint AFTER the other five were arranged, so changed-first
+    # puts it at the head) ----
+    "bfs_reach_copurchase",
     "audio_wav_stats",
     "ann_pq_topk",
     "compaction_plan_bins",
-    "bfs_reach_copurchase",
     "kcore_copurchase",
     "video_mp4_stats",
     # ---- 7-13: changed in r5/r6 (all never-checked) ----
