@@ -1,0 +1,51 @@
+"""Targeted block release for ``localCheckpoint``-ed DataFrames.
+
+Iterative operators (connected components, BFS, k-core, IVF Lloyd
+rounds, ``iterate_fixed_point``) re-checkpoint their state every round
+so the lineage stays O(1); without freeing the superseded round the
+persisted blocks grow as rounds × state size. On Spark 4.1.2
+``DataFrame.unpersist()`` is a NO-OP for localCheckpointed frames (the
+persistence belongs to the internal checkpointed RDD, not the Dataset's
+cache entry — proven by tests/test_streaming.py's storage-registry
+check), so the release must target the underlying RDD.
+
+``unpersist_checkpoint(df)`` walks the analyzed plan's leaves, finds
+every ``LogicalRDD`` (the node a checkpoint rewrites the plan to) whose
+RDD is actually persisted, and unpersists those RDDs directly — the
+frame's OWN blocks, never a context-wide sweep, so concurrent queries
+sharing the SparkContext are untouched (the defect in the registry-
+delta approach this replaces).
+
+After release the frame is unrecomputable (checkpoint truncated its
+lineage) — only call this once every consumer of the frame has run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def checkpoint_rdd_ids(df: DataFrame) -> list[int]:
+    """Ids of the persisted checkpoint RDDs backing ``df``'s plan."""
+    return [r.id() for r in _checkpoint_jrdds(df)]
+
+
+def unpersist_checkpoint(df: DataFrame, blocking: bool = False) -> int:
+    """Free ``df``'s localCheckpoint blocks; returns #RDDs released."""
+    rdds = _checkpoint_jrdds(df)
+    for r in rdds:
+        r.unpersist(blocking)
+    return len(rdds)
+
+
+def _checkpoint_jrdds(df: DataFrame):
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if node.getClass().getSimpleName() != "LogicalRDD":
+            continue
+        rdd = node.rdd()
+        if rdd.getStorageLevel().isValid():
+            out.append(rdd)
+    return out

@@ -27,6 +27,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+from min_flink_spark.core.ckpt import unpersist_checkpoint
+
 
 def iterate_fixed_point(
     initial: DataFrame,
@@ -49,7 +51,9 @@ def iterate_fixed_point(
             did_change = changed(state, new)
         else:
             did_change = new.exceptAll(state).limit(1).count() > 0
-        state.unpersist()
+        # Dataset.unpersist() is a no-op for localCheckpointed frames
+        # on Spark 4.1.2 — free the superseded checkpoint RDD directly
+        unpersist_checkpoint(state)
         state = new
         if not did_change:
             converged = True

@@ -322,7 +322,12 @@ def parse_mp4_duration(b: bytes) -> tuple[int, int] | None:
     payload truncated after the mvhd fields (the object-storage
     header-fetch shape — mdat is never needed)."""
 
-    def _walk(lo: int, hi: int, want: bytes) -> int | None:
+    def _walk(lo: int, hi: int, want: bytes) -> tuple[int, int] | None:
+        """(payload_start, box_end) of the first ``want`` box in
+        [lo, hi) — box_end bounds the CHILD walk, so a child scan never
+        runs past its parent into sibling top-level boxes (an
+        adversarial 'mvhd'-typed box after moov must not parse as a
+        moov child)."""
         i = lo
         while i + 8 <= hi:
             size = int.from_bytes(b[i : i + 4], "big")
@@ -338,7 +343,7 @@ def parse_mp4_duration(b: bytes) -> tuple[int, int] | None:
             if size < payload - i:
                 return None  # corrupt: size smaller than its own header
             if btype == want:
-                return payload
+                return payload, min(i + size, hi)
             i += size
         return None
 
@@ -347,7 +352,9 @@ def parse_mp4_duration(b: bytes) -> tuple[int, int] | None:
     moov = _walk(0, len(b), b"moov")
     if moov is None:
         return None
-    mvhd = _walk(moov, len(b), b"mvhd")
+    moov_payload, moov_end = moov
+    hit = _walk(moov_payload, moov_end, b"mvhd")
+    mvhd = None if hit is None else hit[0]
     if mvhd is None:
         return None
     if mvhd + 4 > len(b):

@@ -79,13 +79,15 @@ def global_index(
     oracle replays exactly that) at O(rows/partitions) peak memory.
 
     Block lifetime: the checkpoint blocks belong to the INTERNAL ranged
-    frame, not the returned DataFrame — ``.unpersist()`` on the result
-    is a no-op. The backing frame is exposed as
+    frame, not the returned DataFrame — and ``.unpersist()`` is a no-op
+    on BOTH (localCheckpoint persists the internal RDD outside the
+    cacheManager). The backing frame is exposed as
     ``result._graft_backing``: in a per-epoch loop call
-    ``result._graft_backing.unpersist()`` after consuming each epoch to
-    free its blocks deterministically; otherwise they are freed only
-    when the result's last reference drops and the ContextCleaner runs.
-    Holding N epochs' results alive pins N copies.
+    ``core.ckpt.unpersist_checkpoint(result._graft_backing)`` after
+    consuming each epoch to free its blocks deterministically;
+    otherwise they are freed only when the result's last reference
+    drops and the ContextCleaner runs. Holding N epochs' results alive
+    pins N copies.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

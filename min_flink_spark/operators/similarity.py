@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from min_flink_spark.core.ckpt import unpersist_checkpoint
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -346,7 +348,9 @@ def ivf_topk(
             eager=True
         )
         if prev_ckpt is not None:
-            prev_ckpt.unpersist()
+            # Dataset.unpersist() is a no-op for localCheckpointed
+            # frames — release the checkpoint RDD itself
+            unpersist_checkpoint(prev_ckpt)
         prev_ckpt = seeded
 
     q = queries.select(

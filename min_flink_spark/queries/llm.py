@@ -1485,7 +1485,9 @@ def q_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = F.unhex(
         F.concat(
             F.lit("52494646"),  # 'RIFF'
-            le(data_size + 50, 4),  # total size after this field
+            # declared chunk content after this field: 'WAVE'(4) +
+            # LIST hdr+INFO(12) + fmt hdr+body(24) + data hdr(8) + data
+            le(data_size + 48, 4),
             F.lit("57415645"),  # 'WAVE'
             F.lit("4C495354"), le(F.lit(4).cast("bigint"), 4),  # 'LIST' len=4
             F.lit("494E464F"),  # 'INFO'

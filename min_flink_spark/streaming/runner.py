@@ -237,21 +237,19 @@ def late_data_router(ts_col: str, delay_ms: int, on_time_fn, late_fn):
     stream leaked batch blocks would otherwise accumulate without
     bound. ``DataFrame.unpersist()`` does NOT do this (localCheckpoint
     persists the internal RDD outside the cacheManager that unpersist
-    consults — verified on Spark 4.1.2), so the fix snapshots
-    ``sc.getPersistentRDDs()`` ids before checkpointing and unpersists
-    the newly-added RDD ids directly in the ``finally``. Safe here
-    because one foreachBatch body runs at a time for this query; a
-    caller running concurrent persisting jobs on the same context
-    should not share it with this router."""
+    consults — verified on Spark 4.1.2), so the ``finally`` frees the
+    batch's OWN checkpoint RDD, extracted from the LogicalRDD leaf of
+    the checkpointed frame's plan (core.ckpt.unpersist_checkpoint) —
+    targeted, so a second streaming query or a parallel job persisting
+    on the same SparkContext is never swept up."""
     state = {"max_ms": None}
 
     def route(bdf, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        from min_flink_spark.core.ckpt import unpersist_checkpoint
         from min_flink_spark.core.stream import Stream
 
-        jsc = bdf.sparkSession.sparkContext._jsc.sc()
-        before_ids = _persistent_rdd_ids(jsc)
         bdf = bdf.localCheckpoint(eager=True)  # one computation, three uses
         try:
             wm = state["max_ms"]
@@ -275,25 +273,17 @@ def late_data_router(ts_col: str, delay_ms: int, on_time_fn, late_fn):
             # downstream fns have acted (writes/collects) by now; the
             # blocks must not outlive the batch on an unbounded stream.
             # DataFrame.unpersist() is a no-op for localCheckpoint
-            # blocks, so free the underlying RDDs by id delta.
-            _unpersist_new_rdds(jsc, before_ids)
+            # blocks, so free THIS batch's checkpoint RDD directly.
+            unpersist_checkpoint(bdf, blocking=True)
 
     return route
 
 
 def _persistent_rdd_ids(jsc) -> set:
-    """Ids of currently-persisted RDDs (JVM-side registry snapshot)."""
+    """Ids of currently-persisted RDDs (JVM-side registry snapshot) —
+    introspection for tests asserting the no-leak contract."""
     ids = set()
     it = jsc.getPersistentRDDs().iterator()
     while it.hasNext():
         ids.add(it.next()._1())
     return ids
-
-
-def _unpersist_new_rdds(jsc, before_ids: set) -> None:
-    """Blocking-unpersist every RDD persisted since ``before_ids``."""
-    it = jsc.getPersistentRDDs().iterator()
-    while it.hasNext():
-        kv = it.next()
-        if kv._1() not in before_ids:
-            kv._2().unpersist(True)

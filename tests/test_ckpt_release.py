@@ -1,0 +1,137 @@
+"""Block-lifetime tests for the iterative operators (VERDICT r6 item 4
++ ADVICE r6 medium): DataFrame.unpersist() is a NO-OP for
+localCheckpointed frames on Spark 4.1.2, so every iterative loop must
+free superseded rounds via core.ckpt.unpersist_checkpoint (targeted at
+the frame's own checkpoint RDD — never a context-wide sweep). These
+tests pin that contract at the JVM persistent-RDD registry level."""
+
+import pyspark.sql.functions as F
+
+from min_flink_spark.core.ckpt import checkpoint_rdd_ids, unpersist_checkpoint
+from min_flink_spark.streaming.runner import _persistent_rdd_ids
+
+
+def _jsc(spark):
+    return spark.sparkContext._jsc.sc()
+
+
+def test_unpersist_checkpoint_is_targeted(spark):
+    """Freeing one checkpointed frame must not touch another's blocks
+    (the context-wide registry-delta approach would)."""
+    before = _persistent_rdd_ids(_jsc(spark))
+    a = spark.range(10).localCheckpoint(eager=True)
+    b = spark.range(20).localCheckpoint(eager=True)
+    assert unpersist_checkpoint(a) == 1
+    now = _persistent_rdd_ids(_jsc(spark))
+    assert set(checkpoint_rdd_ids(b)) <= now
+    assert a._jdf.queryExecution().analyzed().collectLeaves().apply(0).rdd().id() not in now
+    unpersist_checkpoint(b)
+    assert _persistent_rdd_ids(_jsc(spark)) == before
+
+
+def test_dataset_unpersist_is_still_a_noop_here(spark):
+    """The premise the helper exists for: if a Spark upgrade makes
+    Dataset.unpersist() work on checkpointed frames, this fails and the
+    helper can be retired."""
+    df = spark.range(5).localCheckpoint(eager=True)
+    ids = set(checkpoint_rdd_ids(df))
+    df.unpersist(True)
+    assert ids <= _persistent_rdd_ids(_jsc(spark)), "unpersist() now works!"
+    unpersist_checkpoint(df)
+
+
+def test_k_core_keep_all_false_holds_at_most_two_frames(spark):
+    """keep_all=False: superseded peeling rounds are freed as the next
+    round materializes — after the run only the input checkpoint and
+    the final round's frame may remain persisted."""
+    from min_flink_spark.operators.graph import k_core
+
+    before = _persistent_rdd_ids(_jsc(spark))
+    pairs = [(i, j) for i in range(1, 6) for j in range(1, 6) if i != j]
+    pairs += [(1, 10), (10, 1), (10, 11), (11, 10)]  # tendril peels off
+    edges = spark.createDataFrame(pairs, "src int, dst int").localCheckpoint(
+        eager=True
+    )
+    frames = k_core(edges, k=3, rounds=4, keep_all=False)
+    assert len(frames) == 1
+    after = _persistent_rdd_ids(_jsc(spark))
+    expected = before | set(checkpoint_rdd_ids(edges)) | set(
+        checkpoint_rdd_ids(frames[0])
+    )
+    assert after == expected, f"leaked rounds: {sorted(after - expected)}"
+    # the survivor is the 5-clique (degree 4 >= 3), both directions
+    assert frames[0].count() == 20
+    unpersist_checkpoint(edges)
+    unpersist_checkpoint(frames[0])
+
+
+def test_k_core_keep_all_true_keeps_trajectory_alive(spark):
+    """Default mode: every round's frame stays persisted (the gate
+    query aggregates the full trajectory after the loop)."""
+    from min_flink_spark.operators.graph import k_core
+
+    pairs = [(i, j) for i in range(1, 5) for j in range(1, 5) if i != j]
+    edges = spark.createDataFrame(pairs, "src int, dst int").localCheckpoint(
+        eager=True
+    )
+    frames = k_core(edges, k=2, rounds=3)
+    assert len(frames) == 3
+    live = _persistent_rdd_ids(_jsc(spark))
+    for f in frames:
+        assert set(checkpoint_rdd_ids(f)) <= live
+        assert f.count() == 12  # still consumable after the loop
+    unpersist_checkpoint(edges)
+    for f in frames:
+        unpersist_checkpoint(f)
+
+
+def test_bfs_hops_frees_superseded_rounds(spark):
+    """After bfs_hops only the returned visited frame (and the caller's
+    input frames) may hold blocks — round N−1's visited set must not
+    survive round N (ADVICE r6: the old .unpersist() was a no-op)."""
+    from min_flink_spark.operators.graph import bfs_hops
+
+    before = _persistent_rdd_ids(_jsc(spark))
+    chain = [(i, i + 1) for i in range(1, 8)]
+    edges = spark.createDataFrame(chain, "src int, dst int")
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = bfs_hops(edges, seeds, max_hops=5)
+    after = _persistent_rdd_ids(_jsc(spark))
+    expected = before | set(checkpoint_rdd_ids(got))
+    assert after == expected, f"leaked rounds: {sorted(after - expected)}"
+    assert {r["node"]: r["hops"] for r in got.collect()} == {
+        1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5
+    }
+    unpersist_checkpoint(got)
+
+
+def test_connected_components_and_iterate_release_rounds(spark):
+    """Both generic iterative loops must end with only input + final
+    state persisted, regardless of round count."""
+    from min_flink_spark.operators.graph import connected_components
+    from min_flink_spark.operators.iterate import iterate_fixed_point
+
+    before = _persistent_rdd_ids(_jsc(spark))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a int, doc_b int"
+    )
+    labels = connected_components(edges)
+    comp = {r["node"]: r["component"] for r in labels.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # internal sym-edge checkpoint + final labels may remain; rounds gone
+    leaked = _persistent_rdd_ids(_jsc(spark)) - before
+    assert len(leaked) <= 2, f"CC leaked per-round frames: {sorted(leaked)}"
+    unpersist_checkpoint(labels)
+
+    before2 = _persistent_rdd_ids(_jsc(spark))
+    init = spark.createDataFrame([(8,)], "v int")
+    out = iterate_fixed_point(
+        init, lambda df: df.select(F.greatest(F.col("v") - 3, F.lit(0)).alias("v")),
+        max_iter=10,
+    )
+    assert out.collect()[0]["v"] == 0
+    leaked2 = _persistent_rdd_ids(_jsc(spark)) - before2
+    assert leaked2 <= set(checkpoint_rdd_ids(out)), (
+        f"iterate leaked rounds: {sorted(leaked2)}"
+    )
+    unpersist_checkpoint(out)

@@ -796,6 +796,36 @@ def test_mp4_duration_rejects_garbage():
     assert parse_mp4_duration(_mp4_bytes(timescale=0)) is None
 
 
+def test_mp4_child_walk_stays_inside_moov():
+    """ADVICE r6: the mvhd scan must stop at moov's declared end — an
+    'mvhd'-typed TOP-LEVEL box after an mvhd-less moov must not be
+    misparsed as a moov child, and a size-0 child expands only to
+    end-of-moov, never end-of-buffer."""
+    from min_flink_spark.operators.multimodal import parse_mp4_duration
+
+    decoy_mvhd = (
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + (12345).to_bytes(4, "big") + (12345 * 7).to_bytes(4, "big")
+    )
+    # moov contains only udta; a spec-valid mvhd box follows AS A SIBLING
+    evil = (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00")
+        + _box(b"moov", _box(b"udta", b""))
+        + _box(b"mvhd", decoy_mvhd)
+    )
+    assert parse_mp4_duration(evil) is None
+    # size-0 child inside moov: expands to end-of-moov (finds nothing),
+    # must not swallow the sibling decoy either
+    evil2 = (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00")
+        + _box(b"moov", _box(b"udta", b"", size_zero=True))
+        + _box(b"mvhd", decoy_mvhd)
+    )
+    assert parse_mp4_duration(evil2) is None
+    # well-formed files still parse (bound does not over-trim)
+    assert parse_mp4_duration(_mp4_bytes()) == (90000, 5000)
+
+
 def test_video_stats_kernel_quarantines(spark):
     from min_flink_spark.operators.multimodal import video_stats
 

@@ -462,3 +462,27 @@ def test_funnel_interpolation_matches_percentile_aggregate(spark, sf_dir):
     assert got["n_converted"] == want["n_converted"] > 0
     assert math.isclose(got["p50_sec"], want["p50_sec"], rel_tol=0, abs_tol=0)
     assert math.isclose(got["p90_sec"], want["p90_sec"], rel_tol=0, abs_tol=0)
+
+
+def test_plan_audit_flags_rogue_cartesian(spark, sf_dir):
+    """The plan-audit stage must FAIL on an unadjudicated cartesian
+    (VERDICT r6 item 2): feed audit() a deliberately cross-joined query
+    not in EXPECTED_CROSS and assert the hard flag fires. Guards the
+    run_all signal — a regression that reintroduces a data-scale
+    cartesian must not print "ok"."""
+    import tools.plan_audit as pa
+
+    def rogue(spark_, sf):
+        n = spark_.read.parquet(f"{sf}/nation.parquet")
+        r = spark_.read.parquet(f"{sf}/region.parquet")
+        return n.crossJoin(r).selectExpr("count(*) AS c")
+
+    rows = pa.audit(spark, sf_dir, queries={"rogue_cartesian_probe": rogue})
+    (name, stats, flags), = rows
+    assert name == "rogue_cartesian_probe"
+    assert stats["cartesian"] >= 1
+    assert "UNEXPECTED-CROSS" in flags
+    # and the four adjudicated r6 crosses are allowlisted, with teeth:
+    for q in ("ann_pq_topk", "rfm_customer_scores",
+              "funnel_time_to_convert", "concurrent_sessions_sweep"):
+        assert q in pa.EXPECTED_CROSS

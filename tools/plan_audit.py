@@ -60,6 +60,19 @@ EXPECTED_CROSS = {
                                 # back per merge round (3 rounds)
     "bpe_tokenized_lengths",    # same rounds + 1-row model broadcast
     "copurchase_pmi_top",       # 1-row basket-total scalar cross join
+    # ---- adjudicated round 6 (VERDICT r6 "What's wrong" #1): bounded
+    # by construction, NOT data-scale cartesians ----
+    "ann_pq_topk",              # k·m-row PQ centroid table broadcast +
+                                # 1-row recall-certificate scalar cross
+    "rfm_customer_scores",      # global_rank triangle join over the
+                                # ≤shuffle-partition-count per-range
+                                # count frame (O(P²) rows, P≈32) + 1-row
+                                # cut-rank scalar broadcasts
+    "funnel_time_to_convert",   # value-at-rank: 1-row target-rank
+                                # scalar cross (≤6 rows reach final agg)
+    "concurrent_sessions_sweep",  # prefix_sum_over_groups triangle join
+                                # over the ≤distinct-day count frame
+                                # (O(B²), B=days) + 1-row scalar cross
 }
 EXPECTED_SINGLE_PARTITION = {
     "global_sort_expensive_orders",  # the query IS a global sort
@@ -67,9 +80,9 @@ EXPECTED_SINGLE_PARTITION = {
 }
 
 
-def audit(spark, sf_dir: str):
+def audit(spark, sf_dir: str, queries=None):
     rows = []
-    for name, fn in QUERIES.items():
+    for name, fn in (QUERIES if queries is None else queries).items():
         if name.startswith("streaming_"):
             continue
         try:
@@ -160,6 +173,12 @@ def main() -> None:
     if write:
         with open(write, "w") as fh:
             fh.write(out + "\n")
+    # VERDICT r6 item 2: an unadjudicated cartesian (or a query whose
+    # plan cannot even build) must FAIL the stage, not print "ok" —
+    # otherwise a real cartesian regression hides behind carried flags.
+    # Every deliberate cross is adjudicated in EXPECTED_CROSS above.
+    if hard_flags:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
