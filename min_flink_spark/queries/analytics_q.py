@@ -391,6 +391,68 @@ def q_declining_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARED symmetrized part co-purchase edge list — built ONCE
+    per (session, sf_dir) and persisted as a parquet table bucketed on
+    ``src``, then read back through the catalog by every graph-family
+    query (pagerank / triangles / BFS / k-core). Each of the four used
+    to re-pay the same lineitem self-join + distinct; now the build
+    runs on the first call and the rest pay a bucketed co-located scan
+    (VERDICT r6 item 6 — the pay-the-shuffle-once-at-write discipline
+    of sources/bucketed.py exercised on an iterative workload).
+
+    Contents: distinct directed pairs BOTH ways (u→v and v→u, no
+    self-loops) — exactly the edge set pagerank/BFS/k-core consume;
+    triangle counting derives its canonical undirected form with a
+    plain ``src < dst`` filter on the same scan (no extra join). At
+    100 TB this table is the graph-materialization step every
+    production pipeline runs anyway; per-round joins on ``src`` then
+    start from co-located buckets instead of a fresh shuffle.
+    """
+    import hashlib as _h
+    import os as _os
+    import shutil as _sh
+
+    from min_flink_spark.sources.bucketed import write_bucketed
+
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    # version marker: bump if the edge SEMANTICS ever change, so a
+    # cross-session directory built by older code can't serve stale data
+    name = f"mfs_copurchase_v1_{tag}"
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tdir = _os.path.join(wh, name)
+    done = _os.path.join(tdir, "_SUCCESS")
+    if _os.path.exists(done):
+        # a PRIOR session already materialized this exact artifact
+        # (testdata is immutable, the name pins sf_dir + semantics) —
+        # re-register the files instead of re-paying the self-join.
+        # The in-memory catalog lost the bucket spec, so this path
+        # reads as plain parquet: values identical, co-location not
+        # (only same-session reuse keeps the bucketed plan property).
+        spark.catalog.createTable(name, path=tdir, source="parquet")
+        return spark.table(name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # half-written leftovers
+    _sh.rmtree(tdir, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    write_bucketed(edges, name, ["src"], 16, sort_cols=["src", "dst"])
+    return spark.table(name)
+
+
 # Three unrolled integer-PageRank rounds as SQL CTEs (the oracle twin of
 # operators/graph.pagerank_integer). BIGINT sums are CAST back from
 # DuckDB's HUGEINT; // is floor division on positive integers, matching
@@ -437,22 +499,14 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan). Integer floor-division ranks are bit-identical across
     engines and partitionings — no float drift over 3 rounds of
     re-aggregation. Edge build is per-order (bounded fan-out), never
-    all-pairs; each round is two key-joins + one sum, co-locatable by
-    bucketing at scale. Top-100 rides TakeOrderedAndProject."""
+    all-pairs — and paid ONCE per session: the four graph queries share
+    the bucketed ``copurchase_edges`` table, so each round's src-side
+    join starts from co-located buckets. Top-100 rides
+    TakeOrderedAndProject."""
     from min_flink_spark.operators.graph import pagerank_integer
     from min_flink_spark.operators.relational import top_k
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    edges = copurchase_edges(spark, sf_dir)
     ranks = pagerank_integer(edges, iterations=3)
     return top_k(
         ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("rank_units")),
@@ -514,18 +568,10 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons; counts are exact integers at any parallelism."""
     from min_flink_spark.operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    # `<` emits each unordered pair once — half the self-join output of
-    # the oracle's `!=` + least/greatest form, identical canonical set
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    )
+    # canonical undirected pairs = src<dst half of the shared
+    # symmetrized bucketed table (one filter on a co-located scan; the
+    # lineitem self-join is paid once per session across the family)
+    edges = copurchase_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
     return triangle_counts(edges).select(
         F.col("node").alias("part_id"), F.col("n_triangles")
     )
@@ -1247,21 +1293,11 @@ def q_bfs_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the expansion with unrolled rounds."""
     from min_flink_spark.operators.graph import bfs_hops
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        # materialize once: every BFS round (and the seed derivation)
-        # joins against the edge list; without this the lineitem
-        # self-join re-executes per hop
-        .localCheckpoint(eager=True)
-    )
+    # shared bucketed edge table: per-hop frontier⋈edges joins on src
+    # start from co-located buckets, and the lineitem self-join is paid
+    # once per session across the graph family (no per-query
+    # checkpoint needed — the scan IS the materialization)
+    edges = copurchase_edges(spark, sf_dir)
     seeds = edges.filter(F.col("src") < 5).select(F.col("src").alias("node"))
     reached = bfs_hops(edges, seeds, max_hops=3)
     return reached.groupBy("hops").agg(
@@ -1320,18 +1356,10 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascading occurs at each scale."""
     from min_flink_spark.operators.graph import k_core
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # shared bucketed edge table (build paid once per session across
+    # the graph family); degree hash-aggs on src run from co-located
+    # buckets — no checkpoint needed, the scan is the materialization
+    edges = copurchase_edges(spark, sf_dir)
     rounds = k_core(edges, k=100, rounds=3)
     stats = None
     for i, df in enumerate(rounds, start=1):

@@ -486,3 +486,32 @@ def test_plan_audit_flags_rogue_cartesian(spark, sf_dir):
     for q in ("ann_pq_topk", "rfm_customer_scores",
               "funnel_time_to_convert", "concurrent_sessions_sweep"):
         assert q in pa.EXPECTED_CROSS
+
+
+def test_copurchase_edge_build_shared_and_bucketed(spark, sf_dir):
+    """VERDICT r6 item 6: the graph family shares ONE bucketed edge
+    table per (session, sf_dir) — the lineitem self-join is paid once,
+    and src-keyed aggregation over the table plans with ZERO shuffles
+    off the co-located bucketed scan."""
+    from min_flink_spark.queries.analytics_q import copurchase_edges
+
+    e1 = copurchase_edges(spark, sf_dir)
+    agg = e1.groupBy("src").count()
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    shuffles = (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+    )
+    assert "Bucketed: true" in plan
+    assert shuffles == 0, plan
+    # second call must hit the session catalog, not rebuild: same table
+    import hashlib
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    assert spark.catalog.tableExists(f"mfs_copurchase_v1_{tag}")
+    # symmetry + no self-loops: the contract every consumer relies on
+    import pyspark.sql.functions as F
+    assert e1.filter(F.col("src") == F.col("dst")).limit(1).count() == 0
+    swapped = e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert e1.exceptAll(swapped).limit(1).count() == 0
