@@ -547,6 +547,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    train_sample_cap: int = 200_000,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou/Douze/Schmid, "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): split each
@@ -563,7 +564,16 @@ def pq_topk(
     Execution shape — every corpus-sized pass is an Arrow-batched
     vectorized numpy kernel, and the corpus NEVER shuffles:
 
-    - training: k-means refinement as map-side combine — each partition
+    - training runs on a BOUNDED deterministic sample (md5-threshold,
+      ``train_sample_cap`` rows expected; the whole corpus when it is
+      smaller) that is localCheckpointed once and freed after the last
+      Lloyd round — codebook cost is corpus-size-INDEPENDENT, the
+      standard production-PQ discipline (Jégou §V trains on learning
+      sets orders of magnitude smaller than the indexed corpus). The
+      full corpus is touched exactly once by the kernels (the fused
+      encode+ADC pass) plus the rerank join. One count scalar crosses
+      to the driver to fix the sample fraction (bounded metadata).
+    - k-means refinement as map-side combine — each sample partition
       assigns codes and emits per-(subspace, code) partial sums/counts
       (≤ partitions × m × n_codes tiny rows to the driver, the same
       bounded-metadata contract as ``ivf_topk``'s centroid collect);
@@ -608,6 +618,13 @@ def pq_topk(
         return F.when(n > 0, F.transform(vcol, lambda x: x / n)).otherwise(vcol)
 
     c = c_raw.select(F.col(id_col), _unit(F.col("_v0")).alias("_v"))
+    # float32 transport for the Arrow kernel passes (VERDICT r6 item 5):
+    # the source embeddings are array<float> parquet, so the fp32 cast
+    # of the normalized vector loses nothing the source had — it halves
+    # the (id, vector) serialization width that dominates PQ's fixed
+    # cost at corpus scale. Kernels widen to float64 on arrival; the
+    # exact rerank keeps the float64 `c` frame (JVM-side, no Arrow).
+    c32 = c.select(F.col(id_col), F.col("_v").cast("array<float>").alias("_v"))
 
     qrows = queries.select(
         F.col(id_col).alias(query_id_col),
@@ -619,10 +636,27 @@ def pq_topk(
     Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)
     nq = len(qids)
 
+    # bounded deterministic training sample: md5-threshold keeps an
+    # expected train_sample_cap rows however large the corpus is; the
+    # checkpoint materializes ONLY the sample, so every Lloyd round
+    # (and the seed aggregation) reads O(cap) from memory instead of
+    # re-executing the corpus lineage per pass; freed after training
+    from min_flink_spark.functions.hashing import md5_prefix_int
+
+    n_corpus = c_raw.count()
+    sample = c32
+    if n_corpus > train_sample_cap:
+        thr = max(1, (1_000_000 * train_sample_cap) // n_corpus)
+        sample = c32.filter(
+            F.pmod(md5_prefix_int(F.col(id_col).cast("string")), F.lit(1_000_000))
+            < thr
+        )
+    sample = sample.localCheckpoint(eager=True)
+
     # ---- deterministic seed centroids: md5-bucket averages (JVM agg)
     slices = F.array(*[F.slice(F.col("_v"), s * sd + 1, sd) for s in range(m)])
     seed_rows = (
-        c.select(F.col(id_col), F.posexplode(slices).alias("_s", "_sv"))
+        sample.select(F.col(id_col), F.posexplode(slices).alias("_s", "_sv"))
         .withColumn(
             "_code",
             hash_bucket(
@@ -678,7 +712,7 @@ def pq_topk(
             ]
             yield pd.DataFrame(rows, columns=["pid", "s", "code", "vsum", "cnt"])
 
-        partials = c.mapInPandas(_partials, schema=partial_schema).collect()
+        partials = sample.mapInPandas(_partials, schema=partial_schema).collect()
         sums = np.zeros((m, codes_n, sd))
         cnts = np.zeros((m, codes_n), dtype=np.int64)
         for r in sorted(partials, key=lambda r: (r["s"], r["code"], r["pid"])):
@@ -687,6 +721,10 @@ def pq_topk(
         cents = np.full((m, codes_n, sd), np.inf)
         nz = cnts > 0
         cents[nz] = sums[nz] / cnts[nz][:, None]
+
+    # codebook is a driver-side ndarray now — the sample's blocks are
+    # no longer reachable by anything downstream; free them
+    unpersist_checkpoint(sample)
 
     # ---- encode pass: (id, codes)
     final_cents = cents
@@ -701,7 +739,7 @@ def pq_topk(
                 {id_col: pdf[id_col], "_codes": list(codes.astype(np.int32))}
             )
 
-    encoded = c.mapInPandas(_encode, schema=f"{id_col} {id_type}, _codes array<int>")
+    encoded = c32.mapInPandas(_encode, schema=f"{id_col} {id_type}, _codes array<int>")
 
     # ---- ADC scan with partition-local top-R under total order (adc, id)
     with np.errstate(over="ignore", invalid="ignore"):

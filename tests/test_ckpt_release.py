@@ -135,3 +135,32 @@ def test_connected_components_and_iterate_release_rounds(spark):
         f"iterate leaked rounds: {sorted(leaked2)}"
     )
     unpersist_checkpoint(out)
+
+
+def test_pq_topk_frees_training_sample(spark):
+    """pq_topk localCheckpoints its bounded training sample; after the
+    result materializes the sample's blocks must be gone (the codebook
+    lives driver-side, nothing downstream can reach the sample)."""
+    import numpy as np
+    import pandas as pd
+
+    from min_flink_spark.operators.similarity import pq_topk
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            V = np.abs(np.sin(np.outer(ids + 1, np.arange(1, 17))))
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(V.astype("float32"))}
+            )
+
+    corpus = spark.range(0, 400, 1, 4).mapInPandas(
+        gen, "vec_id bigint, embedding array<float>"
+    )
+    before = _persistent_rdd_ids(_jsc(spark))
+    out = pq_topk(
+        corpus, corpus.filter("vec_id < 3"), k=3, m_subspaces=4, n_codes=8,
+        train_sample_cap=100,  # force the md5-threshold branch too
+    )
+    assert out.count() > 0
+    assert _persistent_rdd_ids(_jsc(spark)) == before, "sample leaked"
