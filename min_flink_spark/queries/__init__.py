@@ -24,98 +24,49 @@ from min_flink_spark.queries import windows  # noqa: F401
 # the ledger (python tools/rotation_ledger.py --write) ONLY when
 # rearranging this list.
 #
-# ROUND-6 PREFIX (positions 1-50):
-#   1-6   BRAND-NEW in r6 (audio_wav_stats, ann_pq_topk,
-#         compaction_plan_bins, bfs_reach_copurchase,
-#         kcore_copurchase, video_mp4_stats) — new/changed always
-#         first,
-#   7-13  changed in r5/r6 (BPE pair + contrastive density fix; the
-#         de-bottlenecked rfm/funnel/sweep trio; packed-key
-#         triangles) — all 7 also never-driver-checked,
-#   14-15 the two r1-stale stragglers (window_rank_lag,
-#         pandas_udaf_geomean),
-#   16-50 the remaining never-driver-checked round-4 queries in the
-#         long-standing list order; the six displaced by the new
-#         heads (see the r7 section) open the r7 tail.
+# ROUND-7 PREFIX (positions 1-50), executing the r6 verdict item 1:
+#   1-6   changed in r7 (the graph family's shared bucketed edge
+#         build; audio_wav_stats' RIFF-size fix; ann_pq_topk's
+#         sample-capped training — an OPERATOR change invisible to
+#         the source hash, promoted by hand),
+#   7-11  the LAST five never-driver-checked queries — their rows
+#         close the registry: all 195 then have hard evidence,
+#   12-15 the r2 filler + the three r4-dehinted queries,
+#   16-50 the r2-stale block, longest-unchecked first (35 of 41).
 #
-# ROUND-7 ROTATION NOTE (positions 51+, already in promotion order):
-# the five never-checked queries displaced by r6's new heads plus the
-# r2 filler open the tail (51-56), then the three r4-dehinted queries
-# whose plan changed AFTER their r3 rows (57-59), then the 41
-# remaining r2-stale queries, then the r3 block, then the r5-fresh
-# block.  Promote 51-onward next round; any query changed during
-# round 7 jumps ahead of everything (changed always first).  The
-# guardrail test enforces this shape — re-sorting this list IS the
-# rotation.
+# ROUND-8 ROTATION NOTE (verdict r6 item 7 — positions 51+ are
+# already in promotion order): the six r2-stale leftovers open the
+# tail (51-56), then the 48-query r3 block (57-104), then the r5
+# block (105-154), then the r6-fresh block (155-195).  Promote
+# 51-onward next round — r8's 50 slots take the 6 r2 leftovers plus
+# the first 44 of the r3 block; any query changed during round 8
+# jumps ahead of everything (changed always first).  The guardrail
+# test enforces this shape — re-sorting this list IS the rotation.
 _PRIORITY = [
-    # ---- 1-6: brand-new in r6 (bfs first: its edge build gained a
-    # checkpoint AFTER the other five were arranged, so changed-first
-    # puts it at the head) ----
+    # ---- 1-6: changed in r7 (shared bucketed co-purchase edge build:
+    # bfs/kcore/pagerank/triangles; WAV RIFF-size fix: audio_wav_stats;
+    # PQ sample-capped training + f32 transport: ann_pq_topk — operator
+    # change, hash-invisible, promoted manually) ----
     "bfs_reach_copurchase",
+    "kcore_copurchase",
+    "pagerank_copurchase",
+    "triangle_counts_copurchase",
     "audio_wav_stats",
     "ann_pq_topk",
-    "compaction_plan_bins",
-    "kcore_copurchase",
-    "video_mp4_stats",
-    # ---- 7-13: changed in r5/r6 (all never-checked) ----
-    "bpe_merge_training",
-    "bpe_tokenized_lengths",
-    "contrastive_negative_pairs",
-    "rfm_customer_scores",
-    "funnel_time_to_convert",
-    "concurrent_sessions_sweep",
-    "triangle_counts_copurchase",
-    # ---- 14-15: r1-stale stragglers ----
-    "window_rank_lag",
-    "pandas_udaf_geomean",
-    # ---- 16-50: remaining never driver-checked ----
-    "pagerank_copurchase",
-    "char_entropy_quality",
-    "scd2_user_state_intervals",
-    "late_shipment_priority_counts",
-    "streaming_side_outputs",
-    "incremental_stats_merge",
-    "streaming_cep_times",
-    "mad_outlier_flags",
-    "trend_slope_by_type",
-    "snapshot_diff_statuses",
-    "cluster_sample_events",
-    "temporal_table_join",
-    "streaming_chained_windows",
-    "incremental_hll_merge",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "multi_format_roundtrip",
-    "streaming_pysource_counts",
-    "count_window_sliding",
-    "schema_evolution_union",
-    "partitioned_pruned_read",
-    "bucketed_cobucket_join_stats",
-    "event_transition_probs",
-    "cohort_retention",
-    "k_anonymity_report",
-    "dp_noisy_counts",
-    "split_leakage_report",
-    "group_aware_split",
-    "bigram_lm_surprisal",
-    "image_header_dims",
-    "nested_rollup_roundtrip",
-    "streaming_csv_source_counts",
-    "er_candidate_features",
-    "copurchase_pmi_top",
-    "weekly_active_growth",
+    # ---- 7-11: the last five never-driver-checked queries (first-ever
+    # rows here close the registry: all 195 then have hard evidence) ----
     "simhash_hamming_pairs",
-    # ---- 51-56: displaced by the r6 new heads (r7 opens here) ----
     "streaming_complete_topk",
     "streaming_dedup_within_watermark",
     "interevent_gap_histogram",
     "csv_corrupt_record_quarantine",
+    # ---- 12: r2 filler displaced twice ----
     "array_function_sampler",
-    # ---- 57-59: r4-dehinted, plan changed after r3 rows ----
+    # ---- 13-15: r4-dehinted (plan changed after their r3 rows) ----
     "small_quantity_revenue",
     "disjunctive_predicate_revenue",
     "waiting_supplier_counts",
-    # ---- 60-100: last driver row r2 (r7 block) ----
+    # ---- 16-50: r2-stale block, longest-unchecked first (35 of 41) ----
     "contamination_overlap",
     "corpus_drift_report",
     "cross_join_status_grid",
@@ -151,13 +102,14 @@ _PRIORITY = [
     "streaming_sliding_window",
     "streaming_tumbling_window",
     "streaming_wordcount",
+    # ---- 51-56: r2-stale leftovers (r8 opens here — see ROUND-8 note) ----
     "tumbling_window_daily",
     "url_domain_filter",
     "weighted_sample_topk",
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 101-145: last driver row r3 ----
+    # ---- 57-104: last driver row r3 ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -203,10 +155,10 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 146-195: fresh r5 rows (rotate last) ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
+    # ---- 105-154: fresh r5 rows ----
     "asof_join_click_to_signup",
     "coarse_to_fine_topk",
     "correlated_subquery_big_orders",
@@ -254,6 +206,51 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
+    "compaction_plan_bins",
+    "video_mp4_stats",
+    "bpe_merge_training",
+    # ---- 155-195: fresh r6 rows (rotate last) ----
+    "bpe_tokenized_lengths",
+    "contrastive_negative_pairs",
+    "rfm_customer_scores",
+    "funnel_time_to_convert",
+    "concurrent_sessions_sweep",
+    "window_rank_lag",
+    "pandas_udaf_geomean",
+    "char_entropy_quality",
+    "scd2_user_state_intervals",
+    "late_shipment_priority_counts",
+    "streaming_side_outputs",
+    "incremental_stats_merge",
+    "streaming_cep_times",
+    "mad_outlier_flags",
+    "trend_slope_by_type",
+    "snapshot_diff_statuses",
+    "cluster_sample_events",
+    "temporal_table_join",
+    "streaming_chained_windows",
+    "incremental_hll_merge",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "multi_format_roundtrip",
+    "streaming_pysource_counts",
+    "count_window_sliding",
+    "schema_evolution_union",
+    "partitioned_pruned_read",
+    "bucketed_cobucket_join_stats",
+    "event_transition_probs",
+    "cohort_retention",
+    "k_anonymity_report",
+    "dp_noisy_counts",
+    "split_leakage_report",
+    "group_aware_split",
+    "bigram_lm_surprisal",
+    "image_header_dims",
+    "nested_rollup_roundtrip",
+    "streaming_csv_source_counts",
+    "er_candidate_features",
+    "copurchase_pmi_top",
+    "weekly_active_growth",
 ]
 
 
