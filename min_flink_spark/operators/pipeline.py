@@ -921,3 +921,96 @@ def compaction_plan(
     return files.withColumn(
         "bin_id", F.floor(cum_excl / F.lit(float(target_bytes))).cast("int")
     )
+
+
+def log_histogram_sketch(
+    df: DataFrame, keys: list[str], value_micro: Column
+) -> DataFrame:
+    """Mergeable log₂-bin histogram sketch — the one-pass distributed
+    quantile-estimation primitive (the role t-digest/KLL play in
+    warehouse pipelines, here with EXACT cross-engine replay): each row
+    lands in bin ``floor(log2(vm))`` of its integer micro-unit value
+    (bin −1 for vm = 0), and the sketch is just per-(keys, bin) counts.
+
+    Counts are integers, so sketches MERGE by summation with zero
+    drift: sketch(A ∪ B) is bit-identical to merge(sketch(A),
+    sketch(B)) at any split — per-day/per-shard partials roll up into
+    corpus quantiles by scanning only each day's delta, never the
+    history (the same maintenance contract as ``grouped_stats``).
+    Relative value error of a bin-resolved quantile is bounded by the
+    bin ratio (2×); at 100 TB this is ONE hash aggregation with
+    map-side combine, no sort, no per-group state.
+
+    floor(log2(vm)) = length(bin(vm)) − 1 in both Spark and DuckDB —
+    the exact-integer idiom that keeps the oracle replay bit-identical.
+    ``value_micro`` must be integral and non-negative.
+    """
+    vm = value_micro
+    bin_id = F.when(vm <= 0, F.lit(-1)).otherwise(
+        (F.length(F.bin(vm)) - 1).cast("int")
+    )
+    return (
+        df.withColumn("_bin", bin_id)
+        .groupBy(*keys, "_bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("_bin", "bin")
+    )
+
+
+def merge_histogram_sketches(*parts: DataFrame) -> DataFrame:
+    """Merge ``log_histogram_sketch`` frames (same keys) into the
+    sketch of the union of their inputs — pure count re-addition."""
+    keys = [c for c in parts[0].columns if c not in ("bin", "cnt")]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def sketch_quantiles(
+    sketch: DataFrame, keys: list[str], quantiles: list[int]
+) -> DataFrame:
+    """Per-key quantile estimates from a log-histogram sketch: for each
+    q (in PERCENT, integers so the output is engine-exact), the
+    smallest bin whose cumulative count reaches ``ceil(q·total/100)``,
+    reported as ``(keys…, pct, bin, lo_micro)`` where ``lo_micro`` =
+    2^bin (0 for the zero bin) is the bin's inclusive lower bound in
+    micro-units.
+
+    Plan shape: the sketch lineage is evaluated ONCE — cumulative and
+    total counts are two window sums over the same per-key partition
+    (one shuffle of the keys × ≤64-bin frame, never the data), and all
+    requested pcts ride one literal-array explode of that frame instead
+    of a per-pct union that would re-execute the upstream scan per
+    quantile. Rank arithmetic is integer, identical in SQL replay.
+    """
+    wc = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(*keys)
+    cum = sketch.select(
+        *keys,
+        "bin",
+        F.sum("cnt").over(wc).alias("_cum"),
+        F.sum("cnt").over(wt).alias("_total"),
+    )
+    out = (
+        cum.select(
+            *keys,
+            "bin",
+            "_cum",
+            "_total",
+            F.explode(F.array(*[F.lit(int(q)) for q in quantiles])).alias("pct"),
+        )
+        # cum ≥ ceil(q·total/100)  ⇔  100·cum ≥ q·total  (integers)
+        .filter(F.col("_cum") * 100 >= F.col("pct") * F.col("_total"))
+        .groupBy(*keys, F.col("pct").cast("int").alias("pct"))
+        .agg(F.min("bin").alias("bin"))
+    )
+    return out.withColumn(
+        "lo_micro",
+        F.when(F.col("bin") < 0, F.lit(0).cast("bigint")).otherwise(
+            # python-API shiftleft wants a literal shift; SQL takes exprs
+            F.expr("shiftleft(CAST(1 AS BIGINT), bin)")
+        ),
+    )

@@ -883,3 +883,78 @@ def negative_pair_sample(
     # the same equi-join; density was validated, so it drops nothing
     ids = corpus.select(F.col(id_col).alias("neg_id"))
     return paired.join(ids, "neg_id").select("anchor_id", "slot", "neg_id")
+
+
+def label_prototypes(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label prototype (class centroid) in EXACT integer micro-unit
+    space: ``(label, n, p0..p{dim-1})`` where ``pj`` is the BIGINT sum
+    of ``round(v[j]·10⁶)`` over the label's vectors. Sums of integers
+    are associative, so prototypes are bit-identical at any parallelism
+    and MERGE across shards/days by re-addition (the same contract as
+    ``grouped_stats``) — and the SQL replay is exact, unlike a float
+    mean whose summation order differs per engine.
+
+    Plan: ONE hash aggregation with map-side combine over ``dim``
+    column expressions — no explode (which would multiply rows ×dim
+    before the shuffle), no Python. Output is labels-sized (tiny)."""
+    v = _as_double(F.col(vec_col))
+    return corpus.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.round(v[j] * 1_000_000).cast("bigint")).alias(f"p{j}")
+            for j in range(dim)
+        ],
+    )
+
+
+def nearest_prototype(
+    corpus: DataFrame,
+    protos: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest label prototype (squared
+    Euclidean distance to the class MEAN, ties → lowest label) —
+    the mislabel-detection / prototype-classification pass of an
+    embedding-curation pipeline: rows whose own label disagrees with
+    their nearest prototype are review candidates.
+
+    Distance per (vector, label) is computed from EXACT integers in a
+    FIXED left-to-right order: with ``vj = round(v[j]·10⁶)`` (BIGINT)
+    and prototype sums ``pj`` over ``n`` members,
+    ``d = Σ_j (vj − pj/n)²`` in double — both engines fold the same
+    exact inputs in the same order, so comparisons replay bit-identical
+    in SQL. The prototype table is labels-sized, hence legitimately
+    broadcast (bounded by construction, like the ANN query sets); each
+    vector meets L prototype rows and one groupBy(id) min-struct picks
+    the argmin — no window over the corpus, no data-sized shuffle
+    beyond the id-keyed aggregation. Returns ``(id, predicted_label)``.
+    """
+    v = _as_double(F.col(vec_col))
+    vm = corpus.select(
+        F.col(id_col),
+        *[
+            F.round(v[j] * 1_000_000).cast("bigint").alias(f"v{j}")
+            for j in range(dim)
+        ],
+    )
+    terms = None
+    for j in range(dim):
+        diff = F.col(f"v{j}") - F.col(f"p{j}") / F.col("n")
+        t = diff * diff  # x*x, not pow(x,2): IEEE-identical in SQL replay
+        terms = t if terms is None else terms + t
+    scored = vm.join(F.broadcast(protos)).select(
+        F.col(id_col), F.col("label"), terms.alias("_d")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct(F.col("_d"), F.col("label"))).alias("_best"))
+        .select(F.col(id_col), F.col("_best.label").alias("predicted_label"))
+    )

@@ -29,17 +29,19 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         build; audio_wav_stats' RIFF-size fix; ann_pq_topk's
 #         sample-capped training — an OPERATOR change invisible to
 #         the source hash, promoted by hand),
-#   7-11  the LAST five never-driver-checked queries — their rows
-#         close the registry: all 195 then have hard evidence,
-#   12-15 the r2 filler + the three r4-dehinted queries,
-#   16-50 the r2-stale block, longest-unchecked first (35 of 41).
+#   7-8   BRAND-NEW in r7 (sketch_quantiles_merged,
+#         prototype_label_agreement),
+#   9-13  the last five pre-r7 never-driver-checked queries — their
+#         rows give every query hard driver evidence,
+#   14-17 the r2 filler + the three r4-dehinted queries,
+#   18-50 the r2-stale block, longest-unchecked first (33 of 41).
 #
 # ROUND-8 ROTATION NOTE (verdict r6 item 7 — positions 51+ are
-# already in promotion order): the six r2-stale leftovers open the
-# tail (51-56), then the 48-query r3 block (57-104), then the r5
-# block (105-154), then the r6-fresh block (155-195).  Promote
-# 51-onward next round — r8's 50 slots take the 6 r2 leftovers plus
-# the first 44 of the r3 block; any query changed during round 8
+# already in promotion order): the eight r2-stale leftovers open the
+# tail (51-58), then the 48-query r3 block (59-106), then the r5
+# block (107-156), then the r6-fresh block (157-197).  Promote
+# 51-onward next round — r8's 50 slots take the 8 r2 leftovers plus
+# the first 42 of the r3 block; any query changed during round 8
 # jumps ahead of everything (changed always first).  The guardrail
 # test enforces this shape — re-sorting this list IS the rotation.
 _PRIORITY = [
@@ -53,20 +55,25 @@ _PRIORITY = [
     "triangle_counts_copurchase",
     "audio_wav_stats",
     "ann_pq_topk",
-    # ---- 7-11: the last five never-driver-checked queries (first-ever
-    # rows here close the registry: all 195 then have hard evidence) ----
+    # ---- 7-8: BRAND-NEW in r7 (mergeable log-histogram quantiles;
+    # prototype-based label verification) ----
+    "sketch_quantiles_merged",
+    "prototype_label_agreement",
+    # ---- 9-13: the last five PRE-r7 never-driver-checked queries
+    # (first-ever rows here close the pre-r7 registry: all 195 then
+    # have hard evidence; the two r7 additions get theirs same-round) ----
     "simhash_hamming_pairs",
     "streaming_complete_topk",
     "streaming_dedup_within_watermark",
     "interevent_gap_histogram",
     "csv_corrupt_record_quarantine",
-    # ---- 12: r2 filler displaced twice ----
+    # ---- 14: r2 filler displaced twice ----
     "array_function_sampler",
-    # ---- 13-15: r4-dehinted (plan changed after their r3 rows) ----
+    # ---- 15-17: r4-dehinted (plan changed after their r3 rows) ----
     "small_quantity_revenue",
     "disjunctive_predicate_revenue",
     "waiting_supplier_counts",
-    # ---- 16-50: r2-stale block, longest-unchecked first (35 of 41) ----
+    # ---- 18-50: r2-stale block, longest-unchecked first (33 of 41) ----
     "contamination_overlap",
     "corpus_drift_report",
     "cross_join_status_grid",
@@ -100,16 +107,16 @@ _PRIORITY = [
     "streaming_interval_join",
     "streaming_session_window",
     "streaming_sliding_window",
+    # ---- 51-58: r2-stale leftovers (r8 opens here — see ROUND-8 note) ----
     "streaming_tumbling_window",
     "streaming_wordcount",
-    # ---- 51-56: r2-stale leftovers (r8 opens here — see ROUND-8 note) ----
     "tumbling_window_daily",
     "url_domain_filter",
     "weighted_sample_topk",
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 57-104: last driver row r3 ----
+    # ---- 59-106: last driver row r3 ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -158,7 +165,7 @@ _PRIORITY = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
-    # ---- 105-154: fresh r5 rows ----
+    # ---- 107-156: fresh r5 rows ----
     "asof_join_click_to_signup",
     "coarse_to_fine_topk",
     "correlated_subquery_big_orders",
@@ -209,7 +216,7 @@ _PRIORITY = [
     "compaction_plan_bins",
     "video_mp4_stats",
     "bpe_merge_training",
-    # ---- 155-195: fresh r6 rows (rotate last) ----
+    # ---- 157-197: fresh r6 rows (rotate last) ----
     "bpe_tokenized_lengths",
     "contrastive_negative_pairs",
     "rfm_customer_scores",

@@ -1373,3 +1373,76 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stats = s if stats is None else stats.unionByName(s)
     return stats
+
+
+_SKETCH_PCT = """
+  SELECT event_type, CAST({q} AS INT) AS pct, CAST(min(bin) AS INT) AS bin
+  FROM c WHERE 100 * cum >= {q} * total GROUP BY event_type
+"""
+
+
+@query(
+    "sketch_quantiles_merged",
+    oracle=f"""
+    WITH vm AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN vm <= 0 THEN -1
+                  ELSE CAST(length(bin(vm)) - 1 AS INT) END AS bin,
+             count(*) AS cnt
+      FROM vm GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(cnt) AS total FROM b GROUP BY 1),
+    c AS (
+      SELECT b.event_type, bin,
+             sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin) AS cum,
+             t.total
+      FROM b JOIN t USING (event_type)
+    ),
+    hits AS (
+      {_SKETCH_PCT.format(q=50)} UNION ALL
+      {_SKETCH_PCT.format(q=90)} UNION ALL
+      {_SKETCH_PCT.format(q=99)}
+    )
+    SELECT event_type, pct, bin,
+           CASE WHEN bin < 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) << bin END AS lo_micro
+    FROM hits
+    """,
+)
+def q_sketch_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log₂-histogram quantiles (operators/pipeline.
+    log_histogram_sketch) — the one-pass distributed percentile
+    primitive (the t-digest/KLL role) with EXACT cross-engine replay:
+    per-event-type p50/p90/p99 computed from TWO per-shard partial
+    sketches (odd/even day-of-month — the per-day incremental shape)
+    merged by count addition. The oracle computes the quantiles
+    DIRECTLY from all rows, so the gate row IS the proof that
+    merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) bit-for-bit. Sketch
+    size is keys × ≤64 bins regardless of data volume; at 100 TB the
+    whole pass is one map-side-combine hash agg per shard plus a
+    sketch-sized window — the underlying data is scanned once and
+    never sorted."""
+    from min_flink_spark.operators.pipeline import (
+        log_histogram_sketch,
+        merge_histogram_sketches,
+        sketch_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        (F.dayofmonth(F.col("ts").cast("timestamp")) % 2).alias("_shard"),
+    )
+    # ONE scan builds all per-shard partials (shard rides as a sketch
+    # key); the shard split for the merge happens on the SKETCH-sized
+    # frame — in production each day's partial is its own stored table
+    partials = log_histogram_sketch(ev, ["_shard", "event_type"], F.col("vm"))
+    parts = [
+        partials.filter(F.col("_shard") == s).drop("_shard") for s in (0, 1)
+    ]
+    merged = merge_histogram_sketches(*parts)
+    return sketch_quantiles(merged, ["event_type"], [50, 90, 99])

@@ -1754,3 +1754,76 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id_a").alias("min_id_a"),
         F.max("id_b").alias("max_id_b"),
     )
+
+
+def _proto_oracle(dim: int = 64) -> str:
+    psums = ", ".join(f"sum(v[{j + 1}]) AS p{j}" for j in range(dim))
+    # one term per component, SAME left-to-right fold as the Spark
+    # expression tree; x*x (not pow) for IEEE identity
+    terms = " + ".join(
+        f"(CAST(v[{j + 1}] AS DOUBLE) - CAST(p{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * (CAST(v[{j + 1}] AS DOUBLE) - CAST(p{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+        for j in range(dim)
+    )
+    return f"""
+    WITH vm AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    p AS (
+      SELECT label, count(*) AS n, {psums}
+      FROM vm GROUP BY label
+    ),
+    d AS (
+      SELECT vm.vec_id, vm.label AS label, p.label AS cand,
+             ({terms}) AS dist
+      FROM vm CROSS JOIN p
+    ),
+    best AS (
+      SELECT vec_id, label, cand,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+      FROM d
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(cand AS INT) AS predicted_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM best WHERE rn = 1 GROUP BY 1, 2
+    """
+
+
+@query("prototype_label_agreement", oracle=_proto_oracle())
+def q_prototype_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based label verification (operators/similarity.
+    label_prototypes + nearest_prototype) — the embedding-curation
+    mislabel-detection pass: per-label class centroids in EXACT integer
+    micro-unit space (bit-identical at any parallelism, mergeable
+    across shards like grouped_stats), then every vector is assigned to
+    its nearest prototype by squared Euclidean distance to the class
+    mean (exact-integer inputs folded left-to-right, so the DuckDB
+    replay is bit-identical; ties → lowest label). The gate row is the
+    (label, predicted_label) confusion census — off-diagonal cells are
+    the review queue. Plan: ONE map-side-combine hash agg for the
+    prototypes (no explode — dim column expressions), a labels-sized
+    broadcast into the corpus (bounded by construction), one id-keyed
+    min-struct argmin, one tiny count agg. The corpus is scanned twice
+    and never sorted; nothing data-sized crosses a nested loop."""
+    from min_flink_spark.operators.similarity import (
+        label_prototypes,
+        nearest_prototype,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    protos = label_prototypes(emb, dim=64)
+    pred = nearest_prototype(emb, protos, dim=64)
+    return (
+        emb.select("vec_id", "label")
+        .join(pred, "vec_id")
+        .groupBy(
+            F.col("label").cast("int").alias("label"),
+            F.col("predicted_label").cast("int").alias("predicted_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

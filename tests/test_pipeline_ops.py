@@ -685,3 +685,73 @@ def test_compaction_plan_partitioning_invariant(spark):
     a = sorted(map(tuple, compaction_plan(df, 800, ["part"]).collect()))
     b = sorted(map(tuple, compaction_plan(df.repartition(13), 800, ["part"]).collect()))
     assert a == b
+
+
+def test_log_histogram_sketch_merge_identity(spark):
+    """sketch(A ∪ B) must be bit-identical to merge(sketch(A),
+    sketch(B)) — the mergeability contract, plus bin/zero-bin math."""
+    import pyspark.sql.functions as F
+
+    from min_flink_spark.operators.pipeline import (
+        log_histogram_sketch,
+        merge_histogram_sketches,
+        sketch_quantiles,
+    )
+
+    rows = [("a", v) for v in (0, 1, 1, 2, 3, 4, 7, 8, 1023, 1024)]
+    rows += [("b", v) for v in (0, 5)]
+    df = spark.createDataFrame(rows, "k string, vm bigint")
+    a, b = df.filter("vm < 4"), df.filter("vm >= 4")
+    direct = log_histogram_sketch(df, ["k"], F.col("vm"))
+    merged = merge_histogram_sketches(
+        log_histogram_sketch(a, ["k"], F.col("vm")),
+        log_histogram_sketch(b, ["k"], F.col("vm")),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+    got = {(r["k"], r["bin"]): r["cnt"] for r in direct.collect()}
+    # 0→bin -1; 1→0; 2,3→1; 4,7→2; 8→3; 1023→9; 1024→10
+    assert got == {
+        ("a", -1): 1, ("a", 0): 2, ("a", 1): 2, ("a", 2): 2,
+        ("a", 3): 1, ("a", 9): 1, ("a", 10): 1,
+        ("b", -1): 1, ("b", 2): 1,
+    }
+    qs = sketch_quantiles(direct, ["k"], [50, 100])
+    q = {(r["k"], r["pct"]): (r["bin"], r["lo_micro"]) for r in qs.collect()}
+    # a: total 10, p50 rank 5 → cum(bin1)=5 → bin 1; p100 → bin 10
+    assert q[("a", 50)] == (1, 2)
+    assert q[("a", 100)] == (10, 1024)
+    assert q[("b", 50)] == (-1, 0)  # zero bin covers rank 1
+    assert q[("b", 100)] == (2, 4)
+
+
+def test_label_prototypes_and_nearest(spark):
+    """Prototype sums are exact integers; nearest-prototype assignment
+    recovers planted clusters and breaks ties by lowest label."""
+    from min_flink_spark.operators.similarity import (
+        label_prototypes,
+        nearest_prototype,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        (5, [0.5, 0.5], 0),  # equidistant from both prototypes? no: d0<d1
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    protos = label_prototypes(df, dim=2)
+    p = {r["label"]: (r["n"], r["p0"], r["p1"]) for r in protos.collect()}
+    assert p[0] == (3, 2_400_000, 600_000)
+    assert p[1] == (2, 100_000, 1_900_000)
+    pred = nearest_prototype(
+        df.filter("vec_id < 5"), label_prototypes(df.filter("vec_id < 5"), dim=2), dim=2
+    )
+    got = {r["vec_id"]: r["predicted_label"] for r in pred.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+    # exact tie → lowest label: symmetric prototypes, point in the middle
+    sym = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 7), (9, [0.5, 0.5], 7)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    protos2 = label_prototypes(sym.filter("vec_id < 9"), dim=2)
+    tie = nearest_prototype(sym.filter("vec_id = 9"), protos2, dim=2)
+    assert tie.collect()[0]["predicted_label"] == 0

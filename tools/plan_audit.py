@@ -73,6 +73,11 @@ EXPECTED_CROSS = {
     "concurrent_sessions_sweep",  # prefix_sum_over_groups triangle join
                                 # over the ≤distinct-day count frame
                                 # (O(B²), B=days) + 1-row scalar cross
+    # ---- added r7 ----
+    "prototype_label_agreement",  # labels-sized (10-row) prototype
+                                # table broadcast into the corpus;
+                                # map-side min-struct collapses the ×L
+                                # expansion before any shuffle
 }
 EXPECTED_SINGLE_PARTITION = {
     "global_sort_expensive_orders",  # the query IS a global sort
