@@ -161,6 +161,39 @@ def shapes(spark, rows: int):
 
     yield "pq_topk", _pq
 
+    # round-7 shapes: mergeable log-histogram quantiles (pure hash-agg,
+    # should track the agg family) and nearest-prototype assignment
+    # (broadcast ×L expansion collapsed map-side — should be ~linear)
+    def _sketch():
+        from min_flink_spark.operators.pipeline import (
+            log_histogram_sketch,
+            merge_histogram_sketches,
+            sketch_quantiles,
+        )
+
+        vm = F.round(F.col("value") * 1_000_000).cast("bigint")
+        sh = ev.withColumn("_shard", F.pmod(F.col("event_id"), F.lit(2)))
+        partials = log_histogram_sketch(sh, ["_shard", "event_type"], vm)
+        merged = merge_histogram_sketches(
+            *[partials.filter(F.col("_shard") == s).drop("_shard") for s in (0, 1)]
+        )
+        return sketch_quantiles(merged, ["event_type"], [50, 90, 99]).count()
+
+    def _protos():
+        from min_flink_spark.operators.similarity import (
+            label_prototypes,
+            nearest_prototype,
+        )
+
+        corpus = _vectors(n_vec).withColumn(
+            "label", F.pmod(F.col("vec_id"), F.lit(10)).cast("int")
+        )
+        p = label_prototypes(corpus, dim=64)
+        return nearest_prototype(corpus, p, dim=64).count()
+
+    yield "sketch_quantiles", _sketch
+    yield "nearest_prototype", _protos
+
 
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
