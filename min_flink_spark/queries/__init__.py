@@ -29,19 +29,19 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         build; audio_wav_stats' RIFF-size fix; ann_pq_topk's
 #         sample-capped training — an OPERATOR change invisible to
 #         the source hash, promoted by hand),
-#   7-8   BRAND-NEW in r7 (sketch_quantiles_merged,
-#         prototype_label_agreement),
-#   9-13  the last five pre-r7 never-driver-checked queries — their
+#   7-9   BRAND-NEW in r7 (sketch_quantiles_merged,
+#         prototype_label_agreement, streaming_sketch_quantiles),
+#   10-14 the last five pre-r7 never-driver-checked queries — their
 #         rows give every query hard driver evidence,
-#   14-17 the r2 filler + the three r4-dehinted queries,
-#   18-50 the r2-stale block, longest-unchecked first (33 of 41).
+#   15-18 the r2 filler + the three r4-dehinted queries,
+#   19-50 the r2-stale block, longest-unchecked first (32 of 41).
 #
 # ROUND-8 ROTATION NOTE (verdict r6 item 7 — positions 51+ are
 # already in promotion order): the eight r2-stale leftovers open the
-# tail (51-58), then the 48-query r3 block (59-106), then the r5
-# block (107-156), then the r6-fresh block (157-197).  Promote
-# 51-onward next round — r8's 50 slots take the 8 r2 leftovers plus
-# the first 42 of the r3 block; any query changed during round 8
+# tail (51-59), then the 48-query r3 block (60-107), then the r5
+# block (108-157), then the r6-fresh block (158-198).  Promote
+# 51-onward next round — r8's 50 slots take the 9 r2 leftovers plus
+# the first 41 of the r3 block; any query changed during round 8
 # jumps ahead of everything (changed always first).  The guardrail
 # test enforces this shape — re-sorting this list IS the rotation.
 _PRIORITY = [
@@ -55,11 +55,12 @@ _PRIORITY = [
     "triangle_counts_copurchase",
     "audio_wav_stats",
     "ann_pq_topk",
-    # ---- 7-8: BRAND-NEW in r7 (mergeable log-histogram quantiles;
-    # prototype-based label verification) ----
+    # ---- 7-9: BRAND-NEW in r7 (mergeable log-histogram quantiles,
+    # batch + streaming-state modes; prototype label verification) ----
     "sketch_quantiles_merged",
     "prototype_label_agreement",
-    # ---- 9-13: the last five PRE-r7 never-driver-checked queries
+    "streaming_sketch_quantiles",
+    # ---- 10-14: the last five PRE-r7 never-driver-checked queries
     # (first-ever rows here close the pre-r7 registry: all 195 then
     # have hard evidence; the two r7 additions get theirs same-round) ----
     "simhash_hamming_pairs",
@@ -67,13 +68,13 @@ _PRIORITY = [
     "streaming_dedup_within_watermark",
     "interevent_gap_histogram",
     "csv_corrupt_record_quarantine",
-    # ---- 14: r2 filler displaced twice ----
+    # ---- 15: r2 filler displaced twice ----
     "array_function_sampler",
-    # ---- 15-17: r4-dehinted (plan changed after their r3 rows) ----
+    # ---- 16-18: r4-dehinted (plan changed after their r3 rows) ----
     "small_quantity_revenue",
     "disjunctive_predicate_revenue",
     "waiting_supplier_counts",
-    # ---- 18-50: r2-stale block, longest-unchecked first (33 of 41) ----
+    # ---- 19-50: r2-stale block, longest-unchecked first (32 of 41) ----
     "contamination_overlap",
     "corpus_drift_report",
     "cross_join_status_grid",
@@ -106,8 +107,8 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_interval_join",
     "streaming_session_window",
+    # ---- 51-59: r2-stale leftovers (r8 opens here — see ROUND-8 note) ----
     "streaming_sliding_window",
-    # ---- 51-58: r2-stale leftovers (r8 opens here — see ROUND-8 note) ----
     "streaming_tumbling_window",
     "streaming_wordcount",
     "tumbling_window_daily",
@@ -116,7 +117,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 59-106: last driver row r3 ----
+    # ---- 60-107: last driver row r3 ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -165,7 +166,7 @@ _PRIORITY = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
-    # ---- 107-156: fresh r5 rows ----
+    # ---- 108-157: fresh r5 rows ----
     "asof_join_click_to_signup",
     "coarse_to_fine_topk",
     "correlated_subquery_big_orders",
@@ -216,7 +217,7 @@ _PRIORITY = [
     "compaction_plan_bins",
     "video_mp4_stats",
     "bpe_merge_training",
-    # ---- 157-197: fresh r6 rows (rotate last) ----
+    # ---- 158-198: fresh r6 rows (rotate last) ----
     "bpe_tokenized_lengths",
     "contrastive_negative_pairs",
     "rfm_customer_scores",

@@ -938,3 +938,70 @@ def q_streaming_dedup_within_watermark(
         .agg(F.count(F.lit(1)).alias("survivors"))
     )
     return run_to_completion(deduped, output_mode="update")
+
+
+_SKETCH_PCT_S = """
+  SELECT event_type, CAST({q} AS INT) AS pct, CAST(min(bin) AS INT) AS bin
+  FROM c WHERE 100 * cum >= {q} * total GROUP BY event_type
+"""
+
+
+@query(
+    "streaming_sketch_quantiles",
+    oracle=f"""
+    WITH vm AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN vm <= 0 THEN -1
+                  ELSE CAST(length(bin(vm)) - 1 AS INT) END AS bin,
+             count(*) AS cnt
+      FROM vm GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(cnt) AS total FROM b GROUP BY 1),
+    c AS (
+      SELECT b.event_type, bin,
+             sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin) AS cum,
+             t.total
+      FROM b JOIN t USING (event_type)
+    ),
+    hits AS (
+      {_SKETCH_PCT_S.format(q=50)} UNION ALL
+      {_SKETCH_PCT_S.format(q=90)} UNION ALL
+      {_SKETCH_PCT_S.format(q=99)}
+    )
+    SELECT event_type, pct, bin,
+           CASE WHEN bin < 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) << bin END AS lo_micro
+    FROM hits
+    """,
+)
+def q_streaming_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantiles with BOUNDED state — the log-histogram
+    sketch (operators/pipeline.log_histogram_sketch) as a streaming
+    aggregation: state is keys × ≤64 bin counters however many rows
+    flow through, which is the whole point of a mergeable sketch on an
+    unbounded stream (an exact streaming percentile would have to hold
+    every value in the state store). The sketch operator is the SAME
+    code as the batch/merge path and this row shares the batch twin's
+    direct-SQL oracle — one operator, three execution modes (batch,
+    partial-merge, streaming state), one ground truth. Final-state
+    p50/p90/p99 resolve on the materialized sketch (sketch-sized batch
+    post-processing)."""
+    from min_flink_spark.operators.pipeline import (
+        log_histogram_sketch,
+        sketch_quantiles,
+    )
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    sk = log_histogram_sketch(
+        s.select(
+            "event_type", F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm")
+        ),
+        ["event_type"],
+        F.col("vm"),
+    )
+    final = run_to_completion(sk, output_mode="update")
+    return sketch_quantiles(final, ["event_type"], [50, 90, 99])
