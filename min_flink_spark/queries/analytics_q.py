@@ -428,10 +428,14 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a PRIOR session already materialized this exact artifact
         # (testdata is immutable, the name pins sf_dir + semantics) —
         # re-register the files instead of re-paying the self-join.
-        # The in-memory catalog lost the bucket spec, so this path
-        # reads as plain parquet: values identical, co-location not
-        # (only same-session reuse keeps the bucketed plan property).
-        spark.catalog.createTable(name, path=tdir, source="parquet")
+        # CLUSTERED BY restores the bucket spec the in-memory catalog
+        # lost (bucket ids live in the writer's file-name suffixes), so
+        # the cross-session path keeps the co-located plan property.
+        spark.sql(
+            f"CREATE TABLE {name} (src BIGINT, dst BIGINT) USING parquet "
+            f"CLUSTERED BY (src) SORTED BY (src, dst) INTO 16 BUCKETS "
+            f"LOCATION '{tdir}'"
+        )
         return spark.table(name)
     spark.sql(f"DROP TABLE IF EXISTS {name}")  # half-written leftovers
     _sh.rmtree(tdir, ignore_errors=True)
