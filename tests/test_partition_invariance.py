@@ -15,6 +15,10 @@ CASES = [
     "weighted_sample_topk",
     "pricing_summary",
     "semantic_dedup_survivors",
+    # r7: integer-micro prototype argmin and integer bin counts must
+    # not depend on how the corpus is partitioned
+    "prototype_label_agreement",
+    "sketch_quantiles_merged",
 ]
 
 

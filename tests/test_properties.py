@@ -802,3 +802,48 @@ def test_compaction_model_overflow_bound(sizes, target):
         assert sum(members) - max(members) < target
         if members[0] > target:
             assert len(members) == 1
+
+
+# ---------------------------------------------------------------------------
+# r7: mergeable log-histogram sketch — merge identity and quantile
+# containment on arbitrary inputs and arbitrary 2-way splits
+# ---------------------------------------------------------------------------
+
+vals_strategy = st.lists(
+    st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=vals_strategy, cut=st.integers(min_value=0, max_value=39), q=st.sampled_from([1, 25, 50, 90, 99, 100]))
+def test_sketch_merge_identity_and_quantile_containment(spark, vals, cut, q):
+    import pyspark.sql.functions as F
+
+    from min_flink_spark.operators.pipeline import (
+        log_histogram_sketch,
+        merge_histogram_sketches,
+        sketch_quantiles,
+    )
+
+    cut = min(cut, len(vals))
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, vm long")
+    a = spark.createDataFrame([("k", v) for v in vals[:cut]] or [("k", None)], "k string, vm long").filter("vm IS NOT NULL")
+    b = spark.createDataFrame([("k", v) for v in vals[cut:]] or [("k", None)], "k string, vm long").filter("vm IS NOT NULL")
+    direct = log_histogram_sketch(df, ["k"], F.col("vm"))
+    merged = merge_histogram_sketches(
+        log_histogram_sketch(a, ["k"], F.col("vm")),
+        log_histogram_sketch(b, ["k"], F.col("vm")),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+
+    got = sketch_quantiles(direct, ["k"], [q]).collect()
+    assert len(got) == 1
+    bin_, lo = got[0]["bin"], got[0]["lo_micro"]
+    # the chosen bin must CONTAIN the exact rank-ceil(q·n/100) value
+    import math
+    true_v = sorted(vals)[math.ceil(q * len(vals) / 100) - 1]
+    if true_v == 0:
+        assert bin_ == -1 and lo == 0
+    else:
+        assert bin_ == true_v.bit_length() - 1
+        assert lo == 2 ** bin_ and lo <= true_v < 2 * lo
