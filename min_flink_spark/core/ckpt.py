@@ -38,6 +38,28 @@ def unpersist_checkpoint(df: DataFrame, blocking: bool = False) -> int:
     return len(rdds)
 
 
+def attach_backing(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Expose the internal checkpointed frames a lazy ``result`` still
+    reads from as ``result._graft_backing``, so callers can free their
+    blocks deterministically AFTER consuming the result (the operator
+    itself cannot — the result is lazy). See ``release_backing``."""
+    result._graft_backing = list(frames)
+    return result
+
+
+def release_backing(result: DataFrame, blocking: bool = False) -> int:
+    """Free the checkpoint blocks behind ``result._graft_backing``
+    (a frame or list of frames; no-op when absent). Call only after the
+    result's last action — the backing is unrecomputable afterwards.
+    Returns #RDDs released."""
+    frames = getattr(result, "_graft_backing", None)
+    if frames is None:
+        return 0
+    if isinstance(frames, DataFrame):
+        frames = [frames]
+    return sum(unpersist_checkpoint(f, blocking) for f in frames)
+
+
 def _checkpoint_jrdds(df: DataFrame):
     leaves = df._jdf.queryExecution().analyzed().collectLeaves()
     out = []

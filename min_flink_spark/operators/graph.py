@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from min_flink_spark.core.ckpt import unpersist_checkpoint
+from min_flink_spark.core.ckpt import attach_backing, unpersist_checkpoint
 
 
 def connected_components(
@@ -106,6 +106,12 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if prev_ckpt is not None:
+        # ≥1 round ran, so the returned labels derive from the final
+        # round's checkpoint — the internal symmetrized edge list is
+        # unreachable downstream; free it (a long session running CC
+        # repeatedly would otherwise pin one edge-list copy per call)
+        unpersist_checkpoint(sym)
     if strict and not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} rounds "
@@ -193,7 +199,11 @@ def pagerank_integer(
                 ).cast("bigint").alias("rank"),
             )
         )
-    return ranks
+    # ranks is lazy and reads all three internal checkpoints — hand the
+    # caller the release handle (core.ckpt.release_backing after the
+    # final action); a loop computing many graphs' ranks would
+    # otherwise pin 3 frames per call for the session
+    return attach_backing(ranks, e, deg, nodes)
 
 
 def triangle_counts(
@@ -326,7 +336,10 @@ def triangle_counts(
                 .unionByName(tri.select(F.col("xk").bitwiseAND(mask).alias("node")))
                 .unionByName(tri.select(F.col("yk").bitwiseAND(mask).alias("node")))
             )
-        return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+        out = roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+        # pairs / (probed) deg / o back the lazy result — expose the
+        # release handle (core.ckpt.release_backing after the action)
+        return attach_backing(out, pairs, deg, o)
 
     lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
     o = keyed.select(
@@ -349,7 +362,8 @@ def triangle_counts(
         .unionByName(tri.select(F.col("x").alias("node")))
         .unionByName(tri.select(F.col("y").alias("node")))
     )
-    return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    out = roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return attach_backing(out, pairs, deg, o)
 
 
 def bfs_hops(
@@ -443,6 +457,8 @@ def k_core(
     for localCheckpointed frames on this Spark; the release targets the
     checkpoint RDD (core.ckpt.unpersist_checkpoint).
     """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     out: list[DataFrame] = []
     cur = edges
     prev: DataFrame | None = None

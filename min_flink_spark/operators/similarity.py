@@ -653,78 +653,79 @@ def pq_topk(
         )
     sample = sample.localCheckpoint(eager=True)
 
-    # ---- deterministic seed centroids: md5-bucket averages (JVM agg)
-    slices = F.array(*[F.slice(F.col("_v"), s * sd + 1, sd) for s in range(m)])
-    seed_rows = (
-        sample.select(F.col(id_col), F.posexplode(slices).alias("_s", "_sv"))
-        .withColumn(
-            "_code",
-            hash_bucket(
-                F.concat_ws(
-                    "|", F.col(id_col).cast("string"), F.col("_s").cast("string")
+    try:
+        # ---- deterministic seed centroids: md5-bucket averages (JVM agg)
+        slices = F.array(*[F.slice(F.col("_v"), s * sd + 1, sd) for s in range(m)])
+        seed_rows = (
+            sample.select(F.col(id_col), F.posexplode(slices).alias("_s", "_sv"))
+            .withColumn(
+                "_code",
+                hash_bucket(
+                    F.concat_ws(
+                        "|", F.col(id_col).cast("string"), F.col("_s").cast("string")
+                    ),
+                    codes_n,
                 ),
-                codes_n,
-            ),
+            )
+            .groupBy("_s", "_code")
+            .agg(*[F.avg(F.col("_sv")[j]).alias(f"c{j}") for j in range(sd)])
+            .collect()
         )
-        .groupBy("_s", "_code")
-        .agg(*[F.avg(F.col("_sv")[j]).alias(f"c{j}") for j in range(sd)])
-        .collect()
-    )
-    cents = np.full((m, codes_n, sd), np.inf)
-    for r in seed_rows:
-        cents[r["_s"], r["_code"]] = [r[f"c{j}"] for j in range(sd)]
+        cents = np.full((m, codes_n, sd), np.inf)
+        for r in seed_rows:
+            cents[r["_s"], r["_code"]] = [r[f"c{j}"] for j in range(sd)]
 
-    def _assign(V: "np.ndarray", cents_: "np.ndarray") -> "np.ndarray":
-        X = V.reshape(len(V), m, sd)
-        with np.errstate(over="ignore", invalid="ignore"):
-            d = ((X[:, :, None, :] - cents_[None]) ** 2).sum(-1)
-        return d.argmin(-1)  # ties → lowest code, deterministic
+        def _assign(V: "np.ndarray", cents_: "np.ndarray") -> "np.ndarray":
+            X = V.reshape(len(V), m, sd)
+            with np.errstate(over="ignore", invalid="ignore"):
+                d = ((X[:, :, None, :] - cents_[None]) ** 2).sum(-1)
+            return d.argmin(-1)  # ties → lowest code, deterministic
 
-    # ---- Lloyd refinements: map-side-combine kernel + driver reduce
-    partial_schema = "pid int, s int, code int, vsum array<double>, cnt bigint"
-    for _ in range(max(0, kmeans_iters - 1)):
-        cents_bc = cents  # closure capture (m*n_codes*sd floats, tiny)
+        # ---- Lloyd refinements: map-side-combine kernel + driver reduce
+        partial_schema = "pid int, s int, code int, vsum array<double>, cnt bigint"
+        for _ in range(max(0, kmeans_iters - 1)):
+            cents_bc = cents  # closure capture (m*n_codes*sd floats, tiny)
 
-        def _partials(batches):
-            from pyspark import TaskContext
+            def _partials(batches):
+                from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+                pid = TaskContext.get().partitionId()
+                sums = np.zeros((m, codes_n, sd))
+                cnts = np.zeros((m, codes_n), dtype=np.int64)
+                seen = False
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    seen = True
+                    V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                    codes = _assign(V, cents_bc)
+                    X = V.reshape(-1, m, sd)
+                    for s in range(m):
+                        np.add.at(sums[s], codes[:, s], X[:, s])
+                        np.add.at(cnts[s], codes[:, s], 1)
+                if not seen:
+                    return
+                rows = [
+                    (pid, s, cd, sums[s, cd].tolist(), int(cnts[s, cd]))
+                    for s in range(m)
+                    for cd in range(codes_n)
+                    if cnts[s, cd] > 0
+                ]
+                yield pd.DataFrame(rows, columns=["pid", "s", "code", "vsum", "cnt"])
+
+            partials = sample.mapInPandas(_partials, schema=partial_schema).collect()
             sums = np.zeros((m, codes_n, sd))
             cnts = np.zeros((m, codes_n), dtype=np.int64)
-            seen = False
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                seen = True
-                V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-                codes = _assign(V, cents_bc)
-                X = V.reshape(-1, m, sd)
-                for s in range(m):
-                    np.add.at(sums[s], codes[:, s], X[:, s])
-                    np.add.at(cnts[s], codes[:, s], 1)
-            if not seen:
-                return
-            rows = [
-                (pid, s, cd, sums[s, cd].tolist(), int(cnts[s, cd]))
-                for s in range(m)
-                for cd in range(codes_n)
-                if cnts[s, cd] > 0
-            ]
-            yield pd.DataFrame(rows, columns=["pid", "s", "code", "vsum", "cnt"])
-
-        partials = sample.mapInPandas(_partials, schema=partial_schema).collect()
-        sums = np.zeros((m, codes_n, sd))
-        cnts = np.zeros((m, codes_n), dtype=np.int64)
-        for r in sorted(partials, key=lambda r: (r["s"], r["code"], r["pid"])):
-            sums[r["s"], r["code"]] += np.array(r["vsum"])
-            cnts[r["s"], r["code"]] += r["cnt"]
-        cents = np.full((m, codes_n, sd), np.inf)
-        nz = cnts > 0
-        cents[nz] = sums[nz] / cnts[nz][:, None]
-
-    # codebook is a driver-side ndarray now — the sample's blocks are
-    # no longer reachable by anything downstream; free them
-    unpersist_checkpoint(sample)
+            for r in sorted(partials, key=lambda r: (r["s"], r["code"], r["pid"])):
+                sums[r["s"], r["code"]] += np.array(r["vsum"])
+                cnts[r["s"], r["code"]] += r["cnt"]
+            cents = np.full((m, codes_n, sd), np.inf)
+            nz = cnts > 0
+            cents[nz] = sums[nz] / cnts[nz][:, None]
+    finally:
+        # codebook (or the exception) is driver-side now — the
+        # sample's blocks must not outlive training either way
+        unpersist_checkpoint(sample)
 
     # ---- encode pass: (id, codes)
     final_cents = cents

@@ -37,9 +37,9 @@ from min_flink_spark.queries import windows  # noqa: F401
 #   19-50 the r2-stale block, longest-unchecked first (32 of 41).
 #
 # ROUND-8 ROTATION NOTE (verdict r6 item 7 — positions 51+ are
-# already in promotion order): the eight r2-stale leftovers open the
-# tail (51-59), then the 48-query r3 block (60-107), then the r5
-# block (108-157), then the r6-fresh block (158-198).  Promote
+# already in promotion order): the nine r2-stale leftovers open the
+# tail (51-59), then the 45 remaining r3 rows (60-104), then the r5
+# block (105-154), then the r6-fresh block (155-198).  Promote
 # 51-onward next round — r8's 50 slots take the 9 r2 leftovers plus
 # the first 41 of the r3 block; any query changed during round 8
 # jumps ahead of everything (changed always first).  The guardrail
@@ -117,7 +117,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 60-107: last driver row r3 ----
+    # ---- 60-104: last driver row r3 (45 of 48; the 3 dehinted sit in the prefix) ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -163,10 +163,10 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
+    # ---- 105-154: fresh r5 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
-    # ---- 108-157: fresh r5 rows ----
     "asof_join_click_to_signup",
     "coarse_to_fine_topk",
     "correlated_subquery_big_orders",
@@ -214,10 +214,10 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
+    # ---- 155-198: fresh r6 rows (rotate last; the 6 r7-changed sit in the prefix) ----
     "compaction_plan_bins",
     "video_mp4_stats",
     "bpe_merge_training",
-    # ---- 158-198: fresh r6 rows (rotate last) ----
     "bpe_tokenized_lengths",
     "contrastive_negative_pairs",
     "rfm_customer_scores",

@@ -1384,10 +1384,10 @@ _SKETCH_PCT = """
   FROM c WHERE 100 * cum >= {q} * total GROUP BY event_type
 """
 
-
-@query(
-    "sketch_quantiles_merged",
-    oracle=f"""
+# ONE ground truth for the sketch family: the batch-merge query and the
+# streaming-state twin (queries/streaming_q.py) must stay bit-identical
+# — both decorators reference THIS constant.
+SKETCH_QUANTILES_ORACLE = f"""
     WITH vm AS (
       SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
       FROM events
@@ -1415,8 +1415,10 @@ _SKETCH_PCT = """
            CASE WHEN bin < 0 THEN CAST(0 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) << bin END AS lo_micro
     FROM hits
-    """,
-)
+    """
+
+
+@query("sketch_quantiles_merged", oracle=SKETCH_QUANTILES_ORACLE)
 def q_sketch_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log₂-histogram quantiles (operators/pipeline.
     log_histogram_sketch) — the one-pass distributed percentile

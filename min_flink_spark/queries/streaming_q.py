@@ -940,44 +940,10 @@ def q_streaming_dedup_within_watermark(
     return run_to_completion(deduped, output_mode="update")
 
 
-_SKETCH_PCT_S = """
-  SELECT event_type, CAST({q} AS INT) AS pct, CAST(min(bin) AS INT) AS bin
-  FROM c WHERE 100 * cum >= {q} * total GROUP BY event_type
-"""
+from min_flink_spark.queries.analytics_q import SKETCH_QUANTILES_ORACLE
 
 
-@query(
-    "streaming_sketch_quantiles",
-    oracle=f"""
-    WITH vm AS (
-      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
-      FROM events
-    ),
-    b AS (
-      SELECT event_type,
-             CASE WHEN vm <= 0 THEN -1
-                  ELSE CAST(length(bin(vm)) - 1 AS INT) END AS bin,
-             count(*) AS cnt
-      FROM vm GROUP BY 1, 2
-    ),
-    t AS (SELECT event_type, sum(cnt) AS total FROM b GROUP BY 1),
-    c AS (
-      SELECT b.event_type, bin,
-             sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin) AS cum,
-             t.total
-      FROM b JOIN t USING (event_type)
-    ),
-    hits AS (
-      {_SKETCH_PCT_S.format(q=50)} UNION ALL
-      {_SKETCH_PCT_S.format(q=90)} UNION ALL
-      {_SKETCH_PCT_S.format(q=99)}
-    )
-    SELECT event_type, pct, bin,
-           CASE WHEN bin < 0 THEN CAST(0 AS BIGINT)
-                ELSE CAST(1 AS BIGINT) << bin END AS lo_micro
-    FROM hits
-    """,
-)
+@query("streaming_sketch_quantiles", oracle=SKETCH_QUANTILES_ORACLE)
 def q_streaming_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quantiles with BOUNDED state — the log-histogram
     sketch (operators/pipeline.log_histogram_sketch) as a streaming

@@ -241,7 +241,12 @@ def late_data_router(ts_col: str, delay_ms: int, on_time_fn, late_fn):
     batch's OWN checkpoint RDD, extracted from the LogicalRDD leaf of
     the checkpointed frame's plan (core.ckpt.unpersist_checkpoint) —
     targeted, so a second streaming query or a parallel job persisting
-    on the same SparkContext is never swept up."""
+    on the same SparkContext is never swept up. The flip side of
+    dropping the old context-wide sweep: blocks persisted INSIDE
+    ``on_time_fn``/``late_fn`` are now the callback's own to release
+    (use unpersist_checkpoint on frames it checkpoints) — a callback
+    that persists per batch and never frees grows without bound on an
+    unbounded stream."""
     state = {"max_ms": None}
 
     def route(bdf, batch_id: int) -> None:

@@ -164,3 +164,41 @@ def test_pq_topk_frees_training_sample(spark):
     )
     assert out.count() > 0
     assert _persistent_rdd_ids(_jsc(spark)) == before, "sample leaked"
+
+
+def test_pagerank_and_triangles_expose_release_handles(spark):
+    """The lazy results still read their internal checkpoints, so the
+    operators expose them as _graft_backing; release_backing() after
+    the final action must leave the registry clean."""
+    from min_flink_spark.core.ckpt import release_backing
+    from min_flink_spark.operators.graph import pagerank_integer, triangle_counts
+
+    before = _persistent_rdd_ids(_jsc(spark))
+    pairs = [(i, j) for i in range(1, 6) for j in range(1, 6) if i != j]
+    edges = spark.createDataFrame(pairs, "src int, dst int")
+    ranks = pagerank_integer(edges, iterations=2)
+    assert ranks.count() == 5
+    assert release_backing(ranks) >= 3
+    assert _persistent_rdd_ids(_jsc(spark)) == before
+
+    tri = triangle_counts(spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    ))
+    got = {r["node"]: r["n_triangles"] for r in tri.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    release_backing(tri)
+    assert _persistent_rdd_ids(_jsc(spark)) == before
+
+
+def test_connected_components_frees_internal_edge_checkpoint(spark):
+    """CC must not pin its symmetrized edge list after returning — only
+    the final labels checkpoint may remain (caller-releasable)."""
+    from min_flink_spark.core.ckpt import checkpoint_rdd_ids
+    from min_flink_spark.operators.graph import connected_components
+
+    before = _persistent_rdd_ids(_jsc(spark))
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "doc_a int, doc_b int")
+    labels = connected_components(edges)
+    leaked = _persistent_rdd_ids(_jsc(spark)) - before
+    assert leaked == set(checkpoint_rdd_ids(labels)), f"extra blocks: {leaked}"
+    unpersist_checkpoint(labels)
