@@ -1014,3 +1014,71 @@ def sketch_quantiles(
             F.expr("shiftleft(CAST(1 AS BIGINT), bin)")
         ),
     )
+
+
+def bottom_k_sketch(
+    df: DataFrame, keys: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Bottom-k (KMV) sketch — per key, the ``k`` smallest md5 hashes of
+    the DISTINCT ids, as ``(keys…, pos, hash, id)``: simultaneously a
+    deterministic uniform k-sample of each key's id population and a
+    distinct-count estimator (Bar-Yossef et al., "Counting distinct
+    elements in a data stream"), and MERGEABLE by construction:
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) — the defining
+    closure property of order-statistic sketches, exact (not
+    approximate) because a hash in the union's bottom-k must be in its
+    own shard's bottom-k. Duplicate ids hash identically and collapse
+    via the distinct, so the sample is over the SUPPORT, not the rows.
+
+    Hashes are 32-bit md5 prefixes (``functions.hashing.md5_prefix_int``
+    — replayable in any engine); ties (same id seen under two keys is
+    fine; identical hash for two ids is broken by id) keep the result
+    total-ordered and engine-exact. Plan: one distinct + one per-key
+    window that Spark rewrites to WindowGroupLimit (partial top-k
+    BEFORE the shuffle) — per-key state is k rows at any data size.
+    """
+    from min_flink_spark.functions.hashing import md5_prefix_int
+
+    d = df.select(*keys, F.col(id_col).alias("_id")).distinct()
+    h = md5_prefix_int(F.col("_id").cast("string"))
+    w = Window.partitionBy(*keys).orderBy(F.col("_h").asc(), F.col("_id").asc())
+    return (
+        d.withColumn("_h", h)
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*keys, "pos", F.col("_h").alias("hash"), F.col("_id").alias("id"))
+    )
+
+
+def merge_bottom_k(parts: list[DataFrame], keys: list[str], k: int) -> DataFrame:
+    """Merge bottom-k sketches (same keys/k): union the survivors,
+    dedup (an id present in several shards carries the SAME hash — it
+    must count once, exactly as in a direct sketch of the union), and
+    re-take the k smallest per key — rows examined = parts × keys × k,
+    never the data. Bit-identical to sketching the union directly."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy(*keys).orderBy(F.col("hash").asc(), F.col("id").asc())
+    return (
+        u.drop("pos")
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*keys, "pos", "hash", "id")
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate per key from a bottom-k sketch:
+    ``(k−1) · 2³² div h_k`` with ``h_k`` the k-th smallest 32-bit hash
+    (the standard KMV estimator, exact-integer arithmetic so the SQL
+    replay is bit-identical). Keys holding fewer than k distinct ids
+    report their EXACT count (the sketch IS the population there)."""
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("hash").alias("_hk")
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
+        F.expr(f"CAST(({k} - 1) * 4294967296 div _hk AS BIGINT)")
+    )
+    return agg.select(*keys, est.alias("distinct_est"))

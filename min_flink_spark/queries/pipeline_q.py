@@ -1890,3 +1890,72 @@ def q_compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_bytes").cast("bigint").alias("bin_bytes"),
         F.max("size_bytes").cast("bigint").alias("largest_file"),
     )
+
+
+@query(
+    "kmv_distinct_users",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS hash
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, hash, user_id,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY hash, user_id) AS pos
+      FROM h
+    ),
+    s AS (SELECT event_type, pos, hash, user_id AS id FROM r WHERE pos <= 8),
+    e AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             max(hash) AS hk
+      FROM s GROUP BY 1
+    )
+    SELECT s.event_type, CAST(s.pos AS INT) AS pos, s.hash,
+           CAST(s.id AS BIGINT) AS id,
+           CASE WHEN e.n < 8 THEN e.n
+                ELSE CAST(7 * 4294967296 // e.hk AS BIGINT) END AS distinct_est
+    FROM s JOIN e USING (event_type)
+    """,
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sketch under the gate (operators/pipeline.
+    bottom_k_sketch): per event type, the 8 smallest md5 hashes of the
+    distinct user ids — at once a deterministic uniform user sample and
+    the KMV distinct-count estimator, built here from TWO day-parity
+    shard sketches merged by union+dedup+re-rank. The oracle computes
+    the sketch DIRECTLY from all rows, so the gate row proves the
+    order-statistic closure bottom-k(A∪B) ≡ merge(bottom-k(A),
+    bottom-k(B)) bit-for-bit, including an id active in both shards
+    counting once. Estimate arithmetic is exact-integer
+    ((k−1)·2³² div h_k; exact count below k). Per-key state is k rows
+    at any data size; the per-shard top-k rides WindowGroupLimit."""
+    from min_flink_spark.operators.pipeline import (
+        bottom_k_sketch,
+        kmv_distinct_estimate,
+        merge_bottom_k,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.dayofmonth(F.col("ts").cast("timestamp")) % 2).alias("_shard"),
+    )
+    parts = [
+        bottom_k_sketch(
+            ev.filter(F.col("_shard") == s), ["event_type"], "user_id", k=8
+        )
+        for s in (0, 1)
+    ]
+    merged = merge_bottom_k(parts, ["event_type"], k=8)
+    est = kmv_distinct_estimate(merged, ["event_type"], k=8)
+    return merged.join(est, "event_type").select(
+        "event_type",
+        F.col("pos").cast("int").alias("pos"),
+        "hash",
+        F.col("id").cast("bigint").alias("id"),
+        "distinct_est",
+    )

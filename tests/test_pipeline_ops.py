@@ -755,3 +755,36 @@ def test_label_prototypes_and_nearest(spark):
     protos2 = label_prototypes(sym.filter("vec_id < 9"), dim=2)
     tie = nearest_prototype(sym.filter("vec_id = 9"), protos2, dim=2)
     assert tie.collect()[0]["predicted_label"] == 0
+
+
+def test_bottom_k_sketch_merge_identity_with_overlap(spark):
+    """bottom-k(A ∪ B) must equal merge(bottom-k(A), bottom-k(B)) even
+    when an id appears in BOTH shards (same hash → counts once), and
+    the estimator reports exact counts below k."""
+    import pyspark.sql.functions as F
+
+    from min_flink_spark.operators.pipeline import (
+        bottom_k_sketch,
+        kmv_distinct_estimate,
+        merge_bottom_k,
+    )
+
+    rows = [("t", i) for i in range(1, 30)] + [("u", 1), ("u", 2)]
+    df = spark.createDataFrame(rows, "k string, id bigint")
+    # overlapping shards: ids 10-19 present in both
+    a = df.filter("id < 20")
+    b = df.filter("id >= 10")
+    direct = bottom_k_sketch(df, ["k"], "id", k=5)
+    merged = merge_bottom_k(
+        [bottom_k_sketch(a, ["k"], "id", k=5), bottom_k_sketch(b, ["k"], "id", k=5)],
+        ["k"],
+        k=5,
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+    est = {r["k"]: r["distinct_est"] for r in
+           kmv_distinct_estimate(direct, ["k"], k=5).collect()}
+    assert est["u"] == 2  # below k -> exact
+    assert est["t"] > 0
+    # the per-key top-k must ride WindowGroupLimit (partial cut pre-shuffle)
+    plan = direct._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
