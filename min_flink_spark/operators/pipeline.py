@@ -1082,3 +1082,55 @@ def kmv_distinct_estimate(sketch: DataFrame, keys: list[str], k: int) -> DataFra
         F.expr(f"CAST(({k} - 1) * 4294967296 div _hk AS BIGINT)")
     )
     return agg.select(*keys, est.alias("distinct_est"))
+
+
+def kmv_pair_overlap(sketch: DataFrame, key: str, k: int) -> DataFrame:
+    """Pairwise segment overlap from bottom-k sketches ALONE — the KMV
+    set-operation trick (Beyer et al., "On synopses for distinct-value
+    estimation under multiset operations"): for segments A, B the k
+    smallest hashes of S_A ∪ S_B are EXACTLY bottom-k(A ∪ B) (closure),
+    and the fraction of them present in BOTH sketches estimates
+    Jaccard(A, B). Returns ``(key_a, key_b, k_eff, n_inter,
+    jaccard_pct)`` for every unordered segment pair — audience overlap
+    across segments without ever rescanning the data: every frame here
+    is sketch-sized (segments² × k rows), and the only non-equi join is
+    the segment-pair grid (≤ segments² rows, bounded by construction).
+
+    jaccard_pct is exact-integer ``100·n_inter div k_eff`` so the SQL
+    replay is bit-identical; k_eff < k means the union support itself
+    is below k and the estimate is exact.
+    """
+    segs = sketch.select(F.col(key).alias("_seg")).distinct()
+    pairs = (
+        segs.select(F.col("_seg").alias("key_a"))
+        .join(
+            segs.select(F.col("_seg").alias("key_b")),
+            on=F.col("key_a") < F.col("key_b"),
+        )
+    )
+    # equi-join members: explode each pair into its two member segments
+    plong = pairs.select(
+        "key_a", "key_b",
+        F.explode(F.array(F.col("key_a"), F.col("key_b"))).alias("_seg"),
+    )
+    u = sketch.select(F.col(key).alias("_seg"), "hash", "id")
+    members = (
+        plong.join(u, "_seg")
+        .groupBy("key_a", "key_b", "hash", "id")
+        .agg(F.count(F.lit(1)).alias("_sides"))  # 2 = in both sketches
+    )
+    w = Window.partitionBy("key_a", "key_b").orderBy(
+        F.col("hash").asc(), F.col("id").asc()
+    )
+    topu = members.withColumn("_pos", F.row_number().over(w)).filter(
+        F.col("_pos") <= k
+    )
+    return topu.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+        F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inter"),
+    ).withColumn(
+        "jaccard_pct",
+        F.expr("CAST(100 * n_inter div k_eff AS BIGINT)"),
+    )

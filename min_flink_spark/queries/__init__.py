@@ -29,20 +29,20 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         build; audio_wav_stats' RIFF-size fix; ann_pq_topk's
 #         sample-capped training — an OPERATOR change invisible to
 #         the source hash, promoted by hand),
-#   7-10  BRAND-NEW in r7 (sketch_quantiles_merged,
+#   7-11  BRAND-NEW in r7 (sketch_quantiles_merged,
 #         prototype_label_agreement, streaming_sketch_quantiles,
-#         kmv_distinct_users),
-#   11-15 the last five pre-r7 never-driver-checked queries — their
+#         kmv_distinct_users, kmv_segment_overlap),
+#   12-16 the last five pre-r7 never-driver-checked queries — their
 #         rows give every query hard driver evidence,
-#   16-19 the r2 filler + the three r4-dehinted queries,
-#   20-50 the r2-stale block, longest-unchecked first (31 of 41).
+#   17-20 the r2 filler + the three r4-dehinted queries,
+#   21-50 the r2-stale block, longest-unchecked first (30 of 41).
 #
 # ROUND-8 ROTATION NOTE (verdict r6 item 7 — positions 51+ are
-# already in promotion order): the ten r2-stale leftovers open the
-# tail (51-60), then the 45 remaining r3 rows (61-105), then the r5
-# block (106-155), then the r6-fresh block (156-199).  Promote
-# 51-onward next round — r8's 50 slots take the 10 r2 leftovers plus
-# the first 40 of the r3 block; any query changed during round 8
+# already in promotion order): the eleven r2-stale leftovers open the
+# tail (51-61), then the 45 remaining r3 rows (62-106), then the r5
+# block (107-156), then the r6-fresh block (157-200).  Promote
+# 51-onward next round — r8's 50 slots take the 11 r2 leftovers plus
+# the first 39 of the r3 block; any query changed during round 8
 # jumps ahead of everything (changed always first).  The guardrail
 # test enforces this shape — re-sorting this list IS the rotation.
 _PRIORITY = [
@@ -56,14 +56,15 @@ _PRIORITY = [
     "triangle_counts_copurchase",
     "audio_wav_stats",
     "ann_pq_topk",
-    # ---- 7-10: BRAND-NEW in r7 (mergeable log-histogram quantiles,
+    # ---- 7-11: BRAND-NEW in r7 (mergeable log-histogram quantiles,
     # batch + streaming-state modes; prototype label verification;
-    # bottom-k/KMV distinct sketch) ----
+    # bottom-k/KMV distinct sketch + KMV segment overlap) ----
     "sketch_quantiles_merged",
     "prototype_label_agreement",
     "streaming_sketch_quantiles",
     "kmv_distinct_users",
-    # ---- 11-15: the last five PRE-r7 never-driver-checked queries
+    "kmv_segment_overlap",
+    # ---- 12-16: the last five PRE-r7 never-driver-checked queries
     # (first-ever rows here close the pre-r7 registry: all 195 then
     # have hard evidence; the two r7 additions get theirs same-round) ----
     "simhash_hamming_pairs",
@@ -71,13 +72,13 @@ _PRIORITY = [
     "streaming_dedup_within_watermark",
     "interevent_gap_histogram",
     "csv_corrupt_record_quarantine",
-    # ---- 16: r2 filler displaced twice ----
+    # ---- 17: r2 filler displaced twice ----
     "array_function_sampler",
-    # ---- 17-19: r4-dehinted (plan changed after their r3 rows) ----
+    # ---- 18-20: r4-dehinted (plan changed after their r3 rows) ----
     "small_quantity_revenue",
     "disjunctive_predicate_revenue",
     "waiting_supplier_counts",
-    # ---- 20-50: r2-stale block, longest-unchecked first (31 of 41) ----
+    # ---- 21-50: r2-stale block, longest-unchecked first (30 of 41) ----
     "contamination_overlap",
     "corpus_drift_report",
     "cross_join_status_grid",
@@ -108,8 +109,8 @@ _PRIORITY = [
     "sliding_window_1d_6h",
     "streaming_dedup",
     "streaming_event_time_timer",
+    # ---- 51-61: r2-stale leftovers (r8 opens here — see ROUND-8 note) ----
     "streaming_interval_join",
-    # ---- 51-60: r2-stale leftovers (r8 opens here — see ROUND-8 note) ----
     "streaming_session_window",
     "streaming_sliding_window",
     "streaming_tumbling_window",
@@ -120,7 +121,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 61-105: last driver row r3 (45 of 48; the 3 dehinted sit in the prefix) ----
+    # ---- 62-106: last driver row r3 (45 of 48; the 3 dehinted sit in the prefix) ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -166,7 +167,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 106-155: fresh r5 rows ----
+    # ---- 107-156: fresh r5 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -217,7 +218,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 156-199: fresh r6 rows (rotate last; the 6 r7-changed sit in the prefix) ----
+    # ---- 157-200: fresh r6 rows (rotate last; the 6 r7-changed sit in the prefix) ----
     "compaction_plan_bins",
     "video_mp4_stats",
     "bpe_merge_training",

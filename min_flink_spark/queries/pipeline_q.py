@@ -1959,3 +1959,68 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("bigint").alias("id"),
         "distinct_est",
     )
+
+
+@query(
+    "kmv_segment_overlap",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS hash
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, hash, user_id,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY hash, user_id) AS pos
+      FROM h
+    ),
+    s AS (SELECT event_type, hash, user_id AS id FROM r WHERE pos <= 16),
+    segs AS (SELECT DISTINCT event_type FROM s),
+    pairs AS (
+      SELECT a.event_type AS key_a, b.event_type AS key_b
+      FROM segs a JOIN segs b ON a.event_type < b.event_type
+    ),
+    members AS (
+      SELECT p.key_a, p.key_b, s.hash, s.id, count(*) AS sides
+      FROM pairs p
+      JOIN s ON s.event_type = p.key_a OR s.event_type = p.key_b
+      GROUP BY 1, 2, 3, 4
+    ),
+    topu AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY key_a, key_b ORDER BY hash, id) AS upos
+      FROM members
+    ),
+    agg AS (
+      SELECT key_a, key_b,
+             CAST(count(*) AS BIGINT) AS k_eff,
+             CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inter
+      FROM topu WHERE upos <= 16 GROUP BY 1, 2
+    )
+    SELECT key_a, key_b, k_eff, n_inter,
+           CAST(100 * n_inter // k_eff AS BIGINT) AS jaccard_pct
+    FROM agg
+    """,
+)
+def q_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations (operators/pipeline.kmv_pair_overlap):
+    pairwise audience overlap between event-type segments computed from
+    their bottom-16 sketches ALONE — the k smallest hashes of two
+    sketches' union are exactly bottom-k of the segment union (closure),
+    and the fraction present in both sketches estimates Jaccard. At
+    100 TB the data is scanned once to sketch; every pair comparison is
+    sketch-sized (segments² × k rows), so adding a segment never
+    rescans the corpus. All arithmetic integer-exact; the oracle
+    replays sketch, union, and estimator verbatim."""
+    from min_flink_spark.operators.pipeline import (
+        bottom_k_sketch,
+        kmv_pair_overlap,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = bottom_k_sketch(ev, ["event_type"], "user_id", k=16)
+    return kmv_pair_overlap(sk, "event_type", k=16)

@@ -78,6 +78,10 @@ EXPECTED_CROSS = {
                                 # table broadcast into the corpus;
                                 # map-side min-struct collapses the ×L
                                 # expansion before any shuffle
+    "kmv_segment_overlap",      # segment-pair grid (distinct event
+                                # types² ≈ dozens of rows) over
+                                # sketch-sized frames — the data is
+                                # scanned once to sketch, never crossed
 }
 EXPECTED_SINGLE_PARTITION = {
     "global_sort_expensive_orders",  # the query IS a global sort
