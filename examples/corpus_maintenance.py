@@ -32,8 +32,14 @@ from min_flink_spark.functions.text import char_entropy_micro
 from min_flink_spark.operators.dedup import incremental_near_dup, near_dup_index
 from min_flink_spark.operators.inference import fake_quality_scorer, score_with_model
 from min_flink_spark.operators.pipeline import (
+    bottom_k_sketch,
     grouped_stats,
+    kmv_distinct_estimate,
+    log_histogram_sketch,
+    merge_bottom_k,
     merge_grouped_stats,
+    merge_histogram_sketches,
+    sketch_quantiles,
     snapshot_diff,
 )
 
@@ -85,6 +91,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     delta = grouped_stats(fresh, ["source"], F.col("n_chars"))
     merged = merge_grouped_stats(stored, delta)
     print("merged stats rows:", merged.count())
+
+    # 5. maintained quantiles: the stored log-histogram sketch merges
+    # with the delta's (count addition — bit-identical to a rescan),
+    # then p50/p95 resolve on the sketch-sized frame
+    vm = F.col("n_chars").cast("bigint")
+    sk_stored = log_histogram_sketch(yesterday, ["source"], vm)
+    sk_delta = log_histogram_sketch(fresh, ["source"], vm)
+    qs = sketch_quantiles(
+        merge_histogram_sketches(sk_stored, sk_delta), ["source"], [50, 95]
+    )
+    print("maintained quantile rows:", qs.count())
+
+    # 6. maintained distinct-author reach per source: bottom-k (KMV)
+    # sketches merge the same way; estimate without rescanning history
+    bk_stored = bottom_k_sketch(yesterday, ["source"], "doc_id", k=8)
+    bk_delta = bottom_k_sketch(fresh, ["source"], "doc_id", k=8)
+    bk = merge_bottom_k([bk_stored, bk_delta], ["source"], k=8)
+    print(
+        "distinct-doc estimates:",
+        {r["source"]: r["distinct_est"]
+         for r in kmv_distinct_estimate(bk, ["source"], k=8).collect()},
+    )
 
     spark.stop()
 

@@ -56,7 +56,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     seeds = edges.filter(F.col("src") < 5).select(F.col("src").alias("node"))
     hops = bfs_hops(edges, seeds, max_hops=3)
     core = (
-        k_core(edges, k=100, rounds=3)[-1]
+        # keep_all=False: only the fixed point is needed, so superseded
+        # peeling rounds are freed as the next round materializes
+        k_core(edges, k=100, rounds=3, keep_all=False)[-1]
         .select(F.col("src").alias("node"))
         .distinct()
         .withColumn("in_core", F.lit(True))
@@ -79,6 +81,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("parts in graph:", features.count())
     print("components:", features.select("component").distinct().count())
     features.orderBy(F.desc("pagerank_units")).show(5, truncate=False)
+    # deterministic block release now that every action has run: the
+    # lazy rank/triangle results still referenced internal checkpoints
+    from min_flink_spark.core.ckpt import release_backing, unpersist_checkpoint
+
+    release_backing(ranks)
+    release_backing(tris)
+    unpersist_checkpoint(edges)
     spark.stop()
 
 
