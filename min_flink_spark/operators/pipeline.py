@@ -1078,9 +1078,12 @@ def kmv_distinct_estimate(sketch: DataFrame, keys: list[str], k: int) -> DataFra
     agg = sketch.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n"), F.max("hash").alias("_hk")
     )
-    est = F.when(F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
-        F.expr(f"CAST(({k} - 1) * 4294967296 div _hk AS BIGINT)")
-    )
+    # _hk = 0 (all k survivors hashed to zero — 2^-32k pathological)
+    # would divide by zero; fall back to the survivor count, mirrored
+    # verbatim in the SQL oracles so both engines agree on the branch
+    est = F.when(
+        (F.col("_n") < k) | (F.col("_hk") <= 0), F.col("_n").cast("bigint")
+    ).otherwise(F.expr(f"CAST(({k} - 1) * 4294967296 div _hk AS BIGINT)"))
     return agg.select(*keys, est.alias("distinct_est"))
 
 

@@ -1916,7 +1916,7 @@ def q_compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.event_type, CAST(s.pos AS INT) AS pos, s.hash,
            CAST(s.id AS BIGINT) AS id,
-           CASE WHEN e.n < 8 THEN e.n
+           CASE WHEN e.n < 8 OR e.hk <= 0 THEN e.n
                 ELSE CAST(7 * 4294967296 // e.hk AS BIGINT) END AS distinct_est
     FROM s JOIN e USING (event_type)
     """,

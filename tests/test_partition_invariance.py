@@ -15,10 +15,13 @@ CASES = [
     "weighted_sample_topk",
     "pricing_summary",
     "semantic_dedup_survivors",
-    # r7: integer-micro prototype argmin and integer bin counts must
-    # not depend on how the corpus is partitioned
+    # r7: integer-micro prototype argmin, integer bin counts, and the
+    # (hash, id)-total-ordered KMV sketches must not depend on how the
+    # corpus is partitioned
     "prototype_label_agreement",
     "sketch_quantiles_merged",
+    "kmv_distinct_users",
+    "kmv_segment_overlap",
 ]
 
 
