@@ -1301,15 +1301,20 @@ def q_bfs_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # start from co-located buckets, and the lineitem self-join is paid
     # once per session across the graph family (no per-query
     # checkpoint needed — the scan IS the materialization)
+    from min_flink_spark.core.ckpt import attach_backing
+
     edges = copurchase_edges(spark, sf_dir)
     seeds = edges.filter(F.col("src") < 5).select(F.col("src").alias("node"))
     reached = bfs_hops(edges, seeds, max_hops=3)
-    return reached.groupBy("hops").agg(
+    out = reached.groupBy("hops").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").cast("bigint").alias("min_node"),
         F.max("node").cast("bigint").alias("max_node"),
         F.sum("node").cast("bigint").alias("node_checksum"),
     )
+    # the census is lazy over the final visited checkpoint — expose the
+    # release handle (core.ckpt.release_backing after the action)
+    return attach_backing(out, reached)
 
 
 _KCORE_ROUND = """
@@ -1364,6 +1369,8 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the graph family); degree hash-aggs on src run from co-located
     # buckets — no checkpoint needed, the scan is the materialization
     edges = copurchase_edges(spark, sf_dir)
+    from min_flink_spark.core.ckpt import attach_backing
+
     rounds = k_core(edges, k=100, rounds=3)
     stats = None
     for i, df in enumerate(rounds, start=1):
@@ -1376,7 +1383,9 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("node_checksum"),
         )
         stats = s if stats is None else stats.unionByName(s)
-    return stats
+    # the trajectory census reads every round's checkpoint — expose the
+    # release handle (core.ckpt.release_backing after the action)
+    return attach_backing(stats, *rounds)
 
 
 _SKETCH_PCT = """
