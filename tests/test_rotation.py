@@ -99,18 +99,45 @@ def test_changed_queries_lead_unchanged_never_checked():
     )
 
 
-def test_r5_arrangement_would_fail():
-    """Self-check that guardrail (a) has teeth: simulate the round-5
-    prefix (the 50 queries whose last driver row is r5 — byte-for-byte
-    the set the r5 gate re-checked) and assert the rule rejects it."""
-    names, last, never, _ = _state()
-    r5_prefix = [n for n in names if last.get(n) == 5]
-    assert len(r5_prefix) == 50
-    simulated = r5_prefix + [n for n in names if n not in set(r5_prefix)]
-    waiting = [n for n in simulated[PREFIX:] if n in never]
+def _rule_a_violations(arrangement, last, never, changed):
+    """The exact rule test (a) enforces, factored out so the teeth
+    check below can run it on a SYNTHETIC state (VERDICT r7 item 1:
+    the old self-check drew its never-checked set from the live
+    ledger, which emptied for good once all 200 queries had driver
+    rows, leaving the test permanently red)."""
+    waiting_outside = [n for n in arrangement[PREFIX:] if n in never]
+    if not waiting_outside:
+        return [], []
     offenders = [
         n
-        for n in simulated[:PREFIX]
-        if n not in never and last.get(n, 0) > DEEP_STALE
+        for n in arrangement[:PREFIX]
+        if n not in never and n not in changed and last.get(n, 0) > DEEP_STALE
     ]
+    return waiting_outside, offenders
+
+
+def test_r5_arrangement_would_fail():
+    """Self-check that guardrail (a) has teeth, on a synthetic state
+    modeled on the round-5 failure: 50 fresh-row (r5) queries hold the
+    whole prefix while 47 never-checked queries wait outside.  Built
+    from fabricated names so it holds regardless of how much driver
+    evidence the live ledger accumulates."""
+    fresh = [f"fresh_{i:03d}" for i in range(PREFIX)]
+    unchecked = [f"unchecked_{i:03d}" for i in range(47)]
+    arrangement = fresh + unchecked
+    last = {n: 5 for n in fresh}  # r5 rows: fresh, not deep-stale
+    never = set(unchecked)
+    waiting, offenders = _rule_a_violations(arrangement, last, never, set())
     assert waiting and offenders, "guardrail lost its teeth"
+    # The rule must also still ACCEPT a lawful arrangement: unchecked
+    # queries in the prefix, fresh rows relegated behind them.
+    lawful = unchecked + fresh
+    waiting, offenders = _rule_a_violations(lawful, last, never, set())
+    assert not waiting and not offenders
+    # And a deliberately weakened rule input (everything marked
+    # changed) must disarm it — proving `changed` is what excuses a
+    # fresh row, not an accident of the fixture.
+    waiting, offenders = _rule_a_violations(
+        arrangement, last, never, set(fresh)
+    )
+    assert waiting and not offenders
