@@ -31,7 +31,17 @@ def checkpoint_rdd_ids(df: DataFrame) -> list[int]:
 
 
 def unpersist_checkpoint(df: DataFrame, blocking: bool = False) -> int:
-    """Free ``df``'s localCheckpoint blocks; returns #RDDs released."""
+    """Free ``df``'s localCheckpoint blocks; returns #RDDs released.
+
+    SCOPE WARNING (ADVICE r7): this frees EVERY persisted LogicalRDD
+    leaf in ``df``'s analyzed plan, not only blocks ``df`` itself
+    created. Pass a frame YOU checkpointed (its plan is then the single
+    LogicalRDD of that checkpoint). Passing a DERIVED frame whose plan
+    joins someone else's still-needed checkpointed DataFrame releases
+    the other frame's blocks too and makes it unrecomputable (a
+    checkpoint truncates lineage — there is nothing to rebuild from).
+    Every in-repo caller passes self-checkpointed frames; keep it that
+    way."""
     rdds = _checkpoint_jrdds(df)
     for r in rdds:
         r.unpersist(blocking)
@@ -45,6 +55,23 @@ def attach_backing(result: DataFrame, *frames: DataFrame) -> DataFrame:
     itself cannot — the result is lazy). See ``release_backing``."""
     result._graft_backing = list(frames)
     return result
+
+
+def carry_backing(result: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Move the ``_graft_backing`` handles of ``sources`` onto
+    ``result`` — for query wrappers whose final ``select``/``top_k``
+    returns a NEW DataFrame that silently drops the attribute (the
+    ADVICE r7 pagerank/triangles leak: the operator attached the
+    handle, the wrapper's projection lost it, and the gate could never
+    release). Sources without a handle contribute nothing."""
+    frames: list[DataFrame] = []
+    for s in sources:
+        b = getattr(s, "_graft_backing", None)
+        if isinstance(b, DataFrame):
+            frames.append(b)
+        elif b:
+            frames.extend(b)
+    return attach_backing(result, *frames)
 
 
 def release_backing(result: DataFrame, blocking: bool = False) -> int:

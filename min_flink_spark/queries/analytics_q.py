@@ -507,16 +507,21 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed ``copurchase_edges`` table, so each round's src-side
     join starts from co-located buckets. Top-100 rides
     TakeOrderedAndProject."""
+    from min_flink_spark.core.ckpt import carry_backing
     from min_flink_spark.operators.graph import pagerank_integer
     from min_flink_spark.operators.relational import top_k
 
     edges = copurchase_edges(spark, sf_dir)
     ranks = pagerank_integer(edges, iterations=3)
-    return top_k(
+    out = top_k(
         ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("rank_units")),
         k=100,
         order_by=[F.col("rank_units").desc(), F.col("part_id").asc()],
     )
+    # top_k returns a NEW frame — carry the operator's checkpoint
+    # release handle onto it (core.ckpt.release_backing after the
+    # action), as the bfs/kcore wrappers do
+    return carry_backing(out, ranks)
 
 
 @query(
@@ -576,9 +581,14 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetrized bucketed table (one filter on a co-located scan; the
     # lineitem self-join is paid once per session across the family)
     edges = copurchase_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
-    return triangle_counts(edges).select(
-        F.col("node").alias("part_id"), F.col("n_triangles")
-    )
+    from min_flink_spark.core.ckpt import carry_backing
+
+    tri = triangle_counts(edges)
+    out = tri.select(F.col("node").alias("part_id"), F.col("n_triangles"))
+    # .select() returns a NEW frame — carry the operator's checkpoint
+    # release handle onto it (core.ckpt.release_backing after the
+    # action), as the bfs/kcore wrappers do
+    return carry_backing(out, tri)
 
 
 @query(

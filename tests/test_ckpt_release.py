@@ -202,3 +202,28 @@ def test_connected_components_frees_internal_edge_checkpoint(spark):
     leaked = _persistent_rdd_ids(_jsc(spark)) - before
     assert leaked == set(checkpoint_rdd_ids(labels)), f"extra blocks: {leaked}"
     unpersist_checkpoint(labels)
+
+
+def test_gated_graph_queries_release_clean(spark, sf_dir):
+    """VERDICT r7 item 6: every gated graph query's RETURNED frame must
+    carry the release handle (pagerank/triangles used to lose it in
+    their final top_k/select — ADVICE r7), so the gate loop's
+    collect + release_backing leaves ZERO persisted graph RDDs. The
+    shared copurchase edge table is disk-bucketed, not RDD-persisted,
+    so the registry must return exactly to its baseline."""
+    from min_flink_spark.core.ckpt import release_backing
+    from min_flink_spark.queries import QUERIES
+
+    before = _persistent_rdd_ids(_jsc(spark))
+    for name in (
+        "bfs_reach_copurchase",
+        "kcore_copurchase",
+        "pagerank_copurchase",
+        "triangle_counts_copurchase",
+    ):
+        out = QUERIES[name](spark, sf_dir)
+        assert out.count() > 0
+        assert release_backing(out) >= 1, f"{name} lost its release handle"
+        assert _persistent_rdd_ids(_jsc(spark)) == before, (
+            f"{name} left persisted RDDs pinned"
+        )

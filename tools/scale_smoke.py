@@ -150,6 +150,10 @@ def shapes(spark, rows: int):
         from min_flink_spark.operators.similarity import pq_topk
 
         corpus = _vectors(n_vec)
+        # corpus_count: the smoke KNOWS the size — on synthetic sources
+        # the count() it replaces is a full generation pass (r7's
+        # below-crossover penalty); parquet callers get it almost free
+        # from footer metadata either way
         return pq_topk(
             corpus,
             corpus.filter(F.col("vec_id") < 10),
@@ -157,6 +161,7 @@ def shapes(spark, rows: int):
             n_codes=32,
             shortlist_mult=20,
             kmeans_iters=3,
+            corpus_count=n_vec,
         ).count()
 
     yield "pq_topk", _pq
