@@ -1892,9 +1892,12 @@ def q_compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kmv_distinct_users",
-    oracle="""
+# ONE ground truth for the bottom-k family: the batch-merge query and
+# the streaming-state twin (queries/streaming_q.py) must stay
+# bit-identical — both decorators reference THIS constant (the same
+# one-operator-three-modes-one-oracle discipline as
+# SKETCH_QUANTILES_ORACLE).
+KMV_DISTINCT_ORACLE = """
     WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
     h AS (
       SELECT event_type, user_id,
@@ -1919,8 +1922,10 @@ def q_compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN e.n < 8 OR e.hk <= 0 THEN e.n
                 ELSE CAST(7 * 4294967296 // e.hk AS BIGINT) END AS distinct_est
     FROM s JOIN e USING (event_type)
-    """,
-)
+    """
+
+
+@query("kmv_distinct_users", oracle=KMV_DISTINCT_ORACLE)
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k (KMV) sketch under the gate (operators/pipeline.
     bottom_k_sketch): per event type, the 8 smallest md5 hashes of the

@@ -432,3 +432,66 @@ def test_complete_mode_requires_bounded_key_grouped_aggregate(spark):
         "complete-mode usage outside the audited bounded-key sites: "
         + ", ".join(offenders)
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming bottom-k (KMV) sketch (streaming/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_bottom_k_matches_batch_across_batches(spark, tmp_path):
+    """The state transition state ← bottom-k(state ∪ batch) must equal
+    the batch sketch of ALL rows regardless of micro-batch boundaries:
+    stage two files, force one file per trigger, and compare the
+    merged emissions against operators/pipeline.bottom_k_sketch over
+    the union. Also pins the keys × k state contract: every emitted
+    sketch holds ≤ k rows per key."""
+    from min_flink_spark.operators.pipeline import bottom_k_sketch, merge_bottom_k
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.sketches import streaming_bottom_k
+
+    schema = "event_type string, user_id bigint"
+    b1 = spark.createDataFrame(
+        [("click", i) for i in range(30)] + [("view", i) for i in range(10)],
+        schema,
+    )
+    # overlap: users 20-29 recur in batch 2 and must count once
+    b2 = spark.createDataFrame(
+        [("click", i) for i in range(20, 50)] + [("view", 99)], schema
+    )
+    src = str(tmp_path / "kmv_two_batches")
+    b1.coalesce(1).write.parquet(src + "/f=a")
+    b2.coalesce(1).write.parquet(src + "/f=b")
+    import glob as _glob
+
+    flat = str(tmp_path / "kmv_flat")
+    os.makedirs(flat)
+    for i, f in enumerate(
+        sorted(_glob.glob(src + "/f=*/**/*.parquet", recursive=True))
+    ):
+        os.link(f, os.path.join(flat, f"{i:02d}.parquet"))
+
+    s = stream_parquet(spark, flat, schema, max_files_per_trigger=1)
+    with shuffle_partitions(spark, 2):
+        emitted = run_to_completion(
+            streaming_bottom_k(s, "event_type", "event_type string", "user_id", k=5),
+            output_mode="update",
+        )
+    rows = emitted.collect()
+    # state/emission contract: ≤ k rows per key per emission (pos ≤ k)
+    assert max(r["pos"] for r in rows) <= 5
+    got = {
+        tuple(r)
+        for r in merge_bottom_k([emitted], ["event_type"], k=5)
+        .select("event_type", "pos", "hash", "id")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in bottom_k_sketch(
+            b1.unionByName(b2), ["event_type"], "user_id", k=5
+        )
+        .select("event_type", "pos", "hash", F.col("id").cast("bigint"))
+        .collect()
+    }
+    assert got == want
