@@ -1137,3 +1137,95 @@ def kmv_pair_overlap(sketch: DataFrame, key: str, k: int) -> DataFrame:
         "jaccard_pct",
         F.expr("CAST(100 * n_inter div k_eff AS BIGINT)"),
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 128,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, "An improved data
+    stream summary: the count-min sketch and its applications") — the
+    one-pass mergeable FREQUENCY estimator, completing the engine's
+    sketch trio (log₂-histogram → quantiles, bottom-k/KMV → distinct
+    counts, CMS → per-item counts). Returns the ``depth × width``
+    counter grid as rows ``(d, w, cnt)``: row ``d``'s hash of an item
+    is ``md5_bucket(item ‖ ':' ‖ d, width)`` — deterministic,
+    replayable in any engine, and pairwise-independent enough in
+    practice (each row keys a DIFFERENT md5 preimage).
+
+    Merge = counter addition (see ``merge_cms``), so per-shard/per-day
+    partials roll up with zero drift: sketch(A ∪ B) ≡
+    merge(sketch(A), sketch(B)) bit-for-bit. Estimates (``cms_estimate``)
+    are min-over-rows and NEVER undercount; overcount is bounded by
+    e·N/width with probability 1 − e^−depth.
+
+    Plan shape at 100 TB: one scan, a ``depth``-way posexplode (row
+    expansion BEFORE a map-side-combine hash agg that collapses to
+    ≤ depth × width rows per partition), one shuffle of the grid-sized
+    frame. As a streaming aggregation the state is the grid itself —
+    depth × width counters at any stream length. ``keys`` prefixes the
+    grid (one sub-sketch per key value, e.g. a shard column) so ALL
+    per-shard partials come out of a single scan, the same
+    shard-rides-as-sketch-key discipline as ``log_histogram_sketch``
+    and ``bottom_k_sketch`` gate queries.
+    """
+    from min_flink_spark.functions.hashing import hash_bucket
+
+    keys = keys or []
+    cells = F.array(
+        *[
+            hash_bucket(
+                F.concat_ws(":", F.col(item_col).cast("string"), F.lit(str(i))),
+                width,
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(*keys, F.posexplode(cells).alias("d", "w"))
+        .groupBy(*keys, "d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_cms(*parts: DataFrame) -> DataFrame:
+    """Merge count-min sketches (same depth/width): counter addition —
+    rows examined = parts × depth × width, never the data."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str,
+    depth: int = 4, width: int = 128,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each item
+    in ``items`` (a SMALL frame — it broadcasts), recompute its
+    ``depth`` cell coordinates, look them up in the grid, and take the
+    row-minimum. Returns ``(item_col, cms_est)``; an item whose cell
+    was never touched reports 0 (the grid stores no explicit zeros).
+    All arithmetic is exact-integer, so the SQL replay is
+    bit-identical. Cost: items × depth grid lookups — sketch-sized,
+    the data is never rescanned."""
+    from min_flink_spark.functions.hashing import hash_bucket
+
+    cells = F.array(
+        *[
+            hash_bucket(
+                F.concat_ws(":", F.col(item_col).cast("string"), F.lit(str(i))),
+                width,
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = items.select(item_col, F.posexplode(cells).alias("d", "w"))
+    return (
+        probes.join(sketch, ["d", "w"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

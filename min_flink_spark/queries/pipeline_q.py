@@ -2029,3 +2029,82 @@ def q_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     sk = bottom_k_sketch(ev, ["event_type"], "user_id", k=16)
     return kmv_pair_overlap(sk, "event_type", k=16)
+
+
+# ONE ground truth for the count-min family: the batch-merge query and
+# the streaming-state twin (queries/streaming_q.py) must stay
+# bit-identical — both decorators reference THIS constant (the
+# one-operator-three-modes-one-oracle discipline of the sketch trio).
+CMS_TERMS_ORACLE = f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt,
+             row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+      FROM tok GROUP BY term
+    ),
+    top AS (SELECT term, exact_cnt FROM exact WHERE rn <= 10),
+    dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(term || ':' || CAST(d AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 128 AS w,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok, dd GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT t.term, t.exact_cnt, dd.d,
+             CAST(('0x' || substr(md5(t.term || ':' || CAST(dd.d AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 128 AS w
+      FROM top t, dd
+    )
+    SELECT p.term, p.exact_cnt,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes p LEFT JOIN cells c USING (d, w)
+    GROUP BY 1, 2
+    """
+
+
+@query("cms_term_frequencies", oracle=CMS_TERMS_ORACLE)
+def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch under the gate (operators/pipeline.
+    count_min_sketch): per-token frequency estimates from a 4×128
+    counter grid built from TWO doc-id-parity shard sketches merged by
+    counter addition — the third leg of the sketch trio (quantiles →
+    log₂-histogram, distinct → KMV, frequencies → CMS). The probe set
+    is the exact top-10 tokens (count desc, term asc — deterministic),
+    and the oracle replays shard split, hashing, merge, and
+    min-over-rows estimate verbatim, so the gate row proves
+    merge(cms(A), cms(B)) ≡ cms(A ∪ B) bit-for-bit AND that every
+    estimate carries CMS's never-undercount guarantee against the
+    exact count computed alongside. At 100 TB: one token scan into a
+    map-side-combined 4×128-row grid per shard; estimates touch only
+    grid-sized frames."""
+    from min_flink_spark.functions.text import tokens
+    from min_flink_spark.operators.pipeline import (
+        cms_estimate,
+        count_min_sketch,
+        merge_cms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("_shard"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    # ONE scan builds both per-shard partials (shard rides as a sketch
+    # key); the shard split for the merge happens on the GRID-sized
+    # frame — in production each day's partial is its own stored table
+    partials = count_min_sketch(tok, "term", keys=["_shard"])
+    merged = merge_cms(
+        *[partials.filter(F.col("_shard") == s).drop("_shard") for s in (0, 1)]
+    )
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
+        .limit(10)
+    )
+    est = cms_estimate(merged, top.select("term"), "term")
+    return top.join(est, "term").select("term", "exact_cnt", "cms_est")

@@ -1020,3 +1020,42 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("bigint").alias("id"),
         "distinct_est",
     )
+
+
+from min_flink_spark.queries.pipeline_q import CMS_TERMS_ORACLE
+
+
+@query("streaming_cms_counts", oracle=CMS_TERMS_ORACLE)
+def q_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min sketch with BOUNDED state — the CMS grid as
+    a streaming aggregation: state is depth × width = 4×128 counters
+    however many tokens flow through (operators/pipeline.
+    count_min_sketch is a plain posexplode + groupBy, so the SAME code
+    runs batch, partial-merge, and here as streaming state — sketch
+    trio complete in all three modes). Per-cell counts are cumulative
+    and monotonically nondecreasing, so emissions collapse
+    batch-count-invariantly by per-cell MAX (the latest value),
+    mirroring merge_bottom_k's closure collapse for the KMV twin.
+    Probe items (exact top-10 tokens) and estimates resolve on the
+    grid-sized final state; shares the batch twin's direct-SQL oracle
+    — one operator, three execution modes, one ground truth."""
+    from min_flink_spark.functions.text import tokens
+    from min_flink_spark.operators.pipeline import cms_estimate, count_min_sketch
+    from min_flink_spark.sources import load_table
+
+    s = stream_parquet(spark, f"{sf_dir}/documents.parquet", DOCS_SCHEMA)
+    tok_s = s.select(F.explode(tokens(F.col("text"))).alias("term"))
+    emitted = run_to_completion(count_min_sketch(tok_s, "term"), output_mode="update")
+    grid = emitted.groupBy("d", "w").agg(F.max("cnt").alias("cnt"))
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
+        .limit(10)
+    )
+    est = cms_estimate(grid, top.select("term"), "term")
+    return top.join(est, "term").select("term", "exact_cnt", "cms_est")

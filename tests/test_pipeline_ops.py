@@ -788,3 +788,61 @@ def test_bottom_k_sketch_merge_identity_with_overlap(spark):
     # the per-key top-k must ride WindowGroupLimit (partial cut pre-shuffle)
     plan = direct._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (operators/pipeline.count_min_sketch family)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_merge_identity_and_never_undercounts(spark):
+    """merge(cms(A), cms(B)) must equal cms(A ∪ B) bit-for-bit (counter
+    addition), the grid must stay within depth × width rows, and every
+    point estimate must be ≥ the exact count (the CMS one-sided error
+    guarantee)."""
+    from min_flink_spark.operators.pipeline import (
+        cms_estimate,
+        count_min_sketch,
+        merge_cms,
+    )
+
+    items = [f"w{i % 37}" for i in range(500)] + ["hot"] * 200
+    df = spark.createDataFrame([(x,) for x in items], "term string")
+    half = len(items) // 2
+    a = spark.createDataFrame([(x,) for x in items[:half]], "term string")
+    b = spark.createDataFrame([(x,) for x in items[half:]], "term string")
+
+    direct = count_min_sketch(df, "term", depth=3, width=32)
+    merged = merge_cms(
+        count_min_sketch(a, "term", depth=3, width=32),
+        count_min_sketch(b, "term", depth=3, width=32),
+    )
+    d = {(r["d"], r["w"]): r["cnt"] for r in direct.collect()}
+    m = {(r["d"], r["w"]): r["cnt"] for r in merged.collect()}
+    assert d == m
+    assert len(d) <= 3 * 32
+    assert sum(c for (dd, _), c in d.items() if dd == 0) == len(items)
+
+    import collections
+
+    exact = collections.Counter(items)
+    probe = spark.createDataFrame([(t,) for t in exact], "term string")
+    est = {
+        r["term"]: r["cms_est"]
+        for r in cms_estimate(direct, probe, "term", depth=3, width=32).collect()
+    }
+    assert all(est[t] >= c for t, c in exact.items())
+    # the deliberately-hot item dominates its cells: estimate is tight
+    assert est["hot"] >= 200
+
+
+def test_cms_estimate_unseen_item_is_zero_or_collision(spark):
+    """An item never inserted reports the min of its cells — zero when
+    untouched, a collision overcount otherwise, never negative."""
+    from min_flink_spark.operators.pipeline import cms_estimate, count_min_sketch
+
+    df = spark.createDataFrame([("a",), ("b",)], "term string")
+    sk = count_min_sketch(df, "term", depth=4, width=1024)
+    probe = spark.createDataFrame([("never-seen-token",)], "term string")
+    (row,) = cms_estimate(sk, probe, "term", depth=4, width=1024).collect()
+    assert row["cms_est"] >= 0
