@@ -24,92 +24,44 @@ from min_flink_spark.queries import windows  # noqa: F401
 # the ledger (python tools/rotation_ledger.py --write) ONLY when
 # rearranging this list.
 #
-# ROUND-7 PREFIX (positions 1-50), executing the r6 verdict item 1:
-#   1-6   changed in r7 (the graph family's shared bucketed edge
-#         build; audio_wav_stats' RIFF-size fix; ann_pq_topk's
-#         sample-capped training — an OPERATOR change invisible to
-#         the source hash, promoted by hand),
-#   7-11  BRAND-NEW in r7 (sketch_quantiles_merged,
-#         prototype_label_agreement, streaming_sketch_quantiles,
-#         kmv_distinct_users, kmv_segment_overlap),
-#   12-16 the last five pre-r7 never-driver-checked queries — their
-#         rows give every query hard driver evidence,
-#   17-20 the r2 filler + the three r4-dehinted queries,
-#   21-50 the r2-stale block, longest-unchecked first (30 of 41).
+# ROUND-8 PREFIX (positions 1-50), executing the r7 verdict item 2
+# (the written r8 rotation, adjusted for r8's own changed/new queries
+# — changed always first):
+#   1-4   changed in r8 (pagerank/triangles release-handle carry,
+#         kmv_distinct_users oracle-constant extraction, ann_pq_topk's
+#         PQ threshold/corpus_count fix — an OPERATOR change invisible
+#         to the source hash, promoted by hand as in r7),
+#   5-7   BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
+#         execution mode; cms_term_frequencies + streaming_cms_counts
+#         — the count-min family, sketch trio complete),
+#   8-18  the ELEVEN r2-stale leftovers — after their rows, no query's
+#         latest evidence predates r3,
+#   19-50 the r3-stale block, first 32 of 45 (alphabetical).
 #
-# ROUND-8 ROTATION NOTE (verdict r6 item 7 — positions 51+ are
-# already in promotion order): the eleven r2-stale leftovers open the
-# tail (51-61), then the 45 remaining r3 rows (62-106), then the r5
-# block (107-156), then the r6-fresh block (157-200).  Promote
-# 51-onward next round — r8's 50 slots take the 11 r2 leftovers plus
-# the first 39 of the r3 block; any query changed during round 8
-# jumps ahead of everything (changed always first).  The guardrail
-# test enforces this shape — re-sorting this list IS the rotation.
+# ROUND-9 ROTATION NOTE (positions 51+ are already in promotion
+# order): the 13 r3-stale leftovers open the tail (51-63), then the
+# r5 block (64-113), then the r6 block (114-157), then the r7-fresh
+# rows (158-203).  Promote 51-onward next round — r9's 50 slots take
+# the 13 r3 leftovers plus the first 37 of the r5 block; any query
+# changed during round 9 jumps ahead of everything (changed always
+# first).  The guardrail test enforces this shape — re-sorting this
+# list IS the rotation.
 _PRIORITY = [
-    # ---- 1-6: changed in r7 (shared bucketed co-purchase edge build:
-    # bfs/kcore/pagerank/triangles; WAV RIFF-size fix: audio_wav_stats;
-    # PQ sample-capped training + f32 transport: ann_pq_topk — operator
-    # change, hash-invisible, promoted manually) ----
-    "bfs_reach_copurchase",
-    "kcore_copurchase",
+    # ---- 1-4: changed in r8 (pagerank/triangles: release-handle
+    # carry onto the final frame; kmv_distinct_users: oracle extracted
+    # to the shared KMV_DISTINCT_ORACLE constant; ann_pq_topk: PQ
+    # training-threshold fix + corpus_count — operator change,
+    # hash-invisible, promoted by hand as in r7) ----
     "pagerank_copurchase",
     "triangle_counts_copurchase",
-    "audio_wav_stats",
-    "ann_pq_topk",
-    # ---- 7-11: BRAND-NEW in r7 (mergeable log-histogram quantiles,
-    # batch + streaming-state modes; prototype label verification;
-    # bottom-k/KMV distinct sketch + KMV segment overlap) ----
-    "sketch_quantiles_merged",
-    "prototype_label_agreement",
-    "streaming_sketch_quantiles",
     "kmv_distinct_users",
-    "kmv_segment_overlap",
-    # ---- 12-16: the last five PRE-r7 never-driver-checked queries
-    # (first-ever rows here close the pre-r7 registry: all 195 then
-    # have hard evidence; the two r7 additions get theirs same-round) ----
-    "simhash_hamming_pairs",
-    "streaming_complete_topk",
-    "streaming_dedup_within_watermark",
-    "interevent_gap_histogram",
-    "csv_corrupt_record_quarantine",
-    # ---- 17: r2 filler displaced twice ----
-    "array_function_sampler",
-    # ---- 18-20: r4-dehinted (plan changed after their r3 rows) ----
-    "small_quantity_revenue",
-    "disjunctive_predicate_revenue",
-    "waiting_supplier_counts",
-    # ---- 21-50: r2-stale block, longest-unchecked first (30 of 41) ----
-    "contamination_overlap",
-    "corpus_drift_report",
-    "cross_join_status_grid",
-    "datetime_function_sampler",
-    "dedup_keep_best",
-    "domain_mix_sample",
-    "either_tagged_union",
-    "embedding_normalize_project",
-    "epoch_shuffle_index",
-    "explode_outer_tokens",
-    "global_sort_expensive_orders",
-    "grouping_sets_revenue",
-    "incremental_dedup",
-    "length_bucketed_batches",
-    "media_frame_sampling",
-    "median_and_central_tendency",
-    "paragraph_dedup",
-    "pii_redaction",
-    "quality_filter_flags",
-    "range_join_price_bands",
-    "repetition_signals",
-    "resample_1h_forward_fill",
-    "salted_skew_aggregation",
-    "salted_skew_join",
-    "sequence_packing",
-    "session_window_4h",
-    "session_window_dynamic_gap",
-    "sliding_window_1d_6h",
-    "streaming_dedup",
-    "streaming_event_time_timer",
-    # ---- 51-61: r2-stale leftovers (r8 opens here — see ROUND-8 note) ----
+    "ann_pq_topk",
+    # ---- 5-7: BRAND-NEW in r8 (streaming bottom-k/KMV state mode;
+    # count-min sketch batch-merge + streaming-state modes) ----
+    "streaming_kmv_distinct",
+    "cms_term_frequencies",
+    "streaming_cms_counts",
+    # ---- 8-18: the 11 r2-stale leftovers (last r2 rows anywhere) ----
     "streaming_interval_join",
     "streaming_session_window",
     "streaming_sliding_window",
@@ -121,7 +73,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 62-106: last driver row r3 (45 of 48; the 3 dehinted sit in the prefix) ----
+    # ---- 19-50: r3-stale block, first 32 of 45 alphabetically ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -154,6 +106,7 @@ _PRIORITY = [
     "set_ops_all_multiset",
     "skew_report",
     "streaming_cep_absence",
+    # ---- 51-63: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "streaming_cep_followed_by",
     "streaming_connect_coprocess",
     "streaming_outer_interval_join",
@@ -167,7 +120,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 107-156: fresh r5 rows ----
+    # ---- 64-113: r5 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -218,51 +171,98 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 157-200: fresh r6 rows (rotate last; the 6 r7-changed sit in the prefix) ----
-    "compaction_plan_bins",
-    "video_mp4_stats",
+    # ---- 114-157: r6 rows ----
+    "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
-    "contrastive_negative_pairs",
-    "rfm_customer_scores",
-    "funnel_time_to_convert",
-    "concurrent_sessions_sweep",
-    "window_rank_lag",
-    "pandas_udaf_geomean",
-    "char_entropy_quality",
-    "scd2_user_state_intervals",
-    "late_shipment_priority_counts",
-    "streaming_side_outputs",
-    "incremental_stats_merge",
-    "streaming_cep_times",
-    "mad_outlier_flags",
-    "trend_slope_by_type",
-    "snapshot_diff_statuses",
-    "cluster_sample_events",
-    "temporal_table_join",
-    "streaming_chained_windows",
-    "incremental_hll_merge",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "multi_format_roundtrip",
-    "streaming_pysource_counts",
-    "count_window_sliding",
-    "schema_evolution_union",
-    "partitioned_pruned_read",
     "bucketed_cobucket_join_stats",
-    "event_transition_probs",
+    "char_entropy_quality",
+    "cluster_sample_events",
     "cohort_retention",
-    "k_anonymity_report",
-    "dp_noisy_counts",
-    "split_leakage_report",
-    "group_aware_split",
-    "bigram_lm_surprisal",
-    "image_header_dims",
-    "nested_rollup_roundtrip",
-    "streaming_csv_source_counts",
-    "er_candidate_features",
+    "compaction_plan_bins",
+    "concurrent_sessions_sweep",
+    "contrastive_negative_pairs",
     "copurchase_pmi_top",
+    "count_window_sliding",
+    "dp_noisy_counts",
+    "er_candidate_features",
+    "event_transition_probs",
+    "forecast_revenue_change",
+    "funnel_time_to_convert",
+    "group_aware_split",
+    "image_header_dims",
+    "incremental_hll_merge",
+    "incremental_stats_merge",
+    "k_anonymity_report",
+    "late_shipment_priority_counts",
+    "local_supplier_volume",
+    "mad_outlier_flags",
+    "multi_format_roundtrip",
+    "nested_rollup_roundtrip",
+    "pandas_udaf_geomean",
+    "partitioned_pruned_read",
+    "rfm_customer_scores",
+    "scd2_user_state_intervals",
+    "schema_evolution_union",
+    "snapshot_diff_statuses",
+    "split_leakage_report",
+    "streaming_cep_times",
+    "streaming_chained_windows",
+    "streaming_csv_source_counts",
+    "streaming_pysource_counts",
+    "streaming_side_outputs",
+    "temporal_table_join",
+    "trend_slope_by_type",
+    "video_mp4_stats",
     "weekly_active_growth",
+    "window_rank_lag",
+    # ---- 158-203: r7 rows (freshest, rotate last) ----
+    "array_function_sampler",
+    "audio_wav_stats",
+    "bfs_reach_copurchase",
+    "contamination_overlap",
+    "corpus_drift_report",
+    "cross_join_status_grid",
+    "csv_corrupt_record_quarantine",
+    "datetime_function_sampler",
+    "dedup_keep_best",
+    "disjunctive_predicate_revenue",
+    "domain_mix_sample",
+    "either_tagged_union",
+    "embedding_normalize_project",
+    "epoch_shuffle_index",
+    "explode_outer_tokens",
+    "global_sort_expensive_orders",
+    "grouping_sets_revenue",
+    "incremental_dedup",
+    "interevent_gap_histogram",
+    "kcore_copurchase",
+    "kmv_segment_overlap",
+    "length_bucketed_batches",
+    "media_frame_sampling",
+    "median_and_central_tendency",
+    "paragraph_dedup",
+    "pii_redaction",
+    "prototype_label_agreement",
+    "quality_filter_flags",
+    "range_join_price_bands",
+    "repetition_signals",
+    "resample_1h_forward_fill",
+    "salted_skew_aggregation",
+    "salted_skew_join",
+    "sequence_packing",
+    "session_window_4h",
+    "session_window_dynamic_gap",
+    "simhash_hamming_pairs",
+    "sketch_quantiles_merged",
+    "sliding_window_1d_6h",
+    "small_quantity_revenue",
+    "streaming_complete_topk",
+    "streaming_dedup",
+    "streaming_dedup_within_watermark",
+    "streaming_event_time_timer",
+    "streaming_sketch_quantiles",
+    "waiting_supplier_counts",
 ]
 
 
