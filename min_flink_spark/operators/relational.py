@@ -294,3 +294,82 @@ def asof_join(
         *[F.col(f"_matched.{v}").alias(f"r_{v}") for v in right_values],
     )
     return out
+
+
+def bloom_bitmask(
+    keys: DataFrame, key_col: str, m_bits: int = 8192, k_hashes: int = 3
+) -> list[int]:
+    """Build a Bloom filter over ``keys[key_col]`` as ``m_bits/64``
+    driver-side longs — the RUNTIME-FILTER build side (what Spark's own
+    InjectRuntimeFilter and every warehouse's dynamic filtering do):
+    the dim side's key set compresses to a fixed-size bitmask that
+    broadcasts to every fact task, so fact rows that cannot join are
+    dropped AT THE SCAN, before the shuffle the join would otherwise
+    pay. Guarantees: NO false negatives ever (a joining row always
+    passes); false positives bounded by ~(1 − e^(−k·n/m))^k.
+
+    Hashing is the engine-portable md5 idiom (``hash_bucket`` — row i
+    probes ``md5_bucket(key ‖ ':' ‖ i, m)``), so any engine can replay
+    membership relationally (the gate oracle does). The build is one
+    posexplode + bit_or hash-agg; only ``m_bits/64`` longs cross to the
+    driver (bounded metadata, the IVF-centroid contract). m must be a
+    multiple of 64.
+    """
+    from min_flink_spark.functions.hashing import hash_bucket
+
+    if m_bits % 64:
+        raise ValueError(f"m_bits {m_bits} not a multiple of 64")
+    pos = F.array(
+        *[
+            hash_bucket(
+                F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(i))),
+                m_bits,
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    words = (
+        keys.select(F.explode(pos).alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("_word"),
+            # call_function: the SQL shiftleft takes a column shift;
+            # the python wrapper's signature restricts it to int
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), F.col("_pos") % 64
+            ).alias("_bit"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_bit").alias("_mask"))
+        .collect()
+    )
+    mask = [0] * (m_bits // 64)
+    for r in words:
+        mask[r["_word"]] = r["_mask"]
+    return mask
+
+
+def bloom_might_contain(
+    key: Column, mask: list[int], m_bits: int, k_hashes: int = 3
+) -> Column:
+    """Membership predicate against a ``bloom_bitmask`` — pure
+    whole-stage-codegen arithmetic (array literal lookup + shift/AND
+    per probe, O(1) each), no UDF, no join: the PROBE side of the
+    runtime filter, applied as an ordinary ``filter`` so it rides the
+    scan and prunes before any shuffle."""
+    from min_flink_spark.functions.hashing import hash_bucket
+
+    arr = F.array(*[F.lit(int(w)) for w in mask])
+    probe = None
+    for i in range(k_hashes):
+        pos = hash_bucket(
+            F.concat_ws(":", key.cast("string"), F.lit(str(i))), m_bits
+        )
+        word = F.element_at(arr, ((pos / 64).cast("int") + 1))
+        hit = (
+            F.call_function("shiftrightunsigned", word, pos % 64).bitwiseAND(
+                F.lit(1)
+            )
+            == 1
+        )
+        probe = hit if probe is None else (probe & hit)
+    return probe

@@ -31,18 +31,19 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         kmv_distinct_users oracle-constant extraction, ann_pq_topk's
 #         PQ threshold/corpus_count fix — an OPERATOR change invisible
 #         to the source hash, promoted by hand as in r7),
-#   5-7   BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
+#   5-8   BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
 #         execution mode; cms_term_frequencies + streaming_cms_counts
-#         — the count-min family, sketch trio complete),
-#   8-18  the ELEVEN r2-stale leftovers — after their rows, no query's
+#         — the count-min family, sketch trio complete;
+#         bloom_prefilter_join — runtime-filter operator),
+#   9-19  the ELEVEN r2-stale leftovers — after their rows, no query's
 #         latest evidence predates r3,
-#   19-50 the r3-stale block, first 32 of 45 (alphabetical).
+#   20-50 the r3-stale block, first 31 of 45 (alphabetical).
 #
 # ROUND-9 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 13 r3-stale leftovers open the tail (51-63), then the
-# r5 block (64-113), then the r6 block (114-157), then the r7-fresh
-# rows (158-203).  Promote 51-onward next round — r9's 50 slots take
-# the 13 r3 leftovers plus the first 37 of the r5 block; any query
+# order): the 14 r3-stale leftovers open the tail (51-64), then the
+# r5 block (65-114), then the r6 block (115-158), then the r7-fresh
+# rows (159-204).  Promote 51-onward next round — r9's 50 slots take
+# the 14 r3 leftovers plus the first 36 of the r5 block; any query
 # changed during round 9 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -56,12 +57,13 @@ _PRIORITY = [
     "triangle_counts_copurchase",
     "kmv_distinct_users",
     "ann_pq_topk",
-    # ---- 5-7: BRAND-NEW in r8 (streaming bottom-k/KMV state mode;
+    # ---- 5-8: BRAND-NEW in r8 (streaming bottom-k/KMV state mode;
     # count-min sketch batch-merge + streaming-state modes) ----
     "streaming_kmv_distinct",
     "cms_term_frequencies",
     "streaming_cms_counts",
-    # ---- 8-18: the 11 r2-stale leftovers (last r2 rows anywhere) ----
+    "bloom_prefilter_join",
+    # ---- 9-19: the 11 r2-stale leftovers (last r2 rows anywhere) ----
     "streaming_interval_join",
     "streaming_session_window",
     "streaming_sliding_window",
@@ -73,7 +75,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 19-50: r3-stale block, first 32 of 45 alphabetically ----
+    # ---- 20-50: r3-stale block, first 31 of 45 alphabetically ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -105,8 +107,8 @@ _PRIORITY = [
     "semantic_dedup_survivors",
     "set_ops_all_multiset",
     "skew_report",
+    # ---- 51-64: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "streaming_cep_absence",
-    # ---- 51-63: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "streaming_cep_followed_by",
     "streaming_connect_coprocess",
     "streaming_outer_interval_join",
@@ -120,7 +122,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 64-113: r5 rows ----
+    # ---- 65-114: r5 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -171,7 +173,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 114-157: r6 rows ----
+    # ---- 115-158: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -216,7 +218,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 158-203: r7 rows (freshest, rotate last) ----
+    # ---- 159-204: r7 rows (freshest, rotate last) ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",

@@ -1223,3 +1223,91 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_delta"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "bloom_prefilter_join",
+    oracle="""
+    WITH urgent AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    ii AS (SELECT unnest([0, 1, 2]) AS i),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8192 AS pos
+      FROM urgent, ii
+    ),
+    keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    keypass AS (
+      SELECT l_orderkey,
+             (count(*) FILTER (WHERE pos IN (SELECT pos FROM bits)) = 3)
+               AS bloom_pass
+      FROM (
+        SELECT l_orderkey, i,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                        || CAST(i AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 8192 AS pos
+        FROM keys, ii
+      ) GROUP BY 1
+    ),
+    flags AS (
+      SELECT kp.bloom_pass, (u.k IS NOT NULL) AS is_match
+      FROM lineitem l
+      JOIN keypass kp USING (l_orderkey)
+      LEFT JOIN urgent u ON l.l_orderkey = u.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fact,
+           CAST(count(*) FILTER (WHERE bloom_pass) AS BIGINT) AS n_passed,
+           CAST(count(*) FILTER (WHERE is_match) AS BIGINT) AS n_matched,
+           CAST(count(*) FILTER (WHERE is_match AND NOT bloom_pass) AS BIGINT)
+             AS n_false_neg,
+           CAST(count(*) FILTER (WHERE bloom_pass AND NOT is_match) AS BIGINT)
+             AS n_fp_rows
+    FROM flags
+    """,
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pre-filtering (operators/relational.
+    bloom_bitmask / bloom_might_contain) — THE big-join optimization at
+    100 TB: the dim side's join keys (urgent orders) compress into an
+    8192-bit mask built by one posexplode + bit_or hash-agg (only
+    m/64 = 128 longs cross to the driver), and the fact scan drops
+    non-joining rows with O(1) codegen bit-tests BEFORE the join's
+    shuffle. The gate row is the filter-effectiveness certificate:
+    n_false_neg MUST be 0 (a joining row always passes — the Bloom
+    guarantee), n_fp_rows is the bounded leak the join itself later
+    drops, and the oracle replays bit-building and all 3 probes
+    relationally, so a hashing/packing/probe defect on either side
+    flips the row. The same mask arithmetic is engine-portable (md5
+    bucket idiom), which is what lets heterogeneous pipeline stages
+    share one runtime filter."""
+    from min_flink_spark.operators.relational import (
+        bloom_bitmask,
+        bloom_might_contain,
+    )
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    mask = bloom_bitmask(urgent, "k", m_bits=8192, k_hashes=3)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    tagged = li.withColumn(
+        "bloom_pass", bloom_might_contain(F.col("l_orderkey"), mask, 8192, 3)
+    )
+    # no broadcast hint: urgent scales with SF; Catalyst picks the
+    # strategy (auto-broadcast at gate SFs, shuffle join at 100 TB)
+    flagged = tagged.join(
+        urgent, tagged["l_orderkey"] == urgent["k"], "left"
+    ).select("bloom_pass", F.col("k").isNotNull().alias("is_match"))
+    b = lambda c: c.cast("int").cast("bigint")  # noqa: E731
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(b(F.col("bloom_pass"))).alias("n_passed"),
+        F.sum(b(F.col("is_match"))).alias("n_matched"),
+        F.sum(b(F.col("is_match") & ~F.col("bloom_pass"))).alias("n_false_neg"),
+        F.sum(b(F.col("bloom_pass") & ~F.col("is_match"))).alias("n_fp_rows"),
+    )

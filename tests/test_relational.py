@@ -251,3 +251,53 @@ def test_prefix_sum_over_groups_matches_global_cumsum(spark):
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     want = {r["t"]: r["cum"] for r in df.withColumn("cum", F.sum("d").over(w)).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime filter (operators/relational.bloom_bitmask/bloom_might_contain)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_no_false_negatives_bounded_fps(spark):
+    """Every member key must pass (the Bloom guarantee the join
+    correctness depends on); non-member pass-through stays near the
+    analytic (1 - e^(-kn/m))^k bound."""
+    from min_flink_spark.operators.relational import (
+        bloom_bitmask,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 200).select(F.col("id").alias("k"))
+    mask = bloom_bitmask(members, "k", m_bits=4096, k_hashes=3)
+    assert len(mask) == 4096 // 64
+    fact = spark.range(0, 5000).select(F.col("id").alias("k"))
+    passed = {
+        r["k"]
+        for r in fact.filter(
+            bloom_might_contain(F.col("k"), mask, 4096, 3)
+        ).collect()
+    }
+    assert set(range(200)) <= passed, "FALSE NEGATIVE"
+    # analytic fp ≈ (1-e^(-3*200/4096))^3 ≈ 0.25% of 4800 ≈ 12; allow 10x
+    assert len(passed) - 200 <= 120
+
+
+def test_bloom_filter_rejects_bad_width_and_is_codegen(spark):
+    import pytest as _pytest
+
+    from min_flink_spark.operators.relational import (
+        bloom_bitmask,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 10).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bitmask(members, "k", m_bits=100)
+    mask = bloom_bitmask(members, "k", m_bits=256, k_hashes=2)
+    probe = spark.range(0, 100).select(F.col("id").alias("k")).filter(
+        bloom_might_contain(F.col("k"), mask, 256, 2)
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the probe is a scan-side filter: no join, no exchange, no python
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -127,6 +127,9 @@ EXPECTED_SINGLE_PARTITION = {
     "copurchase_pmi_top": "1-row basket-total scalar merge",
     "weekly_active_growth": "global lag window over the #weeks frame "
     "(bounded by calendar span, not event volume)",
+    # ---- added r8 ----
+    "bloom_prefilter_join": "1-row filter-effectiveness certificate "
+    "scalar merge (count/sum flags)",
 }
 
 
