@@ -199,6 +199,43 @@ def shapes(spark, rows: int):
     yield "sketch_quantiles", _sketch
     yield "nearest_prototype", _protos
 
+    # round-8 shapes: count-min grid (pure hash-agg with a depth-way
+    # pre-agg explode — should track the agg family) and the Bloom
+    # runtime filter (build = grid-sized agg; probe = pure scan-side
+    # codegen filter — should be ~linear in rows)
+    def _cms():
+        from min_flink_spark.operators.pipeline import cms_estimate, count_min_sketch
+
+        items = ev.select(
+            F.concat_ws(
+                "-", F.col("event_type"), F.pmod(F.col("user_id"), F.lit(997))
+            ).alias("item")
+        )
+        sk = count_min_sketch(items, "item")
+        probes = spark.createDataFrame(
+            [(f"click-{i}",) for i in range(20)], "item string"
+        )
+        return cms_estimate(sk, probes, "item").count()
+
+    def _bloom():
+        from min_flink_spark.operators.relational import (
+            bloom_bitmask,
+            bloom_might_contain,
+        )
+
+        members = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(F.pmod(F.col("user_id"), F.lit(4096)).alias("k"))
+            .distinct()
+        )
+        mask = bloom_bitmask(members, "k", m_bits=65536, k_hashes=3)
+        return ev.filter(
+            bloom_might_contain(F.pmod(F.col("user_id"), F.lit(8192)), mask, 65536, 3)
+        ).count()
+
+    yield "cms_grid_estimate", _cms
+    yield "bloom_build_and_probe", _bloom
+
 
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
