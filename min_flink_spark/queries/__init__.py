@@ -31,19 +31,21 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         kmv_distinct_users oracle-constant extraction, ann_pq_topk's
 #         PQ threshold/corpus_count fix — an OPERATOR change invisible
 #         to the source hash, promoted by hand as in r7),
-#   5-8   BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
+#   5-10  BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
 #         execution mode; cms_term_frequencies + streaming_cms_counts
 #         — the count-min family, sketch trio complete;
-#         bloom_prefilter_join — runtime-filter operator),
-#   9-19  the ELEVEN r2-stale leftovers — after their rows, no query's
+#         bloom_prefilter_join + streaming_bloom_filter_join — the
+#         runtime-filter operator, batch + streaming-state builds;
+#         kmv_rollup_distinct — cube-over-sketches rollup),
+#   11-21 the ELEVEN r2-stale leftovers — after their rows, no query's
 #         latest evidence predates r3,
-#   20-50 the r3-stale block, first 31 of 45 (alphabetical).
+#   22-50 the r3-stale block, first 29 of 45 (alphabetical).
 #
 # ROUND-9 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 14 r3-stale leftovers open the tail (51-64), then the
-# r5 block (65-114), then the r6 block (115-158), then the r7-fresh
-# rows (159-204).  Promote 51-onward next round — r9's 50 slots take
-# the 14 r3 leftovers plus the first 36 of the r5 block; any query
+# order): the 16 r3-stale leftovers open the tail (51-66), then the
+# r5 block (67-116), then the r6 block (117-160), then the r7-fresh
+# rows (161-206).  Promote 51-onward next round — r9's 50 slots take
+# the 16 r3 leftovers plus the first 34 of the r5 block; any query
 # changed during round 9 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -63,7 +65,9 @@ _PRIORITY = [
     "cms_term_frequencies",
     "streaming_cms_counts",
     "bloom_prefilter_join",
-    # ---- 9-19: the 11 r2-stale leftovers (last r2 rows anywhere) ----
+    "streaming_bloom_filter_join",
+    "kmv_rollup_distinct",
+    # ---- 11-21: the 11 r2-stale leftovers (last r2 rows anywhere) ----
     "streaming_interval_join",
     "streaming_session_window",
     "streaming_sliding_window",
@@ -75,7 +79,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 20-50: r3-stale block, first 31 of 45 alphabetically ----
+    # ---- 22-50: r3-stale block, first 29 of 45 alphabetically ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -105,9 +109,9 @@ _PRIORITY = [
     "recursive_event_chains",
     "returned_item_customers",
     "semantic_dedup_survivors",
+    # ---- 51-66: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "set_ops_all_multiset",
     "skew_report",
-    # ---- 51-64: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "streaming_cep_absence",
     "streaming_cep_followed_by",
     "streaming_connect_coprocess",
@@ -122,7 +126,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 65-114: r5 rows ----
+    # ---- 67-116: r5 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -173,7 +177,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 115-158: r6 rows ----
+    # ---- 117-160: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -218,7 +222,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 159-204: r7 rows (freshest, rotate last) ----
+    # ---- 161-206: r7 rows (freshest, rotate last) ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",

@@ -2108,3 +2108,87 @@ def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = cms_estimate(merged, top.select("term"), "term")
     return top.join(est, "term").select("term", "exact_cnt", "cms_est")
+
+
+@query(
+    "kmv_rollup_distinct",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS hash
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, hash, user_id,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY hash, user_id) AS pos
+      FROM h
+    ),
+    s AS (SELECT event_type, hash, user_id AS id FROM r WHERE pos <= 12),
+    -- grand-total sketch = bottom-k of the UNION of the per-type
+    -- sketches' survivors (closure; duplicates collapse on (hash,id))
+    u AS (SELECT DISTINCT hash, id FROM s),
+    ur AS (
+      SELECT hash, id, row_number() OVER (ORDER BY hash, id) AS pos FROM u
+    ),
+    us AS (SELECT hash, id FROM ur WHERE pos <= 12),
+    per_type AS (
+      SELECT event_type AS level_key, CAST(count(*) AS BIGINT) AS n,
+             max(hash) AS hk
+      FROM s GROUP BY 1
+    ),
+    total AS (
+      SELECT '__ALL__' AS level_key, CAST(count(*) AS BIGINT) AS n,
+             max(hash) AS hk
+      FROM us
+    ),
+    lv AS (SELECT * FROM per_type UNION ALL SELECT * FROM total)
+    SELECT level_key,
+           CASE WHEN n < 12 OR hk <= 0 THEN n
+                ELSE CAST(11 * 4294967296 // hk AS BIGINT) END AS distinct_est
+    FROM lv
+    """,
+)
+def q_kmv_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP along a key hierarchy (operators/pipeline.
+    merge_bottom_k reused as the rollup combinator): per-event-type
+    bottom-12 KMV sketches answer the per-type distinct-user question,
+    and the GRAND-TOTAL distinct users comes from merging those same
+    sketches — the data is scanned ONCE, the coarser granularity is
+    derived from sketch-sized frames (the cube-over-sketches pattern:
+    at 100 TB you keep per-partition/per-day sketches and roll up any
+    grouping set without rescanning history). A user active in several
+    event types carries the same hash everywhere and counts once in
+    the total (closure dedup). Output: (level_key, distinct_est) with
+    '__ALL__' as the total row; the oracle replays both levels
+    verbatim, integer-exact."""
+    from min_flink_spark.operators.pipeline import (
+        bottom_k_sketch,
+        kmv_distinct_estimate,
+        merge_bottom_k,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = bottom_k_sketch(ev, ["event_type"], "user_id", k=12)
+    fine = kmv_distinct_estimate(per_type, ["event_type"], k=12).select(
+        F.col("event_type").alias("level_key"), "distinct_est"
+    )
+    # rollup: merge the per-type sketches into one total sketch —
+    # sketch-sized input, no second scan of events
+    total_sketch = merge_bottom_k(
+        # drop the fine key first: a user active in several event types
+        # must collapse on (hash, id) in the union (closure dedup)
+        [
+            per_type.select(
+                F.lit("__ALL__").alias("_all"), "pos", "hash", "id"
+            )
+        ],
+        ["_all"],
+        k=12,
+    )
+    coarse = kmv_distinct_estimate(total_sketch, ["_all"], k=12).select(
+        F.col("_all").alias("level_key"), "distinct_est"
+    )
+    return fine.unionByName(coarse)

@@ -1225,9 +1225,10 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bloom_prefilter_join",
-    oracle="""
+# ONE ground truth for the Bloom runtime-filter family: the batch
+# build and the streaming-state build (queries/streaming_q.py) produce
+# the same certificate row — both decorators reference THIS constant.
+BLOOM_PREFILTER_ORACLE = """
     WITH urgent AS (
       SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
     ),
@@ -1266,8 +1267,10 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (WHERE bloom_pass AND NOT is_match) AS BIGINT)
              AS n_fp_rows
     FROM flags
-    """,
-)
+    """
+
+
+@query("bloom_prefilter_join", oracle=BLOOM_PREFILTER_ORACLE)
 def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter runtime pre-filtering (operators/relational.
     bloom_bitmask / bloom_might_contain) — THE big-join optimization at
