@@ -22,6 +22,12 @@ CASES = [
     "sketch_quantiles_merged",
     "kmv_distinct_users",
     "kmv_segment_overlap",
+    # r8: counter grids (pure hash-agg), bit_or masks (commutative OR),
+    # and the two-level sketch rollup are partition-count-free by
+    # construction — pin it
+    "cms_term_frequencies",
+    "bloom_prefilter_join",
+    "kmv_rollup_distinct",
 ]
 
 
