@@ -847,3 +847,74 @@ def test_sketch_merge_identity_and_quantile_containment(spark, vals, cut, q):
     else:
         assert bin_ == true_v.bit_length() - 1
         assert lo == 2 ** bin_ and lo <= true_v < 2 * lo
+
+
+# ---------------------------------------------------------------------------
+# r8: count-min sketch — merge identity and never-undercount on
+# arbitrary multisets and arbitrary 2-way splits
+# ---------------------------------------------------------------------------
+
+items_strategy = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(items=items_strategy, cut=st.integers(min_value=0, max_value=39))
+def test_cms_merge_identity_and_one_sided_error(spark, items, cut):
+    import collections
+
+    from min_flink_spark.operators.pipeline import (
+        cms_estimate,
+        count_min_sketch,
+        merge_cms,
+    )
+
+    cut = min(cut, len(items))
+    mk = lambda xs: spark.createDataFrame(  # noqa: E731
+        [(str(x),) for x in xs] or [(None,)], "term string"
+    ).filter("term IS NOT NULL")
+    df, a, b = mk(items), mk(items[:cut]), mk(items[cut:])
+    direct = count_min_sketch(df, "term", depth=3, width=16)
+    merged = merge_cms(
+        count_min_sketch(a, "term", depth=3, width=16),
+        count_min_sketch(b, "term", depth=3, width=16),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    exact = collections.Counter(str(x) for x in items)
+    probe = spark.createDataFrame([(t,) for t in exact], "term string")
+    est = {
+        r["term"]: r["cms_est"]
+        for r in cms_estimate(direct, probe, "term", depth=3, width=16).collect()
+    }
+    assert all(est[t] >= c for t, c in exact.items())
+
+
+# ---------------------------------------------------------------------------
+# r8: Bloom bitmask — no false negatives on arbitrary member/probe sets
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    members=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+    probes=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    import pyspark.sql.functions as F
+
+    from min_flink_spark.operators.relational import (
+        bloom_bitmask,
+        bloom_might_contain,
+    )
+
+    mdf = spark.createDataFrame([(m,) for m in members], "k bigint")
+    mask = bloom_bitmask(mdf, "k", m_bits=256, k_hashes=2)
+    pdf = spark.createDataFrame([(p,) for p in set(probes) | set(members)], "k bigint")
+    passed = {
+        r["k"]
+        for r in pdf.filter(bloom_might_contain(F.col("k"), mask, 256, 2)).collect()
+    }
+    assert set(members) <= passed
