@@ -215,7 +215,11 @@ def shapes(spark, rows: int):
         probes = spark.createDataFrame(
             [(f"click-{i}",) for i in range(20)], "item string"
         )
-        return cms_estimate(sk, probes, "item").count()
+        # sum the estimates, not count(): the estimate frame's row count
+        # is probe-determined, so a bare count() lets Catalyst eliminate
+        # the unique-key left join and never build the grid at all
+        # (verified: 0.6 s "scans" of 20M rows)
+        return cms_estimate(sk, probes, "item").agg(F.sum("cms_est")).collect()
 
     def _bloom():
         from min_flink_spark.operators.relational import (
