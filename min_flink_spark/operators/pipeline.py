@@ -1229,3 +1229,78 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+def misra_gries_summary(
+    df: DataFrame, item_col: str, m: int = 256
+) -> DataFrame:
+    """Misra-Gries / SpaceSaving heavy-hitter summary — the
+    DETERMINISTIC bounded-memory frequency top-k (complementing the
+    randomized CMS: counters instead of hashed cells, guaranteed
+    containment instead of probabilistic overcount). Returns
+    ``(item, est)`` with at most ``m`` rows and the classical
+    guarantees: every item with true count > N/m IS present, and
+    ``true − N/m ≤ est ≤ true`` (one-sided undercount) — the accounting
+    argument holds ACROSS merges (Agarwal et al., "Mergeable summary
+    structures"): every unit of undercount anywhere retires m+1 count
+    units, and only N exist.
+
+    Execution shape at 100 TB: one ``mapInPandas`` pass holds m
+    counters per partition (classic MG locally — decrement-all when a
+    partition's counter set overflows m), emitting ≤ partitions × m
+    summary rows; the merge is a hash-agg SUM over that summary-sized
+    frame followed by one subtract-the-(m+1)-th-largest window pass
+    (the MG merge step) — the raw data is scanned exactly once and
+    never shuffled. The summary itself depends on partition boundaries
+    (as any MG run order does); the GUARANTEES do not, which is what
+    gate certificates check.
+    """
+    import pandas as pd
+
+    def _partition_mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for it in pdf[item_col]:
+                if it is None:
+                    continue
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < m:
+                    counters[it] = 1
+                else:
+                    # decrement-all: retires m+1 count units at once
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "cnt": list(counters.values())}
+            )
+
+    parts = df.select(F.col(item_col).alias(item_col)).mapInPandas(
+        _partition_mg, schema="item string, cnt bigint"
+    )
+    summed = parts.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    # MG merge: keep the m largest combined counters and subtract the
+    # (m+1)-th largest from each (0 when fewer than m+1 survive)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    ranked = summed.withColumn("_rn", F.row_number().over(w))
+    # the ranked frame is summary-sized (≤ partitions × m rows) — the
+    # global window is bounded metadata, not data (adjudicated class)
+    cut = ranked.agg(
+        # ALWAYS one row (NULL when fewer than m+1 survive) — a filter
+        # would yield an EMPTY frame there and the cross join would
+        # annihilate the summary
+        F.max(F.when(F.col("_rn") == m + 1, F.col("cnt"))).alias("_cut")
+    )
+    return (
+        ranked.filter(F.col("_rn") <= m)
+        .join(cut, how="cross")  # exactly 1 scalar row
+        .withColumn("est", F.col("cnt") - F.coalesce(F.col("_cut"), F.lit(0)))
+        .filter(F.col("est") > 0)
+        .select("item", "est")
+    )

@@ -31,21 +31,22 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         kmv_distinct_users oracle-constant extraction, ann_pq_topk's
 #         PQ threshold/corpus_count fix — an OPERATOR change invisible
 #         to the source hash, promoted by hand as in r7),
-#   5-10  BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
+#   5-11  BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
 #         execution mode; cms_term_frequencies + streaming_cms_counts
 #         — the count-min family, sketch trio complete;
 #         bloom_prefilter_join + streaming_bloom_filter_join — the
 #         runtime-filter operator, batch + streaming-state builds;
-#         kmv_rollup_distinct — cube-over-sketches rollup),
-#   11-21 the ELEVEN r2-stale leftovers — after their rows, no query's
+#         kmv_rollup_distinct — cube-over-sketches rollup;
+#         mg_heavy_hitters — deterministic Misra-Gries top-k),
+#   12-22 the ELEVEN r2-stale leftovers — after their rows, no query's
 #         latest evidence predates r3,
-#   22-50 the r3-stale block, first 29 of 45 (alphabetical).
+#   23-50 the r3-stale block, first 28 of 45 (alphabetical).
 #
 # ROUND-9 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 16 r3-stale leftovers open the tail (51-66), then the
-# r5 block (67-116), then the r6 block (117-160), then the r7-fresh
-# rows (161-206).  Promote 51-onward next round — r9's 50 slots take
-# the 16 r3 leftovers plus the first 34 of the r5 block; any query
+# order): the 17 r3-stale leftovers open the tail (51-67), then the
+# r5 block (68-117), then the r6 block (118-161), then the r7-fresh
+# rows (162-207).  Promote 51-onward next round — r9's 50 slots take
+# the 17 r3 leftovers plus the first 33 of the r5 block; any query
 # changed during round 9 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -67,7 +68,8 @@ _PRIORITY = [
     "bloom_prefilter_join",
     "streaming_bloom_filter_join",
     "kmv_rollup_distinct",
-    # ---- 11-21: the 11 r2-stale leftovers (last r2 rows anywhere) ----
+    "mg_heavy_hitters",
+    # ---- 12-22: the 11 r2-stale leftovers (last r2 rows anywhere) ----
     "streaming_interval_join",
     "streaming_session_window",
     "streaming_sliding_window",
@@ -79,7 +81,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 22-50: r3-stale block, first 29 of 45 alphabetically ----
+    # ---- 23-50: r3-stale block, first 28 of 45 alphabetically ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -108,8 +110,8 @@ _PRIORITY = [
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
+    # ---- 51-67: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "semantic_dedup_survivors",
-    # ---- 51-66: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "set_ops_all_multiset",
     "skew_report",
     "streaming_cep_absence",
@@ -126,7 +128,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 67-116: r5 rows ----
+    # ---- 68-117: r5 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -177,7 +179,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 117-160: r6 rows ----
+    # ---- 118-161: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -222,7 +224,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 161-206: r7 rows (freshest, rotate last) ----
+    # ---- 162-207: r7 rows (freshest, rotate last) ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",

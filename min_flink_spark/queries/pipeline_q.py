@@ -2192,3 +2192,60 @@ def q_kmv_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_all").alias("level_key"), "distinct_est"
     )
     return fine.unionByName(coarse)
+
+
+@query(
+    "mg_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt,
+             row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+      FROM tok GROUP BY term
+    )
+    SELECT term, exact_cnt, TRUE AS in_summary, TRUE AS within_bound
+    FROM exact WHERE rn <= 10
+    """,
+)
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries / SpaceSaving heavy hitters under the gate
+    (operators/pipeline.misra_gries_summary, m=256): the DETERMINISTIC
+    bounded-memory top-k — m counters per partition in one mapInPandas
+    pass, summary-sized merge, data scanned once and never shuffled.
+    Certificates (the summary's exact membership depends on partition
+    run order; the GUARANTEES do not): every exact-top-10 token must
+    appear in the summary (containment holds because rank-10 frequency
+    ≫ N/m = 0.4% here — the same margin argument as
+    heavy_hitter_terms' KPS sketch), and each estimate must satisfy
+    true − N/m ≤ est ≤ true (the mergeable-summaries accounting:
+    every undercount unit retires m+1 count units, only N exist). A
+    FALSE in either boolean is a real counter/merge defect."""
+    from min_flink_spark.functions.text import tokens as _toks
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    m = 256
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_toks(F.col("text"))).alias("term"))
+    summary = misra_gries_summary(tok, "term", m=m)
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
+        .limit(10)
+    )
+    n_total = tok.count()  # one bounded scalar for the bound
+    checked = top.join(
+        summary.withColumnRenamed("item", "term"), "term", "left"
+    )
+    return checked.select(
+        "term",
+        "exact_cnt",
+        F.col("est").isNotNull().alias("in_summary"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("exact_cnt"))
+            & (F.col("est") >= F.col("exact_cnt") - F.lit(n_total / m))
+        ).alias("within_bound"),
+    )

@@ -846,3 +846,48 @@ def test_cms_estimate_unseen_item_is_zero_or_collision(spark):
     probe = spark.createDataFrame([("never-seen-token",)], "term string")
     (row,) = cms_estimate(sk, probe, "term", depth=4, width=1024).collect()
     assert row["cms_est"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (operators/pipeline.misra_gries_summary)
+# ---------------------------------------------------------------------------
+
+
+def test_mg_guarantees_under_forced_decrements(spark):
+    """m far below the vocabulary forces the decrement-all path on
+    every partition; the classical guarantees must still hold: every
+    item with count > N/m present, every estimate in
+    [true − N/m, true]."""
+    import collections
+
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    items = (
+        ["hot"] * 400
+        + ["warm"] * 150
+        + [f"noise{i % 97}" for i in range(450)]
+    )
+    df = spark.createDataFrame([(x,) for x in items], "term string").repartition(4)
+    m = 16
+    got = {r["item"]: r["est"] for r in misra_gries_summary(df, "term", m=m).collect()}
+    assert len(got) <= m
+    exact = collections.Counter(items)
+    n = len(items)
+    for item, true in exact.items():
+        if true > n / m:
+            assert item in got, f"{item} (count {true} > N/m) missing"
+    for item, est in got.items():
+        assert est <= exact[item]
+        assert est >= exact[item] - n / m
+
+
+def test_mg_small_vocab_is_exact(spark):
+    """Fewer distinct items than m: no decrement ever fires and the
+    summary is the exact multiset (incl. the empty-cut merge path the
+    r8 bug hid: an empty (m+1)-th-counter frame must not annihilate)."""
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    items = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    df = spark.createDataFrame([(x,) for x in items], "term string").repartition(3)
+    got = {r["item"]: r["est"] for r in misra_gries_summary(df, "term", m=64).collect()}
+    assert got == {"a": 5, "b": 3, "c": 2}

@@ -82,6 +82,10 @@ EXPECTED_CROSS = {
                                 # types² ≈ dozens of rows) over
                                 # sketch-sized frames — the data is
                                 # scanned once to sketch, never crossed
+    # ---- added r8 ----
+    "mg_heavy_hitters",         # 1-row (m+1)-th-counter scalar cross
+                                # (the MG merge subtraction) over the
+                                # summary-sized frame
 }
 # Adjudicated single-partition exchanges (VERDICT r7 item 3: this
 # channel is now FAIL-CLOSED like EXPECTED_CROSS — an unadjudicated
@@ -130,6 +134,8 @@ EXPECTED_SINGLE_PARTITION = {
     # ---- added r8 ----
     "bloom_prefilter_join": "1-row filter-effectiveness certificate "
     "scalar merge (count/sum flags)",
+    "mg_heavy_hitters": "summary-sized MG merge window (<= partitions x m "
+    "counter rows, not data) + 1-row token-total scalar",
 }
 
 
