@@ -547,3 +547,50 @@ def test_copurchase_edge_build_shared_and_bucketed(spark, sf_dir):
     assert e1.filter(F.col("src") == F.col("dst")).limit(1).count() == 0
     swapped = e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     assert e1.exceptAll(swapped).limit(1).count() == 0
+
+
+def test_cms_sketch_agg_is_map_side_combined(spark, sf_dir):
+    """The CMS grid build must plan as a partial→final hash aggregate
+    (map-side combine collapses each partition to ≤ depth×width rows
+    BEFORE the shuffle) — the property that makes the sketch 100 TB
+    shaped. A HashAggregate pair with partial_count proves it; so does
+    the grid-sized exchange."""
+    plan = _plan(spark, sf_dir, "cms_term_frequencies")
+    assert "partial_count" in plan, "grid agg lost its map-side combine"
+    # and the whole build is hash aggregation, never sort-based
+    assert "SortAggregate" not in plan
+
+
+def test_kmv_sketch_keeps_window_group_limit(spark, sf_dir):
+    """bottom_k_sketch's per-key top-k must ride WindowGroupLimit
+    (partial k-row cut BEFORE the shuffle: per-key state k rows) —
+    the bottom-k scale contract."""
+    plan = _plan(spark, sf_dir, "kmv_distinct_users")
+    assert "WindowGroupLimit" in plan
+
+
+def test_mg_summary_single_scan_single_python_stage(spark, sf_dir):
+    """misra_gries_summary scans the token stream ONCE through one
+    mapInPandas stage; everything after operates on the summary-sized
+    frame. Two Python stages (or a sort-aggregate) would mean the raw
+    data path regressed."""
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.functions.text import tokens
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    out = misra_gries_summary(tok, "term", m=64)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE plan text repeats the lineage under "== Initial Plan ==" —
+    # judge the FINAL plan only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1
+    assert final.count("Scan parquet") == 1
+    # the ranked and cut branches share the summed exchange (one real
+    # summary shuffle, the second consumer reuses it)
+    assert "ReusedExchange" in final
+    assert "SortAggregate" not in final
