@@ -2229,13 +2229,13 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(_toks(F.col("text"))).alias("term"))
     summary = misra_gries_summary(tok, "term", m=m)
-    top = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
-        .limit(10)
-    )
-    n_total = tok.count()  # one bounded scalar for the bound
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = counts.orderBy(
+        F.col("exact_cnt").desc(), F.col("term").asc()
+    ).limit(10)
+    # N for the bound comes from the VOCAB-sized counts frame (its
+    # exchange is reused by the top-10 cut) — not a third token scan
+    n_total = counts.agg(F.sum("exact_cnt")).first()[0]
     checked = top.join(
         summary.withColumnRenamed("item", "term"), "term", "left"
     )
