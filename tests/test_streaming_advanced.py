@@ -495,3 +495,42 @@ def test_streaming_bottom_k_matches_batch_across_batches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_cms_max_collapse_matches_batch(spark, tmp_path):
+    """The streaming CMS grid's per-cell counts are cumulative and
+    monotone, so collapsing update-mode emissions by per-cell MAX must
+    reproduce the batch grid exactly — at ANY micro-batch split. Two
+    files, one per trigger."""
+    from min_flink_spark.operators.pipeline import count_min_sketch
+
+    schema = "term string"
+    b1 = spark.createDataFrame([("a",)] * 20 + [("b",)] * 5, schema)
+    b2 = spark.createDataFrame([("a",)] * 7 + [("c",)] * 11, schema)
+    src = str(tmp_path / "cms_two_batches")
+    b1.coalesce(1).write.parquet(src + "/f=a")
+    b2.coalesce(1).write.parquet(src + "/f=b")
+    import glob as _glob
+
+    flat = str(tmp_path / "cms_flat")
+    os.makedirs(flat)
+    for i, f in enumerate(
+        sorted(_glob.glob(src + "/f=*/**/*.parquet", recursive=True))
+    ):
+        os.link(f, os.path.join(flat, f"{i:02d}.parquet"))
+
+    s = stream_parquet(spark, flat, schema, max_files_per_trigger=1)
+    emitted = run_to_completion(
+        count_min_sketch(s, "term", depth=3, width=16), output_mode="update"
+    )
+    got = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in emitted.groupBy("d", "w").agg(F.max("cnt").alias("cnt")).collect()
+    }
+    want = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in count_min_sketch(
+            b1.unionByName(b2), "term", depth=3, width=16
+        ).collect()
+    }
+    assert got == want
