@@ -39,10 +39,25 @@ from min_flink_spark.functions.either import either_left, either_right, union_ei
 from min_flink_spark.functions.hashing import hash_bucket, zorder_key
 from min_flink_spark.operators.dedup import keep_best_per_cluster
 from min_flink_spark.operators.graph import connected_components
-from min_flink_spark.operators.pipeline import domain_mix, drift_report
+from min_flink_spark.operators.pipeline import (
+    bottom_k_sketch,
+    cms_estimate,
+    count_min_sketch,
+    domain_mix,
+    drift_report,
+    kmv_distinct_estimate,
+    log_histogram_sketch,
+    merge_bottom_k,
+    merge_cms,
+    merge_histogram_sketches,
+    misra_gries_summary,
+    sketch_quantiles,
+)
 from min_flink_spark.operators.skew import detect_skew
 from min_flink_spark.operators.relational import (
     asof_join,
+    bloom_bitmask,
+    bloom_might_contain,
     broadcast_join,
     global_index,
     top_k,
@@ -75,7 +90,19 @@ __all__ = [
     "Stream",
     "StreamExecutionEnvironment",
     "asof_join",
+    "bloom_bitmask",
+    "bloom_might_contain",
+    "bottom_k_sketch",
     "broadcast_join",
+    "cms_estimate",
+    "count_min_sketch",
+    "kmv_distinct_estimate",
+    "log_histogram_sketch",
+    "merge_bottom_k",
+    "merge_cms",
+    "merge_histogram_sketches",
+    "misra_gries_summary",
+    "sketch_quantiles",
     "cobucket_join",
     "connected_components",
     "detect_skew",
