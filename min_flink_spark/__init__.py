@@ -37,6 +37,12 @@ from min_flink_spark.core.env import StreamExecutionEnvironment
 from min_flink_spark.core.stream import KeyedStream, Stream
 from min_flink_spark.functions.either import either_left, either_right, union_either
 from min_flink_spark.functions.hashing import hash_bucket, zorder_key
+from min_flink_spark.operators.bitmap import (
+    bitmap_cardinality,
+    bitmap_index,
+    bitmap_pair_ops,
+    merge_bitmap_indexes,
+)
 from min_flink_spark.operators.dedup import keep_best_per_cluster
 from min_flink_spark.operators.graph import connected_components
 from min_flink_spark.operators.pipeline import (
@@ -90,6 +96,10 @@ __all__ = [
     "Stream",
     "StreamExecutionEnvironment",
     "asof_join",
+    "bitmap_cardinality",
+    "bitmap_index",
+    "bitmap_pair_ops",
+    "merge_bitmap_indexes",
     "bloom_bitmask",
     "bloom_might_contain",
     "bottom_k_sketch",

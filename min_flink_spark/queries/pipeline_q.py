@@ -2249,3 +2249,64 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("est") >= F.col("exact_cnt") - F.lit(n_total / m))
         ).alias("within_bound"),
     )
+
+
+@query(
+    "bitmap_segment_ops",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    card AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS key_a, b.event_type AS key_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ca.event_type AS key_a, cb.event_type AS key_b,
+           ca.n AS n_a, cb.n AS n_b,
+           coalesce(i.n_inter, 0) AS n_inter,
+           ca.n + cb.n - coalesce(i.n_inter, 0) AS n_union
+    FROM card ca
+    JOIN card cb ON ca.event_type < cb.event_type
+    LEFT JOIN inter i
+      ON i.key_a = ca.event_type AND i.key_b = cb.event_type
+    """,
+)
+def q_bitmap_segment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT segment set algebra via chunked bitmap indexes
+    (operators/bitmap.py) — the audience-engine counterpart to the KMV
+    sketches: per event type, user membership packs into 64-id BIGINT
+    words (one bit_or hash-agg over ONE scan, shard riding as an index
+    key; the two day-parity partials merge by word-wise OR), and every
+    pairwise |A|, |B|, |A∩B|, |A∪B| comes from popcounts over a
+    chunk-frame equi-join on the word id — billion-member segments
+    intersect without any row-level member join, and the answers are
+    EXACT. The oracle recomputes all four numbers directly from raw
+    rows (structure-independent), so a packing/merge/popcount defect
+    on any word flips the hash."""
+    from min_flink_spark.operators.bitmap import (
+        bitmap_index,
+        bitmap_pair_ops,
+        merge_bitmap_indexes,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.dayofmonth(F.col("ts").cast("timestamp")) % 2).alias("_shard"),
+    )
+    # ONE scan builds both shard partials — shard rides as a SECOND
+    # index key next to the segment (same discipline as the CMS/KMV
+    # twins); the shard split for the merge happens on the index-sized
+    # frame
+    partials = bitmap_index(
+        ev.withColumn("_key", F.struct("event_type", "_shard")), "_key", "user_id"
+    ).select(F.col("_key.event_type").alias("event_type"),
+             F.col("_key._shard").alias("_shard"), "word", "mask")
+    merged = merge_bitmap_indexes(
+        *[partials.filter(F.col("_shard") == s).drop("_shard") for s in (0, 1)]
+    )
+    return bitmap_pair_ops(merged, "event_type")

@@ -891,3 +891,51 @@ def test_mg_small_vocab_is_exact(spark):
     df = spark.createDataFrame([(x,) for x in items], "term string").repartition(3)
     got = {r["item"]: r["est"] for r in misra_gries_summary(df, "term", m=64).collect()}
     assert got == {"a": 5, "b": 3, "c": 2}
+
+
+# ---------------------------------------------------------------------------
+# chunked bitmap index (operators/bitmap.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_index_exact_set_algebra(spark):
+    """Bitmap ops must be EXACT: cardinality, intersection, union per
+    pair equal the python ground truth, including ids on word
+    boundaries (63/64) and the sign bit (id % 64 == 63)."""
+    from min_flink_spark.operators.bitmap import (
+        bitmap_cardinality,
+        bitmap_index,
+        bitmap_pair_ops,
+    )
+
+    a = {1, 5, 63, 64, 127, 500}
+    b = {5, 63, 65, 500, 501}
+    c = {1000}
+    rows = [("a", i) for i in a] + [("b", i) for i in b] + [("c", i) for i in c]
+    df = spark.createDataFrame(rows * 2, "seg string, uid bigint")  # dup rows
+    idx = bitmap_index(df, "seg", "uid")
+    card = {r["seg"]: r["n_members"] for r in bitmap_cardinality(idx, "seg").collect()}
+    assert card == {"a": len(a), "b": len(b), "c": len(c)}
+    got = {
+        (r["key_a"], r["key_b"]): (r["n_a"], r["n_b"], r["n_inter"], r["n_union"])
+        for r in bitmap_pair_ops(idx, "seg").collect()
+    }
+    assert got[("a", "b")] == (len(a), len(b), len(a & b), len(a | b))
+    assert got[("a", "c")] == (len(a), len(c), 0, len(a | c))
+    assert got[("b", "c")] == (len(b), len(c), 0, len(b | c))
+
+
+def test_bitmap_merge_identity(spark):
+    """merge(index(A), index(B)) ≡ index(A ∪ B) word-for-word (OR is
+    idempotent — overlapping members count once)."""
+    from min_flink_spark.operators.bitmap import bitmap_index, merge_bitmap_indexes
+
+    r1 = [("s", i) for i in range(0, 100, 3)]
+    r2 = [("s", i) for i in range(0, 100, 5)]  # overlaps r1 at multiples of 15
+    d1 = spark.createDataFrame(r1, "seg string, uid bigint")
+    d2 = spark.createDataFrame(r2, "seg string, uid bigint")
+    direct = bitmap_index(d1.unionByName(d2), "seg", "uid")
+    merged = merge_bitmap_indexes(
+        bitmap_index(d1, "seg", "uid"), bitmap_index(d2, "seg", "uid")
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))

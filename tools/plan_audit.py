@@ -86,6 +86,11 @@ EXPECTED_CROSS = {
     "mg_heavy_hitters",         # 1-row (m+1)-th-counter scalar cross
                                 # (the MG merge subtraction) over the
                                 # summary-sized frame
+    "bitmap_segment_ops",       # segment-pair grid (event types² ≈
+                                # dozens of rows) over the segments-sized
+                                # cardinality frame — same class as
+                                # kmv_segment_overlap; member data joins
+                                # only via the word-id equi-join
 }
 # Adjudicated single-partition exchanges (VERDICT r7 item 3: this
 # channel is now FAIL-CLOSED like EXPECTED_CROSS — an unadjudicated
