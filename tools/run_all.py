@@ -14,6 +14,18 @@ import sys
 import time
 
 STAGES = [
+    # sf0.001 first: the small-population edge regime (sketches below
+    # k, sessions/windows with singleton keys, empty-side joins) where
+    # r8 verified the whole registry also holds strict
+    (
+        "strict oracle gate (sf0.001, small-population edges)",
+        [
+            sys.executable,
+            "tools/check_oracle.py",
+            "--strict",
+            "/root/testdata/sf0.001",
+        ],
+    ),
     ("strict oracle gate (sf0.01)", [sys.executable, "tools/check_oracle.py", "--strict"]),
     # Full-registry re-verification at sf0.1 as well (VERDICT r4 item
     # 7): SF-sensitive shapes (ANN recall-bound flags, percentile
