@@ -31,23 +31,24 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         kmv_distinct_users oracle-constant extraction, ann_pq_topk's
 #         PQ threshold/corpus_count fix — an OPERATOR change invisible
 #         to the source hash, promoted by hand as in r7),
-#   5-12  BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
+#   5-13  BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
 #         execution mode; cms_term_frequencies + streaming_cms_counts
 #         — the count-min family, sketch trio complete;
 #         bloom_prefilter_join + streaming_bloom_filter_join — the
 #         runtime-filter operator, batch + streaming-state builds;
 #         kmv_rollup_distinct — cube-over-sketches rollup;
 #         mg_heavy_hitters — deterministic Misra-Gries top-k;
-#         bitmap_segment_ops — exact chunked-bitmap set algebra),
-#   13-23 the ELEVEN r2-stale leftovers — after their rows, no query's
+#         bitmap_segment_ops — exact chunked-bitmap set algebra;
+#         kmv_windowed_distinct — sketches × event-time windows),
+#   14-24 the ELEVEN r2-stale leftovers — after their rows, no query's
 #         latest evidence predates r3,
-#   24-50 the r3-stale block, first 27 of 45 (alphabetical).
+#   25-50 the r3-stale block, first 26 of 45 (alphabetical).
 #
 # ROUND-9 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 18 r3-stale leftovers open the tail (51-68), then the
-# r5 block (69-118), then the r6 block (119-162), then the r7-fresh
-# rows (163-208).  Promote 51-onward next round — r9's 50 slots take
-# the 18 r3 leftovers plus the first 32 of the r5 block; any query
+# order): the 19 r3-stale leftovers open the tail (51-69), then the
+# r5 block (70-119), then the r6 block (120-163), then the r7-fresh
+# rows (164-209).  Promote 51-onward next round — r9's 50 slots take
+# the 19 r3 leftovers plus the first 31 of the r5 block; any query
 # changed during round 9 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -71,7 +72,8 @@ _PRIORITY = [
     "kmv_rollup_distinct",
     "mg_heavy_hitters",
     "bitmap_segment_ops",
-    # ---- 13-23: the 11 r2-stale leftovers (last r2 rows anywhere) ----
+    "kmv_windowed_distinct",
+    # ---- 14-24: the 11 r2-stale leftovers (last r2 rows anywhere) ----
     "streaming_interval_join",
     "streaming_session_window",
     "streaming_sliding_window",
@@ -83,7 +85,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 24-50: r3-stale block, first 27 of 45 alphabetically ----
+    # ---- 25-50: r3-stale block, first 26 of 45 alphabetically ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -110,8 +112,8 @@ _PRIORITY = [
     "positional_tokens",
     "promo_revenue_share",
     "recency_decay_weights",
+    # ---- 51-69: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "recursive_event_chains",
-    # ---- 51-68: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "returned_item_customers",
     "semantic_dedup_survivors",
     "set_ops_all_multiset",
@@ -130,7 +132,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 69-118: r5 rows ----
+    # ---- 70-119: r5 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -181,7 +183,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 119-162: r6 rows ----
+    # ---- 120-163: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -226,7 +228,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 163-208: r7 rows (freshest, rotate last) ----
+    # ---- 164-209: r7 rows (freshest, rotate last) ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",

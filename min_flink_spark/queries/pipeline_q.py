@@ -2310,3 +2310,56 @@ def q_bitmap_segment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[partials.filter(F.col("_shard") == s).drop("_shard") for s in (0, 1)]
     )
     return bitmap_pair_ops(merged, "event_type")
+
+
+@query(
+    "kmv_windowed_distinct",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS day, user_id
+      FROM events
+    ),
+    h AS (
+      SELECT day, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS hash
+      FROM d
+    ),
+    r AS (
+      SELECT day, hash, user_id,
+             row_number() OVER (PARTITION BY day ORDER BY hash, user_id) AS pos
+      FROM h
+    ),
+    s AS (SELECT day, hash, user_id AS id FROM r WHERE pos <= 16),
+    e AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n, max(hash) AS hk
+      FROM s GROUP BY 1
+    )
+    SELECT day AS window_start,
+           CASE WHEN n < 16 OR hk <= 0 THEN n
+                ELSE CAST(15 * 4294967296 // hk AS BIGINT) END AS distinct_est
+    FROM e
+    """,
+)
+def q_kmv_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series distinct counting — sketches × event-time windows:
+    per 1-day tumbling window, the KMV distinct-user estimate from a
+    bottom-16 sketch keyed by the window start. THE production shape
+    for 'daily uniques' at 100 TB: each day's sketch is built from that
+    day's partition alone (one WindowGroupLimit pass, per-window state
+    k rows), stored, and any date-range rollup later merges the stored
+    sketches (closure — see kmv_rollup_distinct) instead of rescanning
+    history; an exact daily count_distinct would rescan every day it
+    ever reports on. Oracle replays window bucketing, hashing, and the
+    estimator verbatim, integer-exact."""
+    from min_flink_spark.operators.pipeline import (
+        bottom_k_sketch,
+        kmv_distinct_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").getField("start").alias("window_start"),
+        "user_id",
+    )
+    sk = bottom_k_sketch(ev, ["window_start"], "user_id", k=16)
+    return kmv_distinct_estimate(sk, ["window_start"], k=16)
