@@ -37,10 +37,24 @@ from pyspark.sql import functions as F
 def bitmap_index(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
     """Build the chunked bitmap index: ``(key, word, mask)`` with
     ``word = id div 64`` and bit ``id mod 64`` set in ``mask``.
-    Duplicate (key, id) rows collapse for free (OR is idempotent)."""
+    Duplicate (key, id) rows collapse for free (OR is idempotent).
+    Negative ids FAIL the build (codegen assert): `div` truncates
+    toward zero while the shift wraps mod 64, so a negative id would
+    set a plausible-looking bit in the wrong word and silently corrupt
+    the advertised-exact algebra."""
     word = F.expr(f"{id_col} div 64").alias("word")
-    bit = F.call_function(
-        "shiftleft", F.lit(1).cast("bigint"), F.col(id_col) % 64
+    bit = F.when(
+        F.col(id_col) >= 0,
+        F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), F.col(id_col) % 64
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("bitmap_index: negative id "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint")
     )
     return (
         df.select(F.col(key_col), word, bit.alias("_bit"))

@@ -1191,9 +1191,26 @@ def count_min_sketch(
     )
 
 
+def _require_plain_cms_grid(df: DataFrame, fn: str) -> None:
+    """merge_cms/cms_estimate operate on a PLAIN (d, w, cnt) grid. A
+    grid still carrying a ``keys=`` prefix column would silently
+    mis-aggregate (min/sum across the undropped key values — an
+    UNDERCOUNTING estimator, violating the one-sided-error guarantee),
+    so reject it loudly: split/drop the key first (see the
+    cms_term_frequencies query for the pattern)."""
+    extra = [c for c in df.columns if c not in ("d", "w", "cnt")]
+    if extra or set(df.columns) != {"d", "w", "cnt"}:
+        raise ValueError(
+            f"{fn} needs a plain (d, w, cnt) grid; got columns "
+            f"{df.columns} — filter/drop the sketch-key prefix first"
+        )
+
+
 def merge_cms(*parts: DataFrame) -> DataFrame:
     """Merge count-min sketches (same depth/width): counter addition —
     rows examined = parts × depth × width, never the data."""
+    for p in parts:
+        _require_plain_cms_grid(p, "merge_cms")
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
@@ -1223,6 +1240,7 @@ def cms_estimate(
             for i in range(depth)
         ]
     )
+    _require_plain_cms_grid(sketch, "cms_estimate")
     probes = items.select(item_col, F.posexplode(cells).alias("d", "w"))
     return (
         probes.join(sketch, ["d", "w"], "left")

@@ -315,6 +315,20 @@ def bloom_bitmask(
     driver (bounded metadata, the IVF-centroid contract). m must be a
     multiple of 64.
     """
+    rows = bloom_word_frame(keys, key_col, m_bits, k_hashes).collect()
+    return bloom_mask_from_words(rows, m_bits)
+
+
+def bloom_word_frame(
+    keys: DataFrame, key_col: str, m_bits: int = 8192, k_hashes: int = 3
+) -> DataFrame:
+    """The build side as a DataFrame of ``(_word, _mask)`` bit-or
+    partials — the ONE copy of the word/bit packing arithmetic, shared
+    by the batch build (``bloom_bitmask`` collects it) and the
+    streaming build (it is a plain projection + ``bit_or`` aggregation,
+    so it runs verbatim as a streaming aggregation whose state is the
+    m/64 words; bits only turn ON, so update-mode emissions collapse by
+    a second ``bit_or``)."""
     from min_flink_spark.functions.hashing import hash_bucket
 
     if m_bits % 64:
@@ -328,7 +342,7 @@ def bloom_bitmask(
             for i in range(k_hashes)
         ]
     )
-    words = (
+    return (
         keys.select(F.explode(pos).alias("_pos"))
         .select(
             (F.col("_pos") / 64).cast("int").alias("_word"),
@@ -340,10 +354,14 @@ def bloom_bitmask(
         )
         .groupBy("_word")
         .agg(F.bit_or("_bit").alias("_mask"))
-        .collect()
     )
+
+
+def bloom_mask_from_words(rows, m_bits: int) -> list[int]:
+    """Assemble collected ``(_word, _mask)`` rows into the dense
+    ``m_bits/64``-long bitmask (missing words are 0)."""
     mask = [0] * (m_bits // 64)
-    for r in words:
+    for r in rows:
         mask[r["_word"]] = r["_mask"]
     return mask
 

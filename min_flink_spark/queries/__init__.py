@@ -62,8 +62,10 @@ _PRIORITY = [
     "triangle_counts_copurchase",
     "kmv_distinct_users",
     "ann_pq_topk",
-    # ---- 5-8: BRAND-NEW in r8 (streaming bottom-k/KMV state mode;
-    # count-min sketch batch-merge + streaming-state modes) ----
+    # ---- 5-13: BRAND-NEW in r8 (streaming bottom-k/KMV state mode;
+    # count-min sketch batch-merge + streaming-state modes; Bloom
+    # runtime filter, batch + streaming builds; KMV rollup + windowed
+    # variants; Misra-Gries top-k; chunked-bitmap set algebra) ----
     "streaming_kmv_distinct",
     "cms_term_frequencies",
     "streaming_cms_counts",

@@ -1286,20 +1286,43 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips the row. The same mask arithmetic is engine-portable (md5
     bucket idiom), which is what lets heterogeneous pipeline stages
     share one runtime filter."""
-    from min_flink_spark.operators.relational import (
-        bloom_bitmask,
-        bloom_might_contain,
-    )
+    from min_flink_spark.operators.relational import bloom_bitmask
 
-    urgent = (
+    urgent = urgent_order_keys(spark, sf_dir)
+    mask = bloom_bitmask(urgent, "k", m_bits=8192, k_hashes=3)
+    return bloom_effectiveness_certificate(spark, sf_dir, mask)
+
+
+def urgent_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom family's dim side (shared by the batch and streaming
+    builds so both certify against the same key set)."""
+    return (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
     )
-    mask = bloom_bitmask(urgent, "k", m_bits=8192, k_hashes=3)
+
+
+def bloom_effectiveness_certificate(
+    spark: SparkSession,
+    sf_dir: str,
+    mask: list,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """The ONE copy of the filter-effectiveness certificate both Bloom
+    gate queries emit against BLOOM_PREFILTER_ORACLE: probe lineitem
+    with the finalized mask, left-join the true key set, and aggregate
+    (n_fact, n_passed, n_matched, n_false_neg, n_fp_rows). A fork of
+    this block on either build path could silently drift from the
+    shared oracle (ADVICE-style duplication trap, factored in r8)."""
+    from min_flink_spark.operators.relational import bloom_might_contain
+
+    urgent = urgent_order_keys(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     tagged = li.withColumn(
-        "bloom_pass", bloom_might_contain(F.col("l_orderkey"), mask, 8192, 3)
+        "bloom_pass",
+        bloom_might_contain(F.col("l_orderkey"), mask, m_bits, k_hashes),
     )
     # no broadcast hint: urgent scales with SF; Catalyst picks the
     # strategy (auto-broadcast at gate SFs, shuffle join at 100 TB)

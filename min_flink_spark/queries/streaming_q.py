@@ -1061,12 +1061,16 @@ def q_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "term").select("term", "exact_cnt", "cms_est")
 
 
-from min_flink_spark.queries.relational import BLOOM_PREFILTER_ORACLE
+from min_flink_spark.queries.relational import (
+    BLOOM_PREFILTER_ORACLE,
+    bloom_effectiveness_certificate,
+)
 
+# matches orders.parquet's actual 6 columns — phantom schema columns
+# would stream as silent NULLs and mask real schema drift
 ORDERS_SCHEMA = (
     "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-    "o_totalprice double, o_orderdate timestamp, o_orderpriority string, "
-    "o_clerk string, o_shippriority int, o_comment string"
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
 )
 
 
@@ -1079,65 +1083,28 @@ def q_streaming_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
     incremental dynamic-filter shape: the mask tightens as dim rows
     arrive, and a key once admitted stays admitted — bits only turn
     ON, so per-word emissions collapse batch-count-invariantly by a
-    second bit_or). The finalized mask then prunes the lineitem scan
-    with the SAME O(1) codegen probes as the batch twin, and the gate
-    row is the same filter-effectiveness certificate (n_false_neg
-    pinned 0) against the shared oracle — one filter, two build modes,
-    one ground truth."""
-    from min_flink_spark.functions.hashing import hash_bucket
-    from min_flink_spark.operators.relational import bloom_might_contain
-    from min_flink_spark.sources import load_table
+    second bit_or). The word/bit packing is the SAME code as the batch
+    build (operators/relational.bloom_word_frame — a plain projection
+    + bit_or agg, so it runs verbatim as streaming state), and the
+    finalized mask feeds the SAME certificate block the batch twin
+    emits (queries/relational.bloom_effectiveness_certificate) against
+    the shared oracle — one filter, two build modes, one ground truth,
+    zero forked arithmetic."""
+    from min_flink_spark.operators.relational import (
+        bloom_mask_from_words,
+        bloom_word_frame,
+    )
 
     m_bits, k_hashes = 8192, 3
     s = stream_parquet(spark, f"{sf_dir}/orders.parquet", ORDERS_SCHEMA)
     urgent_s = s.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_orderkey").alias("k")
     )
-    pos = F.array(
-        *[
-            hash_bucket(
-                F.concat_ws(":", F.col("k").cast("string"), F.lit(str(i))),
-                m_bits,
-            )
-            for i in range(k_hashes)
-        ]
+    emitted = run_to_completion(
+        bloom_word_frame(urgent_s, "k", m_bits, k_hashes), output_mode="update"
     )
-    words_s = (
-        urgent_s.select(F.explode(pos).alias("_pos"))
-        .select(
-            (F.col("_pos") / 64).cast("int").alias("_word"),
-            F.call_function(
-                "shiftleft", F.lit(1).cast("bigint"), F.col("_pos") % 64
-            ).alias("_bit"),
-        )
-        .groupBy("_word")
-        .agg(F.bit_or("_bit").alias("_mask"))
-    )
-    emitted = run_to_completion(words_s, output_mode="update")
     # bits only turn ON: a second bit_or collapses cumulative per-word
     # emissions to the final mask at any batch count
     words = emitted.groupBy("_word").agg(F.bit_or("_mask").alias("_mask")).collect()
-    mask = [0] * (m_bits // 64)
-    for r in words:
-        mask[r["_word"]] = r["_mask"]
-
-    urgent = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_orderkey").alias("k"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    tagged = li.withColumn(
-        "bloom_pass", bloom_might_contain(F.col("l_orderkey"), mask, m_bits, k_hashes)
-    )
-    flagged = tagged.join(
-        urgent, tagged["l_orderkey"] == urgent["k"], "left"
-    ).select("bloom_pass", F.col("k").isNotNull().alias("is_match"))
-    b = lambda c: c.cast("int").cast("bigint")  # noqa: E731
-    return flagged.agg(
-        F.count(F.lit(1)).alias("n_fact"),
-        F.sum(b(F.col("bloom_pass"))).alias("n_passed"),
-        F.sum(b(F.col("is_match"))).alias("n_matched"),
-        F.sum(b(F.col("is_match") & ~F.col("bloom_pass"))).alias("n_false_neg"),
-        F.sum(b(F.col("bloom_pass") & ~F.col("is_match"))).alias("n_fp_rows"),
-    )
+    mask = bloom_mask_from_words(words, m_bits)
+    return bloom_effectiveness_certificate(spark, sf_dir, mask, m_bits, k_hashes)

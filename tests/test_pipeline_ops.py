@@ -939,3 +939,38 @@ def test_bitmap_merge_identity(spark):
         bitmap_index(d1, "seg", "uid"), bitmap_index(d2, "seg", "uid")
     )
     assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_cms_rejects_keyed_grid(spark):
+    """A grid still carrying a keys= prefix would make min-over-join an
+    UNDERCOUNTING estimator; both consumers must refuse it loudly."""
+    import pytest as _pytest
+
+    from min_flink_spark.operators.pipeline import (
+        cms_estimate,
+        count_min_sketch,
+        merge_cms,
+    )
+
+    df = spark.createDataFrame([(0, "a"), (1, "a")], "day int, term string")
+    keyed = count_min_sketch(df, "term", depth=2, width=8, keys=["day"])
+    probe = spark.createDataFrame([("a",)], "term string")
+    with _pytest.raises(ValueError, match="plain \\(d, w, cnt\\) grid"):
+        cms_estimate(keyed, probe, "term", depth=2, width=8)
+    with _pytest.raises(ValueError, match="plain \\(d, w, cnt\\) grid"):
+        merge_cms(keyed, keyed)
+    # and the documented pattern still works
+    plain = merge_cms(
+        *[keyed.filter(F.col("day") == d).drop("day") for d in (0, 1)]
+    )
+    assert plain.count() <= 2 * 8
+
+
+def test_bitmap_rejects_negative_ids(spark):
+    import pytest as _pytest
+
+    from min_flink_spark.operators.bitmap import bitmap_index
+
+    df = spark.createDataFrame([("s", 5), ("s", -1)], "seg string, uid bigint")
+    with _pytest.raises(Exception, match="negative id"):
+        bitmap_index(df, "seg", "uid").collect()

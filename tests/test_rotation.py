@@ -63,19 +63,11 @@ def test_prefix_spends_no_slot_on_fresh_rows_while_unchecked_wait():
     query occupying a slot while unchecked queries wait is exactly the
     round-5 failure."""
     names, last, never, changed = _state()
-    prefix = names[:PREFIX]
-    waiting_outside = [n for n in names[PREFIX:] if n in never]
-    if not waiting_outside:
-        return  # everything unchecked fits — any filler is legal
-    offenders = [
-        f"{n} (last driver row r{last[n]})"
-        for n in prefix
-        if n not in never and n not in changed and last.get(n, 0) > DEEP_STALE
-    ]
+    waiting_outside, offenders = _rule_a_violations(names, last, never, changed)
     assert not offenders, (
         f"{len(waiting_outside)} never-checked queries wait outside the "
         f"{PREFIX}-slot prefix, but these fresh-row queries hold slots:\n  "
-        + "\n  ".join(offenders)
+        + "\n  ".join(f"{n} (last driver row r{last[n]})" for n in offenders)
     )
 
 

@@ -156,6 +156,13 @@ def audit(spark, sf_dir: str, queries=None):
             # plan overstates scans/shuffles
             df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # free graph-family checkpoint blocks (release handles ride
+            # on the result) — same discipline as check_oracle, or a
+            # full-registry audit session pins ~3 corpus-sized frames
+            # per graph query
+            from min_flink_spark.core.ckpt import release_backing
+
+            release_backing(df)
         except Exception as e:  # pragma: no cover - diagnostic path
             rows.append((name, None, f"PLAN ERROR: {e}"))
             continue
