@@ -89,14 +89,21 @@ def bitmap_pair_ops(index: DataFrame, key_col: str) -> DataFrame:
     + popcount of the AND; union by inclusion-exclusion — so the only
     join is chunk-frame × chunk-frame on the word id, and an id in
     neither word overlap costs nothing."""
+    # every column renamed per side: the self-join must survive ANY
+    # lineage, including a streaming memory-sink view whose repeated
+    # attributes Spark refuses to disambiguate on a shared-name join
     a = index.select(
-        F.col(key_col).alias("key_a"), "word", F.col("mask").alias("_ma")
+        F.col(key_col).alias("key_a"),
+        F.col("word").alias("_wa"),
+        F.col("mask").alias("_ma"),
     )
     b = index.select(
-        F.col(key_col).alias("key_b"), "word", F.col("mask").alias("_mb")
+        F.col(key_col).alias("key_b"),
+        F.col("word").alias("_wb"),
+        F.col("mask").alias("_mb"),
     )
     inter = (
-        a.join(b, "word")
+        a.join(b, F.col("_wa") == F.col("_wb"))
         .filter(F.col("key_a") < F.col("key_b"))
         .groupBy("key_a", "key_b")
         .agg(

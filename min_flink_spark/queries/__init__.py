@@ -31,24 +31,25 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         kmv_distinct_users oracle-constant extraction, ann_pq_topk's
 #         PQ threshold/corpus_count fix — an OPERATOR change invisible
 #         to the source hash, promoted by hand as in r7),
-#   5-13  BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
+#   5-14  BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
 #         execution mode; cms_term_frequencies + streaming_cms_counts
 #         — the count-min family, sketch trio complete;
 #         bloom_prefilter_join + streaming_bloom_filter_join — the
 #         runtime-filter operator, batch + streaming-state builds;
 #         kmv_rollup_distinct — cube-over-sketches rollup;
 #         mg_heavy_hitters — deterministic Misra-Gries top-k;
-#         bitmap_segment_ops — exact chunked-bitmap set algebra;
+#         bitmap_segment_ops + streaming_bitmap_segment_ops — exact
+#         chunked-bitmap set algebra, batch + streaming-state builds;
 #         kmv_windowed_distinct — sketches × event-time windows),
-#   14-24 the ELEVEN r2-stale leftovers — after their rows, no query's
+#   15-25 the ELEVEN r2-stale leftovers — after their rows, no query's
 #         latest evidence predates r3,
-#   25-50 the r3-stale block, first 26 of 45 (alphabetical).
+#   26-50 the r3-stale block, first 25 of 45 (alphabetical).
 #
 # ROUND-9 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 19 r3-stale leftovers open the tail (51-69), then the
-# r5 block (70-119), then the r6 block (120-163), then the r7-fresh
-# rows (164-209).  Promote 51-onward next round — r9's 50 slots take
-# the 19 r3 leftovers plus the first 31 of the r5 block; any query
+# order): the 20 r3-stale leftovers open the tail (51-70), then the
+# r5 block (71-120), then the r6 block (121-164), then the r7-fresh
+# rows (165-210).  Promote 51-onward next round — r9's 50 slots take
+# the 20 r3 leftovers plus the first 30 of the r5 block; any query
 # changed during round 9 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -75,7 +76,8 @@ _PRIORITY = [
     "mg_heavy_hitters",
     "bitmap_segment_ops",
     "kmv_windowed_distinct",
-    # ---- 14-24: the 11 r2-stale leftovers (last r2 rows anywhere) ----
+    "streaming_bitmap_segment_ops",
+    # ---- 15-25: the 11 r2-stale leftovers (last r2 rows anywhere) ----
     "streaming_interval_join",
     "streaming_session_window",
     "streaming_sliding_window",
@@ -87,7 +89,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 25-50: r3-stale block, first 26 of 45 alphabetically ----
+    # ---- 26-50: r3-stale block, first 25 of 45 alphabetically ----
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
@@ -113,8 +115,8 @@ _PRIORITY = [
     "per_domain_cap",
     "positional_tokens",
     "promo_revenue_share",
+    # ---- 51-70: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "recency_decay_weights",
-    # ---- 51-69: r3-stale tail (r9 opens here — see ROUND-9 note) ----
     "recursive_event_chains",
     "returned_item_customers",
     "semantic_dedup_survivors",
@@ -134,7 +136,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 70-119: r5 rows ----
+    # ---- 71-120: r5 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -185,7 +187,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 120-163: r6 rows ----
+    # ---- 121-164: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -230,7 +232,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 164-209: r7 rows (freshest, rotate last) ----
+    # ---- 165-210: r7 rows (freshest, rotate last) ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",

@@ -2251,9 +2251,10 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bitmap_segment_ops",
-    oracle="""
+# ONE ground truth for the bitmap family: the batch build and the
+# streaming-state build (queries/streaming_q.py) emit the same pair
+# table — both decorators reference THIS constant.
+BITMAP_SEGMENT_ORACLE = """
     WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
     card AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
@@ -2273,8 +2274,10 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN card cb ON ca.event_type < cb.event_type
     LEFT JOIN inter i
       ON i.key_a = ca.event_type AND i.key_b = cb.event_type
-    """,
-)
+    """
+
+
+@query("bitmap_segment_ops", oracle=BITMAP_SEGMENT_ORACLE)
 def q_bitmap_segment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT segment set algebra via chunked bitmap indexes
     (operators/bitmap.py) — the audience-engine counterpart to the KMV

@@ -1108,3 +1108,36 @@ def q_streaming_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
     words = emitted.groupBy("_word").agg(F.bit_or("_mask").alias("_mask")).collect()
     mask = bloom_mask_from_words(words, m_bits)
     return bloom_effectiveness_certificate(spark, sf_dir, mask, m_bits, k_hashes)
+
+
+from min_flink_spark.queries.pipeline_q import BITMAP_SEGMENT_ORACLE
+
+
+@query("streaming_bitmap_segment_ops", oracle=BITMAP_SEGMENT_ORACLE)
+def q_streaming_bitmap_segment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING bitmap-index build with BOUNDED state — the chunked
+    bitmap index maintained as a streaming aggregation: state is
+    segments × touched 64-id words (operators/bitmap.bitmap_index is a
+    plain projection + bit_or groupBy, so the SAME code runs batch and
+    here as streaming state — every summary family now has its
+    streaming mode: histogram, KMV, CMS, Bloom, bitmap). Bits only
+    turn ON, so cumulative per-word emissions collapse
+    batch-count-invariantly by a second bit_or (merge_bitmap_indexes —
+    also the cross-shard merge rule); the finalized EXACT index then
+    answers the same pairwise set-algebra table as the batch twin
+    against the shared oracle."""
+    from min_flink_spark.operators.bitmap import (
+        bitmap_index,
+        bitmap_pair_ops,
+        merge_bitmap_indexes,
+    )
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    emitted = run_to_completion(
+        bitmap_index(
+            s.select("event_type", "user_id"), "event_type", "user_id"
+        ),
+        output_mode="update",
+    )
+    index = merge_bitmap_indexes(emitted)
+    return bitmap_pair_ops(index, "event_type")
