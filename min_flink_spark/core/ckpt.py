@@ -63,7 +63,12 @@ def carry_backing(result: DataFrame, *sources: DataFrame) -> DataFrame:
     returns a NEW DataFrame that silently drops the attribute (the
     ADVICE r7 pagerank/triangles leak: the operator attached the
     handle, the wrapper's projection lost it, and the gate could never
-    release). Sources without a handle contribute nothing."""
+    release). TRUE move semantics: each source's handle is removed
+    after the copy, so a caller that ``release_backing``s an
+    intermediate frame cannot free checkpoint blocks the carried
+    result still reads from (the unrecomputable-frame hazard
+    ``unpersist_checkpoint`` warns about). Sources without a handle
+    contribute nothing."""
     frames: list[DataFrame] = []
     for s in sources:
         b = getattr(s, "_graft_backing", None)
@@ -71,6 +76,8 @@ def carry_backing(result: DataFrame, *sources: DataFrame) -> DataFrame:
             frames.append(b)
         elif b:
             frames.extend(b)
+        if b is not None:
+            s._graft_backing = []
     return attach_backing(result, *frames)
 
 

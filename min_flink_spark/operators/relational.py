@@ -359,10 +359,20 @@ def bloom_word_frame(
 
 def bloom_mask_from_words(rows, m_bits: int) -> list[int]:
     """Assemble collected ``(_word, _mask)`` rows into the dense
-    ``m_bits/64``-long bitmask (missing words are 0)."""
-    mask = [0] * (m_bits // 64)
+    ``m_bits/64``-long bitmask (missing words are 0). Rejects word
+    ids outside ``[0, m_bits/64)`` loudly — that means the word frame
+    was built with a DIFFERENT ``m_bits`` than the one passed here
+    (a contract mismatch, not data corruption)."""
+    n_words = m_bits // 64
+    mask = [0] * n_words
     for r in rows:
-        mask[r["_word"]] = r["_mask"]
+        w = r["_word"]
+        if not 0 <= w < n_words:
+            raise ValueError(
+                f"bloom word id {w} outside [0, {n_words}) — the word "
+                f"frame was built with a different m_bits than {m_bits}"
+            )
+        mask[w] = r["_mask"]
     return mask
 
 

@@ -227,3 +227,22 @@ def test_gated_graph_queries_release_clean(spark, sf_dir):
         assert _persistent_rdd_ids(_jsc(spark)) == before, (
             f"{name} left persisted RDDs pinned"
         )
+
+
+def test_carry_backing_moves_not_copies(spark):
+    """ADVICE r8: carry_backing must MOVE the handle — releasing the
+    intermediate source afterwards must be a no-op, never freeing
+    checkpoint blocks the carried result still reads from."""
+    from min_flink_spark.core.ckpt import (
+        attach_backing,
+        carry_backing,
+        release_backing,
+    )
+
+    backing = spark.range(7).localCheckpoint(eager=True)
+    inter = attach_backing(backing.filter("id > 1"), backing)
+    out = carry_backing(inter.select("id"), inter)
+    assert release_backing(inter) == 0, "source kept its handle (copy!)"
+    assert set(checkpoint_rdd_ids(backing)) <= _persistent_rdd_ids(_jsc(spark))
+    assert out.count() == 5
+    assert release_backing(out) == 1

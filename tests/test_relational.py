@@ -301,3 +301,21 @@ def test_bloom_filter_rejects_bad_width_and_is_codegen(spark):
     # the probe is a scan-side filter: no join, no exchange, no python
     assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_mask_from_words_rejects_mismatched_m_bits(spark):
+    """ADVICE r8: a word frame built at one m_bits assembled under a
+    smaller m_bits must raise a diagnosable contract error, not a bare
+    IndexError (or silently drop high words under a LARGER m_bits)."""
+    import pytest as _pytest
+
+    from min_flink_spark.operators.relational import (
+        bloom_mask_from_words,
+        bloom_word_frame,
+    )
+
+    members = spark.range(0, 50).select(F.col("id").alias("k"))
+    rows = bloom_word_frame(members, "k", m_bits=4096, k_hashes=3).collect()
+    assert max(r["_word"] for r in rows) >= 256 // 64  # premise: overflows 256
+    with _pytest.raises(ValueError, match="different m_bits than 256"):
+        bloom_mask_from_words(rows, 256)
