@@ -1264,39 +1264,49 @@ def misra_gries_summary(
     units, and only N exist.
 
     Execution shape at 100 TB: one ``mapInPandas`` pass holds m
-    counters per partition (classic MG locally — decrement-all when a
-    partition's counter set overflows m), emitting ≤ partitions × m
-    summary rows; the merge is a hash-agg SUM over that summary-sized
-    frame followed by one subtract-the-(m+1)-th-largest window pass
-    (the MG merge step) — the raw data is scanned exactly once and
-    never shuffled. The summary itself depends on partition boundaries
-    (as any MG run order does); the GUARANTEES do not, which is what
-    gate certificates check.
+    counters per partition, emitting ≤ partitions × m summary rows;
+    the merge is a hash-agg SUM over that summary-sized frame followed
+    by one subtract-the-(m+1)-th-largest window pass (the MG merge
+    step) — the raw data is scanned exactly once and never shuffled.
+    The partition pass is VECTORIZED (VERDICT r8 item 2): each Arrow
+    batch is first collapsed exactly with ``value_counts()`` (per
+    distinct item, not per row), then merged into the running counters
+    with the same merge rule the cross-partition step uses — add
+    weights; when more than m counters survive, subtract the (m+1)-th
+    largest value from ALL and drop non-positives. Accounting for the
+    bound is unchanged (Agarwal et al.): each subtraction of c retires
+    ≥ (m+1)·c count units (the top m+1 counters each lose c), only N
+    units exist, so the total undercount anywhere is ≤ N/(m+1) < N/m;
+    counters start exact per batch and only ever decrease, so
+    estimates never overcount. The summary's exact membership depends
+    on partition/batch boundaries (as any MG run order does); the
+    GUARANTEES do not, which is what gate certificates check.
     """
     import pandas as pd
 
     def _partition_mg(batches):
-        counters: dict = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for it in pdf[item_col]:
-                if it is None:
-                    continue
-                if it in counters:
-                    counters[it] += 1
-                elif len(counters) < m:
-                    counters[it] = 1
-                else:
-                    # decrement-all: retires m+1 count units at once
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-        if counters:
+            vc = pdf[item_col].dropna().value_counts()
+            if vc.empty:
+                continue
+            counters = (
+                vc.astype("int64")
+                if counters.empty
+                else counters.add(vc, fill_value=0).astype("int64")
+            )
+            if len(counters) > m:
+                # MG merge step: subtracting the (m+1)-th largest from
+                # every counter retires ≥ (m+1)·cut count units at once
+                cut = int(counters.nlargest(m + 1).iloc[-1])
+                counters = counters.sub(cut)
+                counters = counters[counters > 0]
+        if len(counters):
             yield pd.DataFrame(
-                {"item": list(counters), "cnt": list(counters.values())}
+                {
+                    "item": counters.index.to_numpy(dtype=object),
+                    "cnt": counters.to_numpy(),
+                }
             )
 
     parts = df.select(F.col(item_col).alias(item_col)).mapInPandas(

@@ -2234,11 +2234,14 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_cnt").desc(), F.col("term").asc()
     ).limit(10)
     # N for the bound comes from the VOCAB-sized counts frame (its
-    # exchange is reused by the top-10 cut) — not a third token scan
-    n_total = counts.agg(F.sum("exact_cnt")).first()[0]
+    # exchange is reused by the top-10 cut) — not a third token scan.
+    # It rides the plan as a 1-row cross-joined scalar (VERDICT r8
+    # item 5: no eager job at query-construction time); the double
+    # division n/m is the IEEE value the old driver-side literal had.
+    n_total = counts.agg(F.sum("exact_cnt").alias("_n"))
     checked = top.join(
         summary.withColumnRenamed("item", "term"), "term", "left"
-    )
+    ).join(n_total, how="cross")
     return checked.select(
         "term",
         "exact_cnt",
@@ -2246,7 +2249,7 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("est").isNotNull()
             & (F.col("est") <= F.col("exact_cnt"))
-            & (F.col("est") >= F.col("exact_cnt") - F.lit(n_total / m))
+            & (F.col("est") >= F.col("exact_cnt") - F.col("_n") / F.lit(m))
         ).alias("within_bound"),
     )
 

@@ -881,6 +881,46 @@ def test_mg_guarantees_under_forced_decrements(spark):
         assert est >= exact[item] - n / m
 
 
+def test_mg_weighted_updates_hold_bounds_across_batches(spark):
+    """r9: the partition pass is per-batch value_counts + merge-based
+    WEIGHTED updates (add w; on overflow subtract the (m+1)-th largest
+    from all). Force multiple Arrow batches per partition so the
+    cross-batch merge path runs repeatedly, then re-check the classical
+    guarantees: containment above N/m and est ∈ [true − N/m, true]."""
+    import collections
+
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    items = (
+        ["hot"] * 300
+        + ["warm"] * 120
+        + [f"noise{i % 83}" for i in range(500)]
+    )
+    df = spark.createDataFrame(
+        [(x,) for x in items], "term string"
+    ).repartition(2)
+    m = 8
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "40")  # ~12 batches per partition
+    try:
+        got = {
+            r["item"]: r["est"]
+            for r in misra_gries_summary(df, "term", m=m).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert len(got) <= m
+    exact = collections.Counter(items)
+    n = len(items)
+    for item, true in exact.items():
+        if true > n / m:
+            assert item in got, f"{item} (count {true} > N/m) missing"
+    for item, est in got.items():
+        assert est <= exact[item]
+        assert est >= exact[item] - n / m
+
+
 def test_mg_small_vocab_is_exact(spark):
     """Fewer distinct items than m: no decrement ever fires and the
     summary is the exact multiset (incl. the empty-cut merge path the
