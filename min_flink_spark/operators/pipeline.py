@@ -1285,28 +1285,25 @@ def misra_gries_summary(
     import pandas as pd
 
     def _partition_mg(batches):
-        counters = pd.Series(dtype="int64")
+        # dict counters + per-batch value_counts beat both the per-row
+        # loop AND a pandas-Series merge (whose index alignment costs
+        # more than it saves) on low- and high-cardinality streams
+        # alike — measured interleaved A/B, PERF.md round-9 section
+        counters: dict = {}
+        get = counters.get
         for pdf in batches:
             vc = pdf[item_col].dropna().value_counts()
-            if vc.empty:
-                continue
-            counters = (
-                vc.astype("int64")
-                if counters.empty
-                else counters.add(vc, fill_value=0).astype("int64")
-            )
+            for it, w in zip(vc.index.to_numpy(dtype=object), vc.to_numpy()):
+                counters[it] = get(it, 0) + int(w)
             if len(counters) > m:
                 # MG merge step: subtracting the (m+1)-th largest from
                 # every counter retires ≥ (m+1)·cut count units at once
-                cut = int(counters.nlargest(m + 1).iloc[-1])
-                counters = counters.sub(cut)
-                counters = counters[counters > 0]
-        if len(counters):
+                cut = sorted(counters.values(), reverse=True)[m]
+                counters = {k: v - cut for k, v in counters.items() if v > cut}
+                get = counters.get
+        if counters:
             yield pd.DataFrame(
-                {
-                    "item": counters.index.to_numpy(dtype=object),
-                    "cnt": counters.to_numpy(),
-                }
+                {"item": list(counters), "cnt": list(counters.values())}
             )
 
     parts = df.select(F.col(item_col).alias(item_col)).mapInPandas(
