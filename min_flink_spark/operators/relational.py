@@ -383,7 +383,18 @@ def bloom_might_contain(
     whole-stage-codegen arithmetic (array literal lookup + shift/AND
     per probe, O(1) each), no UDF, no join: the PROBE side of the
     runtime filter, applied as an ordinary ``filter`` so it rides the
-    scan and prunes before any shuffle."""
+    scan and prunes before any shuffle.
+
+    CUTOVER: the mask here is a PLAN-LITERAL array — exactly right up
+    to ~64K bits (1024 longs; the gate uses 8192), where the
+    expression tree stays small and every probe is one in-register
+    lookup. Beyond that (a 100 TB dim side wants m in the hundreds of
+    megabits) plan-literal arrays die on expression-tree size and task
+    binary bloat LONG before memory does — use ``bloom_probe_tag`` /
+    ``bloom_probe_filter``, which keep the mask as the ``(word, mask)``
+    DATA frame and probe via k broadcast equi-joins on ``pos div 64``
+    (same arithmetic, same no-false-negative guarantee, fact side
+    never shuffles)."""
     from min_flink_spark.functions.hashing import hash_bucket
 
     arr = F.array(*[F.lit(int(w)) for w in mask])
@@ -401,3 +412,87 @@ def bloom_might_contain(
         )
         probe = hit if probe is None else (probe & hit)
     return probe
+
+
+def bloom_probe_tag(
+    fact: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    m_bits: int,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Large-m Bloom probe (VERDICT r8 item 3) — tag ``fact`` with a
+    ``bloom_pass`` boolean WITHOUT materializing the mask in the plan:
+    the filter stays as the ``(_word, _mask)`` frame
+    (``bloom_word_frame`` output, m/64 rows of data, not expression
+    tree), and each of the ``k_hashes`` probes is a broadcast LEFT
+    equi-join on ``pos div 64`` followed by the same shift/AND bit
+    test the literal path uses. The fact side NEVER shuffles — all k
+    joins are broadcast-hash, pipelined in the scan stage — so this is
+    the same scan-side runtime-filter shape at any m: 1M bits is a
+    16K-row build side, 1G bits ~16M rows / ~256 MB (the practical
+    broadcast ceiling; beyond that, bucket the words and co-partition —
+    at that point Spark's native ``bloom_filter_agg`` is the better
+    tool and this frame-based shape is its engine-portable twin). A
+    missing word row means those 64 bits are all zero → miss
+    (``coalesce`` to false). Same m_bits/k_hashes as the build or the
+    probe is garbage — same contract as ``bloom_might_contain``.
+    The broadcast hint is on the BOUNDED word frame (≤ m/64 rows,
+    data-independent), never an SF-scaling table."""
+    from min_flink_spark.functions.hashing import hash_bucket
+
+    if m_bits % 64:
+        raise ValueError(f"m_bits {m_bits} not a multiple of 64")
+    out = fact
+    hits = []
+    for i in range(k_hashes):
+        pos = hash_bucket(
+            F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(i))),
+            m_bits,
+        )
+        # SAME alias names every iteration (dropped before the next
+        # join) so all k broadcast build subplans are IDENTICAL and
+        # ReuseExchange materializes the word frame ONCE, not k times
+        wf = words.select(
+            F.col("_word").alias("_bw"), F.col("_mask").alias("_bm")
+        )
+        out = (
+            out.withColumn("_bp", pos)
+            .withColumn("_bw", (F.col("_bp") / 64).cast("int"))
+            .join(F.broadcast(wf), "_bw", "left")
+            .withColumn(
+                f"_hit{i}",
+                F.coalesce(
+                    F.call_function(
+                        "shiftrightunsigned",
+                        F.col("_bm"),
+                        F.col("_bp") % 64,
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(False),
+                ),
+            )
+            .drop("_bp", "_bw", "_bm")
+        )
+        hits.append(f"_hit{i}")
+    passed = F.col(hits[0])
+    for h in hits[1:]:
+        passed = passed & F.col(h)
+    return out.withColumn("bloom_pass", passed).drop(*hits)
+
+
+def bloom_probe_filter(
+    fact: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    m_bits: int,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """The production form of the large-m probe: keep only rows that
+    pass all ``k_hashes`` bit tests (no false negatives ever — a
+    joining row always survives). See ``bloom_probe_tag`` for the plan
+    shape; the pass predicate is a conjunction, so Catalyst pushes each
+    conjunct to the earliest join that can evaluate it."""
+    return bloom_probe_tag(fact, key_col, words, m_bits, k_hashes).filter(
+        F.col("bloom_pass")
+    ).drop("bloom_pass")

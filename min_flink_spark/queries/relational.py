@@ -1227,8 +1227,11 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ONE ground truth for the Bloom runtime-filter family: the batch
 # build and the streaming-state build (queries/streaming_q.py) produce
-# the same certificate row — both decorators reference THIS constant.
-BLOOM_PREFILTER_ORACLE = """
+# the same certificate row — both decorators reference THIS constant
+# (parametric in m so the plan-literal and large-m join-probe builds
+# replay against the identical relational spec).
+def bloom_prefilter_oracle(m_bits: int) -> str:
+    return f"""
     WITH urgent AS (
       SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
     ),
@@ -1237,7 +1240,7 @@ BLOOM_PREFILTER_ORACLE = """
       SELECT DISTINCT
              CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
                                       || CAST(i AS VARCHAR)), 1, 8))
-                  AS BIGINT) % 8192 AS pos
+                  AS BIGINT) % {m_bits} AS pos
       FROM urgent, ii
     ),
     keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
@@ -1249,7 +1252,7 @@ BLOOM_PREFILTER_ORACLE = """
         SELECT l_orderkey, i,
                CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
                                         || CAST(i AS VARCHAR)), 1, 8))
-                    AS BIGINT) % 8192 AS pos
+                    AS BIGINT) % {m_bits} AS pos
         FROM keys, ii
       ) GROUP BY 1
     ),
@@ -1268,6 +1271,9 @@ BLOOM_PREFILTER_ORACLE = """
              AS n_fp_rows
     FROM flags
     """
+
+
+BLOOM_PREFILTER_ORACLE = bloom_prefilter_oracle(8192)
 
 
 @query("bloom_prefilter_join", oracle=BLOOM_PREFILTER_ORACLE)
@@ -1293,6 +1299,31 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_effectiveness_certificate(spark, sf_dir, mask)
 
 
+@query("bloom_bigm_prefilter_join", oracle=bloom_prefilter_oracle(1 << 20))
+def q_bloom_bigm_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-m Bloom probe (VERDICT r8 item 3; operators/relational.
+    bloom_word_frame / bloom_probe_tag): same runtime-filter semantics
+    as bloom_prefilter_join but at m = 2^20 bits, past where the
+    plan-literal mask belongs — the filter stays as the (word, mask)
+    DATA frame (16K rows here; never expression tree), and each of the
+    3 probes is a broadcast equi-join on ``pos div 64`` + the identical
+    shift/AND bit test, pipelined in the fact scan stage with AQE
+    reusing the ONE build exchange across all three joins (plan-locked:
+    tests/test_plan_assertions.py). The fact side never shuffles at any
+    m, which is what makes this the 100 TB shape: a hundreds-of-megabit
+    filter is a few-MB build side, not a task-binary blowup. Same
+    certificate as the literal path — n_false_neg MUST be 0; at this m
+    the false-positive leak is ~0 too (analytic fp ≈ (k·n/m)^k), so
+    n_passed ≈ n_matched, which the oracle replays exactly."""
+    urgent = urgent_order_keys(spark, sf_dir)
+    from min_flink_spark.operators.relational import bloom_word_frame
+
+    words = bloom_word_frame(urgent, "k", m_bits=1 << 20, k_hashes=3)
+    return bloom_effectiveness_certificate(
+        spark, sf_dir, m_bits=1 << 20, words=words
+    )
+
+
 def urgent_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom family's dim side (shared by the batch and streaming
     builds so both certify against the same key set)."""
@@ -1306,24 +1337,34 @@ def urgent_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_effectiveness_certificate(
     spark: SparkSession,
     sf_dir: str,
-    mask: list,
+    mask: list | None = None,
     m_bits: int = 8192,
     k_hashes: int = 3,
+    words: DataFrame | None = None,
 ) -> DataFrame:
-    """The ONE copy of the filter-effectiveness certificate both Bloom
-    gate queries emit against BLOOM_PREFILTER_ORACLE: probe lineitem
-    with the finalized mask, left-join the true key set, and aggregate
-    (n_fact, n_passed, n_matched, n_false_neg, n_fp_rows). A fork of
-    this block on either build path could silently drift from the
-    shared oracle (ADVICE-style duplication trap, factored in r8)."""
-    from min_flink_spark.operators.relational import bloom_might_contain
+    """The ONE copy of the filter-effectiveness certificate every Bloom
+    gate query emits against ``bloom_prefilter_oracle(m)``: probe
+    lineitem with the finalized filter, left-join the true key set, and
+    aggregate (n_fact, n_passed, n_matched, n_false_neg, n_fp_rows). A
+    fork of this block on any build path could silently drift from the
+    shared oracle (ADVICE-style duplication trap, factored in r8).
+    Pass ``mask`` (collected longs) for the plan-literal probe or
+    ``words`` (the (word, mask) frame) for the large-m join probe —
+    both replay against the same relational spec."""
+    from min_flink_spark.operators.relational import (
+        bloom_might_contain,
+        bloom_probe_tag,
+    )
 
     urgent = urgent_order_keys(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    tagged = li.withColumn(
-        "bloom_pass",
-        bloom_might_contain(F.col("l_orderkey"), mask, m_bits, k_hashes),
-    )
+    if words is not None:
+        tagged = bloom_probe_tag(li, "l_orderkey", words, m_bits, k_hashes)
+    else:
+        tagged = li.withColumn(
+            "bloom_pass",
+            bloom_might_contain(F.col("l_orderkey"), mask, m_bits, k_hashes),
+        )
     # no broadcast hint: urgent scales with SF; Catalyst picks the
     # strategy (auto-broadcast at gate SFs, shuffle join at 100 TB)
     flagged = tagged.join(

@@ -594,3 +594,34 @@ def test_mg_summary_single_scan_single_python_stage(spark, sf_dir):
     # summary shuffle, the second consumer reuses it)
     assert "ReusedExchange" in final
     assert "SortAggregate" not in final
+
+
+def test_bloom_bigm_probe_is_scan_side_with_one_reused_build(spark):
+    """The large-m Bloom probe (bloom_probe_filter at m = 2^20) must
+    keep the runtime-filter shape: all k probes are broadcast hash
+    joins pipelined on the fact side (no fact shuffle, no sort-merge,
+    no python), and AQE must materialize the word-frame build exchange
+    ONCE, reusing it across the other k−1 joins (the identical-subplan
+    alias discipline in bloom_probe_tag)."""
+    from min_flink_spark.operators.relational import (
+        bloom_probe_filter,
+        bloom_word_frame,
+    )
+
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    words = bloom_word_frame(members, "k", m_bits=1 << 20, k_hashes=3)
+    fact = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    probe = bloom_probe_filter(fact, "k", words, 1 << 20, 3)
+    # collect() on THIS frame: the final AQE plan is only attached to
+    # the executed QueryExecution (a count() would run a separate one)
+    assert len(probe.collect()) >= 500  # no false negative at this density
+    final = (
+        probe._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("BroadcastHashJoin") == 3
+    assert final.count("ReusedExchange") == 2, "word build ran more than once"
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    assert "EvalPython" not in final

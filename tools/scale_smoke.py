@@ -237,8 +237,31 @@ def shapes(spark, rows: int):
             bloom_might_contain(F.pmod(F.col("user_id"), F.lit(8192)), mask, 65536, 3)
         ).count()
 
+    def _bloom_bigm():
+        from min_flink_spark.operators.relational import (
+            bloom_probe_filter,
+            bloom_word_frame,
+        )
+
+        members = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(F.pmod(F.col("user_id"), F.lit(4096)).alias("k"))
+            .distinct()
+        )
+        words = bloom_word_frame(members, "k", m_bits=1 << 20, k_hashes=3)
+        kept = bloom_probe_filter(
+            ev.withColumn("k", F.pmod(F.col("user_id"), F.lit(8192))),
+            "k",
+            words,
+            1 << 20,
+            3,
+        )
+        # value-dependent consumption (join-elimination trap, see _cms)
+        return kept.agg(F.sum("user_id")).collect()
+
     yield "cms_grid_estimate", _cms
     yield "bloom_build_and_probe", _bloom
+    yield "bloom_bigm_join_probe", _bloom_bigm
 
 
 def main() -> None:
