@@ -24,98 +24,45 @@ from min_flink_spark.queries import windows  # noqa: F401
 # the ledger (python tools/rotation_ledger.py --write) ONLY when
 # rearranging this list.
 #
-# ROUND-8 PREFIX (positions 1-50), executing the r7 verdict item 2
-# (the written r8 rotation, adjusted for r8's own changed/new queries
-# — changed always first):
-#   1-4   changed in r8 (pagerank/triangles release-handle carry,
-#         kmv_distinct_users oracle-constant extraction, ann_pq_topk's
-#         PQ threshold/corpus_count fix — an OPERATOR change invisible
-#         to the source hash, promoted by hand as in r7),
-#   5-14  BRAND-NEW in r8 (streaming_kmv_distinct — bottom-k third
-#         execution mode; cms_term_frequencies + streaming_cms_counts
-#         — the count-min family, sketch trio complete;
-#         bloom_prefilter_join + streaming_bloom_filter_join — the
-#         runtime-filter operator, batch + streaming-state builds;
-#         kmv_rollup_distinct — cube-over-sketches rollup;
-#         mg_heavy_hitters — deterministic Misra-Gries top-k;
-#         bitmap_segment_ops + streaming_bitmap_segment_ops — exact
-#         chunked-bitmap set algebra, batch + streaming-state builds;
-#         kmv_windowed_distinct — sketches × event-time windows),
-#   15-25 the ELEVEN r2-stale leftovers — after their rows, no query's
-#         latest evidence predates r3,
-#   26-50 the r3-stale block, first 25 of 45 (alphabetical).
+# ROUND-9 PREFIX (positions 1-50), executing the r8 verdict item 1
+# (the written r9 rotation, adjusted for r9's own changed/new
+# queries — changed always first):
+#   1-5   changed in r9 (mg_heavy_hitters: vectorized weighted MG
+#         partition pass + lazy N scalar — hash-visible;
+#         bloom_prefilter_join + streaming_bloom_filter_join: the
+#         shared certificate grew the words= probe path — operator
+#         refactor invisible to the source hash, promoted by hand
+#         as in r7/r8; pagerank/triangles: carry_backing moved to
+#         true move semantics — release-path behavior change,
+#         promoted by hand),
+#   6-8   BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
+#         join-probe runtime filter at 2^20 bits;
+#         cms_windowed_counts + bitmap_windowed_retention — the CMS
+#         and bitmap legs of the summary x window symmetry),
+#   9-28  the TWENTY r3-stale leftovers — after their rows, no
+#         query's latest evidence predates r5,
+#   29-50 the r5-stale block, first 22 of 50 (alphabetical).
 #
-# ROUND-9 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 20 r3-stale leftovers open the tail (51-70), then the
-# r5 block (71-120), then the r6 block (121-164), then the r7-fresh
-# rows (165-210).  Promote 51-onward next round — r9's 50 slots take
-# the 20 r3 leftovers plus the first 30 of the r5 block; any query
-# changed during round 9 jumps ahead of everything (changed always
+# ROUND-10 ROTATION NOTE (positions 51+ are already in promotion
+# order): the 28 r5-stale leftovers open the tail (51-78), then the
+# r6 block (79-122), then the r7 rows (123-168), then the r8 rows
+# (169-213).  Promote 51-onward next round — r10's 50 slots take
+# the 28 r5 leftovers plus the first 22 of the r6 block; any query
+# changed during round 10 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
 _PRIORITY = [
-    # ---- 1-4: changed in r8 (pagerank/triangles: release-handle
-    # carry onto the final frame; kmv_distinct_users: oracle extracted
-    # to the shared KMV_DISTINCT_ORACLE constant; ann_pq_topk: PQ
-    # training-threshold fix + corpus_count — operator change,
-    # hash-invisible, promoted by hand as in r7) ----
-    "pagerank_copurchase",
-    "triangle_counts_copurchase",
-    "kmv_distinct_users",
-    "ann_pq_topk",
-    # ---- 5-13: BRAND-NEW in r8 (streaming bottom-k/KMV state mode;
-    # count-min sketch batch-merge + streaming-state modes; Bloom
-    # runtime filter, batch + streaming builds; KMV rollup + windowed
-    # variants; Misra-Gries top-k; chunked-bitmap set algebra) ----
-    "streaming_kmv_distinct",
-    "cms_term_frequencies",
-    "streaming_cms_counts",
+    # ---- 1-5: changed in r9 (see note above) ----
+    "mg_heavy_hitters",
     "bloom_prefilter_join",
     "streaming_bloom_filter_join",
-    "kmv_rollup_distinct",
-    "mg_heavy_hitters",
-    "bitmap_segment_ops",
-    "kmv_windowed_distinct",
-    "streaming_bitmap_segment_ops",
-    # ---- 15-25: the 11 r2-stale leftovers (last r2 rows anywhere) ----
-    "streaming_interval_join",
-    "streaming_session_window",
-    "streaming_sliding_window",
-    "streaming_tumbling_window",
-    "streaming_wordcount",
-    "tumbling_window_daily",
-    "url_domain_filter",
-    "weighted_sample_topk",
-    "window_distribution_funcs",
-    "window_range_frame_1h",
-    "zorder_key_events",
-    # ---- 26-50: r3-stale block, first 25 of 45 alphabetically ----
-    "approx_aggregates",
-    "bigram_top_pairs",
-    "chunk_retrieval_topk",
-    "conversation_assembly",
-    "count_window_blocks",
-    "custom_pysource_events",
-    "customer_order_distribution",
-    "declining_streak_users",
-    "event_funnel_conversion",
-    "heavy_hitter_terms",
-    "html_text_extraction",
-    "idle_rich_customers",
-    "incremental_near_dup_matches",
-    "json_props_stats",
-    "large_volume_customers",
-    "lateral_top2_orders",
-    "left_join_order_item_stats",
-    "map_function_sampler",
-    "minmax_normalized_values",
-    "nested_field_sum_first_record",
-    "null_semantics_sampler",
-    "part_value_concentration",
-    "per_domain_cap",
-    "positional_tokens",
-    "promo_revenue_share",
-    # ---- 51-70: r3-stale tail (r9 opens here — see ROUND-9 note) ----
+    "pagerank_copurchase",
+    "triangle_counts_copurchase",
+    # ---- 6-8: BRAND-NEW in r9 ----
+    "bloom_bigm_prefilter_join",
+    "cms_windowed_counts",
+    "bitmap_windowed_retention",
+    # ---- 9-28: the 20 r3-stale leftovers ----
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
@@ -136,7 +83,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 71-120: r5 rows ----
+    # ---- 29-50: r5-stale block, first 22 of 50 alphabetically ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -159,6 +106,7 @@ _PRIORITY = [
     "keyed_min_by_record_last",
     "keyed_min_first_record",
     "keyed_sum_first_record",
+    # ---- 51-78: r5-stale leftovers (r10 opens here — see note) ----
     "language_id",
     "levenshtein_rerank",
     "map_filter_project",
@@ -187,7 +135,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 121-164: r6 rows ----
+    # ---- 79-122: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -232,7 +180,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 165-210: r7 rows (freshest, rotate last) ----
+    # ---- 123-168: r7 rows ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -279,6 +227,52 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
+    # ---- 169-213: r8 rows (freshest, rotate last) ----
+    "ann_pq_topk",
+    "approx_aggregates",
+    "bigram_top_pairs",
+    "bitmap_segment_ops",
+    "chunk_retrieval_topk",
+    "cms_term_frequencies",
+    "conversation_assembly",
+    "count_window_blocks",
+    "custom_pysource_events",
+    "customer_order_distribution",
+    "declining_streak_users",
+    "event_funnel_conversion",
+    "heavy_hitter_terms",
+    "html_text_extraction",
+    "idle_rich_customers",
+    "incremental_near_dup_matches",
+    "json_props_stats",
+    "kmv_distinct_users",
+    "kmv_rollup_distinct",
+    "kmv_windowed_distinct",
+    "large_volume_customers",
+    "lateral_top2_orders",
+    "left_join_order_item_stats",
+    "map_function_sampler",
+    "minmax_normalized_values",
+    "nested_field_sum_first_record",
+    "null_semantics_sampler",
+    "part_value_concentration",
+    "per_domain_cap",
+    "positional_tokens",
+    "promo_revenue_share",
+    "streaming_bitmap_segment_ops",
+    "streaming_cms_counts",
+    "streaming_interval_join",
+    "streaming_kmv_distinct",
+    "streaming_session_window",
+    "streaming_sliding_window",
+    "streaming_tumbling_window",
+    "streaming_wordcount",
+    "tumbling_window_daily",
+    "url_domain_filter",
+    "weighted_sample_topk",
+    "window_distribution_funcs",
+    "window_range_frame_1h",
+    "zorder_key_events",
 ]
 
 

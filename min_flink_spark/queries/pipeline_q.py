@@ -2369,3 +2369,142 @@ def q_kmv_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = bottom_k_sketch(ev, ["window_start"], "user_id", k=16)
     return kmv_distinct_estimate(sk, ["window_start"], k=16)
+
+
+@query(
+    "cms_windowed_counts",
+    oracle="""
+    WITH e AS (
+      SELECT event_type FROM events
+      WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08'
+        AND time_bucket(INTERVAL '1 day', ts) < TIMESTAMP '2024-01-15'
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(event_type || ':' || CAST(d AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 128 AS w,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM e, dd GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM e GROUP BY 1
+    ),
+    probes AS (
+      SELECT t.event_type,
+             coalesce(x.exact_cnt, CAST(0 AS BIGINT)) AS exact_cnt,
+             dd.d,
+             CAST(('0x' || substr(md5(t.event_type || ':' || CAST(dd.d AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 128 AS w
+      FROM types t LEFT JOIN exact x USING (event_type), dd
+    )
+    SELECT p.event_type, p.exact_cnt,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes p LEFT JOIN cells c USING (d, w)
+    GROUP BY 1, 2
+    """,
+)
+def q_cms_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series frequency estimation — the count-min leg of the
+    summary × event-time-window symmetry (VERDICT r8 item 4; template:
+    kmv_windowed_distinct): per 1-day tumbling window a 4×128 CMS grid
+    keyed by the window start is built from that day's partition alone
+    (one scan, keys= rides the day next to (d, w)), STORED, and any
+    date range later answers frequency queries by MERGING the stored
+    grids — counter addition over range × 512 rows, never a rescan of
+    history (CMS merge identity: merge(day grids) ≡ grid(range rows),
+    hypothesis-tested in test_properties). The gate row merges the
+    Jan 8-14 grids and estimates each event type's event count in the
+    range next to the exact count; all arithmetic integer-exact, the
+    oracle replays bucketing, hashing, merge, and min-probe verbatim
+    (cms_est ≥ exact_cnt always — one-sided error)."""
+    from min_flink_spark.operators.pipeline import cms_estimate, count_min_sketch
+
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").getField("start").alias("day"), "event_type"
+    )
+    # the stored per-day partials (the expensive, scan-once artifact)
+    grids = count_min_sketch(ev, "event_type", depth=4, width=128, keys=["day"])
+    # range query = merge of the stored grids: grid-sized, no rescan
+    merged = (
+        grids.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    types = ev.select("event_type").distinct()
+    est = cms_estimate(merged, types, "event_type")
+    exact = (
+        ev.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "event_type", "left").select(
+        "event_type",
+        F.coalesce(F.col("exact_cnt"), F.lit(0).cast("bigint")).alias("exact_cnt"),
+        "cms_est",
+    )
+
+
+@query(
+    "bitmap_windowed_retention",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT
+             CASE WHEN time_bucket(INTERVAL '1 day', ts) < TIMESTAMP '2024-01-08'
+                  THEN 'w1' ELSE 'w2' END AS seg,
+             user_id
+      FROM events
+      WHERE time_bucket(INTERVAL '1 day', ts) < TIMESTAMP '2024-01-15'
+    ),
+    card AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    inter AS (
+      SELECT a.seg AS key_a, b.seg AS key_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.seg < b.seg
+      GROUP BY 1, 2
+    )
+    SELECT ca.seg AS key_a, cb.seg AS key_b, ca.n AS n_a, cb.n AS n_b,
+           coalesce(i.n_inter, 0) AS n_inter,
+           ca.n + cb.n - coalesce(i.n_inter, 0) AS n_union
+    FROM card ca JOIN card cb ON ca.seg < cb.seg
+    LEFT JOIN inter i ON i.key_a = ca.seg AND i.key_b = cb.seg
+    """,
+)
+def q_bitmap_windowed_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention, EXACT, from stored per-day bitmap
+    partials — the bitmap leg of the summary × window symmetry
+    (VERDICT r8 item 4): each day's (day, word, mask) index is built
+    from that day's partition alone and STORED; any two date ranges
+    later compare by merging their days' words (bit_or — the same
+    collapse rule the streaming build uses) and popcounting, so
+    'users active in week 1 AND week 2' costs two index-sized merges
+    + one chunk equi-join, never a rescan or row-level member join.
+    Unlike the KMV/CMS legs this one is exact — the answer IS the
+    retention number, not an estimate; the oracle recomputes it from
+    raw rows (structure-independent)."""
+    from min_flink_spark.operators.bitmap import (
+        bitmap_index,
+        bitmap_pair_ops,
+        merge_bitmap_indexes,
+    )
+
+    cut = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.window("ts", "1 day").getField("start").alias("day"), "user_id")
+        .filter(F.col("day") < hi)
+    )
+    # the stored per-day partials (scan-once artifact)
+    daily = bitmap_index(ev, "day", "user_id")
+    # range merge: relabel each day's chunks by its week, bit_or words
+    seg = daily.withColumn(
+        "segment", F.when(F.col("day") < cut, F.lit("w1")).otherwise(F.lit("w2"))
+    ).select("segment", "word", "mask")
+    merged = merge_bitmap_indexes(
+        *[seg.filter(F.col("segment") == s) for s in ("w1", "w2")]
+    )
+    return bitmap_pair_ops(merged, "segment")
