@@ -91,6 +91,11 @@ EXPECTED_CROSS = {
                                 # cardinality frame — same class as
                                 # kmv_segment_overlap; member data joins
                                 # only via the word-id equi-join
+    # ---- added r9 ----
+    "bitmap_windowed_retention",  # the SAME bitmap_pair_ops pair grid,
+                                  # here exactly 2 segments (w1, w2) =
+                                  # 1 pair row over the 2-row
+                                  # cardinality frame
 }
 # Adjudicated single-partition exchanges (VERDICT r7 item 3: this
 # channel is now FAIL-CLOSED like EXPECTED_CROSS — an unadjudicated
@@ -139,6 +144,8 @@ EXPECTED_SINGLE_PARTITION = {
     # ---- added r8 ----
     "bloom_prefilter_join": "1-row filter-effectiveness certificate "
     "scalar merge (count/sum flags)",
+    "bloom_bigm_prefilter_join": "1-row filter-effectiveness certificate "
+    "scalar merge (same shared certificate block, join-probe build)",
     "mg_heavy_hitters": "summary-sized MG merge window (<= partitions x m "
     "counter rows, not data) + 1-row token-total scalar",
 }
