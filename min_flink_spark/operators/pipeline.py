@@ -1250,7 +1250,10 @@ def cms_estimate(
 
 
 def misra_gries_summary(
-    df: DataFrame, item_col: str, m: int = 256
+    df: DataFrame,
+    item_col: str,
+    m: int = 256,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Misra-Gries / SpaceSaving heavy-hitter summary — the
     DETERMINISTIC bounded-memory frequency top-k (complementing the
@@ -1281,6 +1284,15 @@ def misra_gries_summary(
     estimates never overcount. The summary's exact membership depends
     on partition/batch boundaries (as any MG run order does); the
     GUARANTEES do not, which is what gate certificates check.
+
+    ``keys`` prefixes the summary (one m-counter summary per key
+    value, e.g. per language/shard — the same key-rides-the-sketch
+    discipline as ``count_min_sketch``/``bottom_k_sketch``): state is
+    keys-in-partition × m counters, the merge window partitions by the
+    keys, and the N in every guarantee becomes the KEY's row count.
+    Corollary worth naming: when a key's distinct-item count never
+    exceeds m, no subtraction ever fires anywhere and the summary is
+    EXACT for that key (the small-vocab guarantee, pinned by tests).
     """
     import pandas as pd
 
@@ -1290,28 +1302,105 @@ def misra_gries_summary(
         # more than it saves) on low- and high-cardinality streams
         # alike — measured interleaved A/B, PERF.md round-9 section
         counters: dict = {}
-        get = counters.get
         for pdf in batches:
             vc = pdf[item_col].dropna().value_counts()
-            for it, w in zip(vc.index.to_numpy(dtype=object), vc.to_numpy()):
-                counters[it] = get(it, 0) + int(w)
-            if len(counters) > m:
-                # MG merge step: subtracting the (m+1)-th largest from
-                # every counter retires ≥ (m+1)·cut count units at once
-                cut = sorted(counters.values(), reverse=True)[m]
-                counters = {k: v - cut for k, v in counters.items() if v > cut}
-                get = counters.get
+            counters = mg_update(
+                counters, vc.index.to_numpy(dtype=object), vc.to_numpy(), m
+            )
         if counters:
             yield pd.DataFrame(
                 {"item": list(counters), "cnt": list(counters.values())}
             )
 
-    parts = df.select(F.col(item_col).alias(item_col)).mapInPandas(
-        _partition_mg, schema="item string, cnt bigint"
-    )
-    summed = parts.groupBy("item").agg(F.sum("cnt").alias("cnt"))
-    # MG merge: keep the m largest combined counters and subtract the
-    # (m+1)-th largest from each (0 when fewer than m+1 survive)
+    def _partition_mg_keyed(batches):
+        groups: dict[tuple, dict] = {}
+        for pdf in batches:
+            sub = pdf.dropna(subset=[item_col])
+            if not len(sub):
+                continue
+            for kv, gd in sub.groupby(keys, sort=False, dropna=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                vc = gd[item_col].value_counts()
+                groups[kv] = mg_update(
+                    groups.get(kv, {}),
+                    vc.index.to_numpy(dtype=object),
+                    vc.to_numpy(),
+                    m,
+                )
+        for kv, counters in groups.items():
+            n = len(counters)
+            if n:
+                yield pd.DataFrame(
+                    {
+                        **{k: [v] * n for k, v in zip(keys, kv)},
+                        "item": list(counters),
+                        "cnt": list(counters.values()),
+                    }
+                )
+
+    if keys:
+        key_ddl = ", ".join(
+            f"{k} {dict(df.dtypes)[k]}" for k in keys
+        )
+        parts = df.select(*keys, F.col(item_col).alias(item_col)).mapInPandas(
+            _partition_mg_keyed, schema=f"{key_ddl}, item string, cnt bigint"
+        )
+    else:
+        parts = df.select(F.col(item_col).alias(item_col)).mapInPandas(
+            _partition_mg, schema="item string, cnt bigint"
+        )
+    return merge_mg_summaries(parts, m, keys=keys)
+
+
+def mg_update(counters: dict, items, weights, m: int) -> dict:
+    """One weighted Misra-Gries/SpaceSaving merge step — the ONE copy
+    of the counter-update rule shared by the batch partition pass and
+    the streaming state transition: add each item's weight; when more
+    than ``m`` counters survive, subtract the (m+1)-th largest value
+    from ALL and drop non-positives (retiring ≥ (m+1)·cut count units,
+    the accounting the error bound rests on)."""
+    get = counters.get
+    for it, w in zip(items, weights):
+        counters[it] = get(it, 0) + int(w)
+    if len(counters) > m:
+        cut = sorted(counters.values(), reverse=True)[m]
+        counters = {k: v - cut for k, v in counters.items() if v > cut}
+    return counters
+
+
+def merge_mg_summaries(
+    parts: DataFrame, m: int, keys: list[str] | None = None
+) -> DataFrame:
+    """Merge MG partial summaries ``(item, cnt)`` (optionally prefixed
+    by ``keys`` — one summary per key value) into the final
+    ``(*keys, item, est)``: hash-agg SUM, keep the m largest per key,
+    subtract the (m+1)-th largest (0 when fewer survive). Shared by
+    the batch operator (merging its partition partials), the keyed
+    variant, and the streaming query (merging collapsed per-shard
+    emissions) — rows examined are summary-sized (≤ shards × m per
+    key), never the data."""
+    keys = keys or []
+    summed = parts.groupBy(*keys, "item").agg(F.sum("cnt").alias("cnt"))
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("cnt").desc(), F.col("item").asc()
+        )
+        ranked = summed.withColumn("_rn", F.row_number().over(w))
+        cutw = Window.partitionBy(*keys)
+        return (
+            ranked.withColumn(
+                "_cut",
+                F.max(F.when(F.col("_rn") == m + 1, F.col("cnt"))).over(cutw),
+            )
+            .filter(F.col("_rn") <= m)
+            .withColumn(
+                "est", F.col("cnt") - F.coalesce(F.col("_cut"), F.lit(0))
+            )
+            .filter(F.col("est") > 0)
+            .select(*keys, "item", "est")
+        )
+    # global path: keep the m largest combined counters and subtract
+    # the (m+1)-th largest from each (0 when fewer than m+1 survive)
     w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
     ranked = summed.withColumn("_rn", F.row_number().over(w))
     # the ranked frame is summary-sized (≤ partitions × m rows) — the

@@ -35,19 +35,22 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         as in r7/r8; pagerank/triangles: carry_backing moved to
 #         true move semantics — release-path behavior change,
 #         promoted by hand),
-#   6-8   BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
+#   6-10  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
 #         join-probe runtime filter at 2^20 bits;
 #         cms_windowed_counts + bitmap_windowed_retention — the CMS
-#         and bitmap legs of the summary x window symmetry),
-#   9-28  the TWENTY r3-stale leftovers — after their rows, no
+#         and bitmap legs of the summary x window symmetry;
+#         streaming_mg_heavy_hitters — the heavy-hitter family's
+#         streaming-state mode, five-family symmetry complete;
+#         mg_per_lang_top_terms — keyed MG, one summary per key),
+#   11-30 the TWENTY r3-stale leftovers — after their rows, no
 #         query's latest evidence predates r5,
-#   29-50 the r5-stale block, first 22 of 50 (alphabetical).
+#   31-50 the r5-stale block, first 20 of 50 (alphabetical).
 #
 # ROUND-10 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 28 r5-stale leftovers open the tail (51-78), then the
-# r6 block (79-122), then the r7 rows (123-168), then the r8 rows
-# (169-213).  Promote 51-onward next round — r10's 50 slots take
-# the 28 r5 leftovers plus the first 22 of the r6 block; any query
+# order): the 30 r5-stale leftovers open the tail (51-80), then the
+# r6 block (81-124), then the r7 rows (125-170), then the r8 rows
+# (171-215).  Promote 51-onward next round — r10's 50 slots take
+# the 30 r5 leftovers plus the first 20 of the r6 block; any query
 # changed during round 10 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -62,7 +65,9 @@ _PRIORITY = [
     "bloom_bigm_prefilter_join",
     "cms_windowed_counts",
     "bitmap_windowed_retention",
-    # ---- 9-28: the 20 r3-stale leftovers ----
+    "streaming_mg_heavy_hitters",
+    "mg_per_lang_top_terms",
+    # ---- 11-30: the 20 r3-stale leftovers ----
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
@@ -83,7 +88,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 29-50: r5-stale block, first 22 of 50 alphabetically ----
+    # ---- 31-50: r5-stale block, first 20 of 50 alphabetically ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -104,9 +109,9 @@ _PRIORITY = [
     "full_outer_join_balances",
     "keyed_max_by_record",
     "keyed_min_by_record_last",
+    # ---- 51-80: r5-stale leftovers (r10 opens here — see note) ----
     "keyed_min_first_record",
     "keyed_sum_first_record",
-    # ---- 51-78: r5-stale leftovers (r10 opens here — see note) ----
     "language_id",
     "levenshtein_rerank",
     "map_filter_project",

@@ -2194,9 +2194,11 @@ def q_kmv_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fine.unionByName(coarse)
 
 
-@query(
-    "mg_heavy_hitters",
-    oracle=f"""
+# ONE ground truth for the Misra-Gries family: the batch query and the
+# streaming-state twin (queries/streaming_q.py) certify against the
+# SAME top-10/containment/bound spec — both decorators reference THIS
+# constant (the one-operator-three-modes-one-oracle discipline).
+MG_HH_ORACLE = f"""
     WITH tok AS (
       SELECT unnest({SQL_TOKS}) AS term FROM documents
     ),
@@ -2207,8 +2209,10 @@ def q_kmv_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT term, exact_cnt, TRUE AS in_summary, TRUE AS within_bound
     FROM exact WHERE rn <= 10
-    """,
-)
+    """
+
+
+@query("mg_heavy_hitters", oracle=MG_HH_ORACLE)
 def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries / SpaceSaving heavy hitters under the gate
     (operators/pipeline.misra_gries_summary, m=256): the DETERMINISTIC
@@ -2222,13 +2226,30 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     true − N/m ≤ est ≤ true (the mergeable-summaries accounting:
     every undercount unit retires m+1 count units, only N exist). A
     FALSE in either boolean is a real counter/merge defect."""
-    from min_flink_spark.functions.text import tokens as _toks
     from min_flink_spark.operators.pipeline import misra_gries_summary
 
     m = 256
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(_toks(F.col("text"))).alias("term"))
+    tok = doc_tokens(spark, sf_dir)
     summary = misra_gries_summary(tok, "term", m=m)
+    return mg_certificate(tok, summary, m)
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MG family's token stream (shared by the batch and streaming
+    gate queries so both certify against the same population)."""
+    from min_flink_spark.functions.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.explode(_toks(F.col("text"))).alias("term"))
+
+
+def mg_certificate(tok: DataFrame, summary: DataFrame, m: int) -> DataFrame:
+    """The ONE copy of the MG containment/bound certificate both gate
+    queries emit against MG_HH_ORACLE: exact top-10 tokens left-joined
+    to the summary, with in_summary (containment above N/m) and
+    within_bound (true − N/m ≤ est ≤ true) booleans. A fork of this
+    block on the streaming path could drift from the shared oracle
+    (same discipline as bloom_effectiveness_certificate)."""
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = counts.orderBy(
         F.col("exact_cnt").desc(), F.col("term").asc()
@@ -2508,3 +2529,55 @@ def q_bitmap_windowed_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[seg.filter(F.col("segment") == s) for s in ("w1", "w2")]
     )
     return bitmap_pair_ops(merged, "segment")
+
+
+@query(
+    "mg_per_lang_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    exact AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS est,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, term ASC) AS rnk
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT lang, CAST(rnk AS INT) AS rnk, term, est
+    FROM exact WHERE rnk <= 3
+    """,
+)
+def q_mg_per_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED Misra-Gries — one m-counter summary PER KEY out of a
+    single scan (operators/pipeline.misra_gries_summary keys=; the
+    key-rides-the-sketch discipline of count_min_sketch/
+    bottom_k_sketch): top-3 tokens per document language from per-lang
+    SpaceSaving summaries at m=64. The testdata vocabulary is ≤ 31
+    distinct tokens per language at every SF, so m=64 means no
+    subtraction EVER fires (partition pass or merge) and the keyed
+    summary is provably EXACT — the small-vocab guarantee the oracle
+    replays literally: ranks, counts, and tie-breaks must match the
+    exact per-lang frequency table bit-for-bit. At 100 TB the same
+    plan is bounded by keys-in-partition × m counters in the one
+    Python stage and a keys-partitioned summary-sized merge window —
+    no global funnel anywhere."""
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    from min_flink_spark.functions.text import tokens as _toks
+
+    tok = docs.select("lang", F.explode(_toks(F.col("text"))).alias("term"))
+    summary = misra_gries_summary(tok, "term", m=64, keys=["lang"])
+    w = Window.partitionBy("lang").orderBy(
+        F.col("est").desc(), F.col("item").asc()
+    )
+    return (
+        summary.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "lang",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("item").alias("term"),
+            "est",
+        )
+    )

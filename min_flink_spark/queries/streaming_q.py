@@ -1141,3 +1141,48 @@ def q_streaming_bitmap_segment_ops(spark: SparkSession, sf_dir: str) -> DataFram
     )
     index = merge_bitmap_indexes(emitted)
     return bitmap_pair_ops(index, "event_type")
+
+
+from min_flink_spark.queries.pipeline_q import MG_HH_ORACLE, doc_tokens, mg_certificate
+
+
+@query("streaming_mg_heavy_hitters", oracle=MG_HH_ORACLE)
+def q_streaming_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Misra-Gries heavy hitters with BOUNDED state — the
+    LAST summary family to get its streaming-state mode (histogram,
+    KMV, CMS, Bloom, bitmap landed in r7/r8; heavy hitters complete
+    the set): per doc-id-parity shard an m=256-counter SpaceSaving
+    summary lives as keyed streaming state
+    (streaming/sketches.MGFunction — each micro-batch applies the SAME
+    weighted update rule as the batch partition pass, so the
+    true − N/m ≤ est ≤ true accounting composes across batches exactly
+    as across partitions). MG emissions are NOT monotone (subtractions
+    shrink counters), so the collapse rule is LAST-WRITER by state
+    version (latest_mg_emissions) — batch-count-invariant because the
+    final state IS the full history's summary; the two shard summaries
+    then merge through the batch operator's own merge_mg_summaries
+    (mergeable-summaries closure) and certify against the SAME
+    containment/bound oracle as the batch twin: one operator, three
+    execution modes, one ground truth."""
+    from min_flink_spark.functions.text import tokens as _toks
+    from min_flink_spark.operators.pipeline import merge_mg_summaries
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.sketches import (
+        latest_mg_emissions,
+        streaming_misra_gries,
+    )
+
+    m = 256
+    s = stream_parquet(spark, f"{sf_dir}/documents.parquet", DOCS_SCHEMA)
+    keyed = s.select(
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("bigint").alias("shard"),
+        F.explode(_toks(F.col("text"))).alias("term"),
+    )
+    with shuffle_partitions(spark, 2):
+        emitted = run_to_completion(
+            streaming_misra_gries(keyed, "shard", "shard bigint", "term", m=m),
+            output_mode="update",
+        )
+    latest = latest_mg_emissions(emitted, "shard")
+    merged = merge_mg_summaries(latest.select("item", "cnt"), m)
+    return mg_certificate(doc_tokens(spark, sf_dir), merged, m)

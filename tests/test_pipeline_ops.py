@@ -1014,3 +1014,54 @@ def test_bitmap_rejects_negative_ids(spark):
     df = spark.createDataFrame([("s", 5), ("s", -1)], "seg string, uid bigint")
     with _pytest.raises(Exception, match="negative id"):
         bitmap_index(df, "seg", "uid").collect()
+
+
+def test_mg_keyed_small_vocab_is_exact_per_key(spark):
+    """keys=: when a key's distinct-item count never exceeds m, no
+    subtraction fires and the per-key summary is the exact multiset —
+    the small-vocab guarantee the mg_per_lang_top_terms gate row
+    rests on."""
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    rows = (
+        [("en", "a")] * 5 + [("en", "b")] * 3
+        + [("fr", "a")] * 2 + [("fr", "c")] * 7
+    )
+    df = spark.createDataFrame(rows, "lang string, term string").repartition(3)
+    got = {
+        (r["lang"], r["item"]): r["est"]
+        for r in misra_gries_summary(df, "term", m=16, keys=["lang"]).collect()
+    }
+    assert got == {
+        ("en", "a"): 5, ("en", "b"): 3, ("fr", "a"): 2, ("fr", "c"): 7,
+    }
+
+
+def test_mg_keyed_bounds_under_forced_overflow(spark):
+    """keys= with m far below each key's vocabulary: the classical
+    guarantees must hold PER KEY with N = that key's row count."""
+    import collections
+
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    rows = []
+    for key, hot_n, noise_mod in (("k1", 300, 83), ("k2", 150, 61)):
+        rows += [(key, "hot")] * hot_n
+        rows += [(key, f"x{i % noise_mod}") for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, term string").repartition(4)
+    m = 8
+    got = collections.defaultdict(dict)
+    for r in misra_gries_summary(df, "term", m=m, keys=["k"]).collect():
+        got[r["k"]][r["item"]] = r["est"]
+    exact = collections.defaultdict(collections.Counter)
+    for k, t in rows:
+        exact[k][t] += 1
+    for k, cnts in exact.items():
+        n = sum(cnts.values())
+        assert len(got[k]) <= m
+        for item, true in cnts.items():
+            if true > n / m:
+                assert item in got[k], f"{k}/{item} ({true} > N/m) missing"
+        for item, est in got[k].items():
+            assert est <= cnts[item]
+            assert est >= cnts[item] - n / m

@@ -534,3 +534,67 @@ def test_streaming_cms_max_collapse_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_mg_last_writer_collapse_holds_bounds(spark, tmp_path):
+    """Streaming Misra-Gries (MGFunction): m below the vocabulary over
+    two forced micro-batches, so the state transition subtracts across
+    a batch boundary. The last-writer collapse (latest_mg_emissions)
+    must pick each key's final summary, and that summary must satisfy
+    the classical per-key guarantees against the UNION of both files:
+    containment above N/m and est ∈ [true − N/m, true]. Also pins the
+    keys × m state contract (≤ m rows per key per emission)."""
+    import collections
+    import glob as _glob
+
+    from min_flink_spark.streaming.runner import (
+        run_to_completion,
+        shuffle_partitions,
+        stream_parquet,
+    )
+    from min_flink_spark.streaming.sketches import (
+        latest_mg_emissions,
+        streaming_misra_gries,
+    )
+
+    schema = "shard bigint, term string"
+    rows1 = [(0, "hot")] * 60 + [(0, f"n{i % 23}") for i in range(60)]
+    rows2 = [(0, "hot")] * 40 + [(0, "warm")] * 35 + [
+        (0, f"m{i % 19}") for i in range(40)
+    ]
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    flat = str(tmp_path / "mg_flat")
+    os.makedirs(flat)
+    b1.coalesce(1).write.parquet(str(tmp_path / "a"))
+    b2.coalesce(1).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(_glob.glob(str(tmp_path / "?") + "/**/*.parquet", recursive=True))
+    ):
+        os.link(f, os.path.join(flat, f"{i:02d}.parquet"))
+
+    m = 8
+    s = stream_parquet(spark, flat, schema, max_files_per_trigger=1)
+    with shuffle_partitions(spark, 2):
+        emitted = run_to_completion(
+            streaming_misra_gries(s, "shard", "shard bigint", "term", m=m),
+            output_mode="update",
+        )
+    em = emitted.collect()
+    assert max(r["version"] for r in em) == 2, "expected two micro-batches"
+    per_emission = collections.Counter((r["shard"], r["version"]) for r in em)
+    assert max(per_emission.values()) <= m, "state contract keys x m broken"
+
+    got = {
+        r["item"]: r["cnt"]
+        for r in latest_mg_emissions(emitted, "shard").collect()
+    }
+    assert len(got) <= m
+    exact = collections.Counter(t for _, t in rows1 + rows2)
+    n = len(rows1) + len(rows2)
+    for item, true in exact.items():
+        if true > n / m:
+            assert item in got, f"{item} (count {true} > N/m) missing"
+    for item, est in got.items():
+        assert est <= exact[item]
+        assert est >= exact[item] - n / m
