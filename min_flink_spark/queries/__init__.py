@@ -35,22 +35,25 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         as in r7/r8; pagerank/triangles: carry_backing moved to
 #         true move semantics — release-path behavior change,
 #         promoted by hand),
-#   6-10  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
+#   6-12  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
 #         join-probe runtime filter at 2^20 bits;
 #         cms_windowed_counts + bitmap_windowed_retention — the CMS
 #         and bitmap legs of the summary x window symmetry;
 #         streaming_mg_heavy_hitters — the heavy-hitter family's
 #         streaming-state mode, five-family symmetry complete;
-#         mg_per_lang_top_terms — keyed MG, one summary per key),
-#   11-30 the TWENTY r3-stale leftovers — after their rows, no
+#         mg_per_lang_top_terms — keyed MG, one summary per key;
+#         sketch_quantiles_windowed + mg_windowed_top_events — the
+#         histogram and MG legs of the summary x window symmetry,
+#         5-family x windowed matrix complete),
+#   13-32 the TWENTY r3-stale leftovers — after their rows, no
 #         query's latest evidence predates r5,
-#   31-50 the r5-stale block, first 20 of 50 (alphabetical).
+#   33-50 the r5-stale block, first 18 of 50 (alphabetical).
 #
 # ROUND-10 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 30 r5-stale leftovers open the tail (51-80), then the
-# r6 block (81-124), then the r7 rows (125-170), then the r8 rows
-# (171-215).  Promote 51-onward next round — r10's 50 slots take
-# the 30 r5 leftovers plus the first 20 of the r6 block; any query
+# order): the 32 r5-stale leftovers open the tail (51-82), then the
+# r6 block (83-126), then the r7 rows (127-172), then the r8 rows
+# (173-217).  Promote 51-onward next round — r10's 50 slots take
+# the 32 r5 leftovers plus the first 18 of the r6 block; any query
 # changed during round 10 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -67,7 +70,9 @@ _PRIORITY = [
     "bitmap_windowed_retention",
     "streaming_mg_heavy_hitters",
     "mg_per_lang_top_terms",
-    # ---- 11-30: the 20 r3-stale leftovers ----
+    "sketch_quantiles_windowed",
+    "mg_windowed_top_events",
+    # ---- 13-32: the 20 r3-stale leftovers ----
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
@@ -88,7 +93,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 31-50: r5-stale block, first 20 of 50 alphabetically ----
+    # ---- 33-50: r5-stale block, first 18 of 50 alphabetically ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -107,9 +112,9 @@ _PRIORITY = [
     "embedding_quantize_int8",
     "flatmap_wordcount",
     "full_outer_join_balances",
+    # ---- 51-82: r5-stale leftovers (r10 opens here — see note) ----
     "keyed_max_by_record",
     "keyed_min_by_record_last",
-    # ---- 51-80: r5-stale leftovers (r10 opens here — see note) ----
     "keyed_min_first_record",
     "keyed_sum_first_record",
     "language_id",

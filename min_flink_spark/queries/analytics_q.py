@@ -1403,13 +1403,15 @@ _SKETCH_PCT = """
   FROM c WHERE 100 * cum >= {q} * total GROUP BY event_type
 """
 
-# ONE ground truth for the sketch family: the batch-merge query and the
-# streaming-state twin (queries/streaming_q.py) must stay bit-identical
-# — both decorators reference THIS constant.
-SKETCH_QUANTILES_ORACLE = f"""
+# ONE ground truth for the sketch family: the batch-merge query, the
+# streaming-state twin (queries/streaming_q.py), and the windowed
+# range-merge variant must stay bit-identical — all decorators
+# reference THIS spec (parametric only in the row population).
+def sketch_quantiles_oracle(vm_where: str = "") -> str:
+    return f"""
     WITH vm AS (
       SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
-      FROM events
+      FROM events {vm_where}
     ),
     b AS (
       SELECT event_type,
@@ -1435,6 +1437,9 @@ SKETCH_QUANTILES_ORACLE = f"""
                 ELSE CAST(1 AS BIGINT) << bin END AS lo_micro
     FROM hits
     """
+
+
+SKETCH_QUANTILES_ORACLE = sketch_quantiles_oracle()
 
 
 @query("sketch_quantiles_merged", oracle=SKETCH_QUANTILES_ORACLE)
@@ -1470,4 +1475,44 @@ def q_sketch_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.filter(F.col("_shard") == s).drop("_shard") for s in (0, 1)
     ]
     merged = merge_histogram_sketches(*parts)
+    return sketch_quantiles(merged, ["event_type"], [50, 90, 99])
+
+
+@query(
+    "sketch_quantiles_windowed",
+    oracle=sketch_quantiles_oracle(
+        "WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08' "
+        "AND time_bucket(INTERVAL '1 day', ts) < TIMESTAMP '2024-01-15'"
+    ),
+)
+def q_sketch_quantiles_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series quantiles — the log₂-histogram leg of the summary ×
+    event-time-window symmetry (kmv/cms/bitmap landed the other legs):
+    per (1-day tumbling window, event_type) a ≤64-bin sketch is built
+    from that day's partition alone (one scan, the window start rides
+    as a sketch key), STORED, and any date range answers percentile
+    queries by merging the stored partials — count addition over
+    range × keys × 64 rows, never a rescan (sketch merge identity is
+    exact: integer counts, zero drift). The gate row merges Jan 8-14
+    and reports per-event-type p50/p90/p99; the oracle computes the
+    same quantiles directly from the range's raw rows, so the row IS
+    the proof that the stored-partials path equals the rescan path
+    bit-for-bit."""
+    from min_flink_spark.operators.pipeline import (
+        log_histogram_sketch,
+        merge_histogram_sketches,
+        sketch_quantiles,
+    )
+
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    # the stored per-day partials (scan-once artifact)
+    daily = log_histogram_sketch(ev, ["day", "event_type"], F.col("vm"))
+    rng = daily.filter((F.col("day") >= lo) & (F.col("day") < hi)).drop("day")
+    merged = merge_histogram_sketches(rng)
     return sketch_quantiles(merged, ["event_type"], [50, 90, 99])

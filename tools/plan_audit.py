@@ -96,6 +96,9 @@ EXPECTED_CROSS = {
                                   # here exactly 2 segments (w1, w2) =
                                   # 1 pair row over the 2-row
                                   # cardinality frame
+    "mg_windowed_top_events",   # 1-row (m+1)-th-counter scalar cross
+                                # (merge_mg_summaries' global path) over
+                                # the <= m-row merged summary
 }
 # Adjudicated single-partition exchanges (VERDICT r7 item 3: this
 # channel is now FAIL-CLOSED like EXPECTED_CROSS — an unadjudicated
@@ -148,6 +151,9 @@ EXPECTED_SINGLE_PARTITION = {
     "scalar merge (same shared certificate block, join-probe build)",
     "mg_heavy_hitters": "summary-sized MG merge window (<= partitions x m "
     "counter rows, not data) + 1-row token-total scalar",
+    "mg_windowed_top_events": "summary-sized global merge window + top-3 "
+    "rank window over the <= m-row merged summary (vocab = 6 event "
+    "types, never data)",
 }
 
 
