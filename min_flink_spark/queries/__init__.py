@@ -35,7 +35,7 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         as in r7/r8; pagerank/triangles: carry_backing moved to
 #         true move semantics — release-path behavior change,
 #         promoted by hand),
-#   6-12  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
+#   6-13  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
 #         join-probe runtime filter at 2^20 bits;
 #         cms_windowed_counts + bitmap_windowed_retention — the CMS
 #         and bitmap legs of the summary x window symmetry;
@@ -44,16 +44,18 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         mg_per_lang_top_terms — keyed MG, one summary per key;
 #         sketch_quantiles_windowed + mg_windowed_top_events — the
 #         histogram and MG legs of the summary x window symmetry,
-#         5-family x windowed matrix complete),
-#   13-32 the TWENTY r3-stale leftovers — after their rows, no
+#         5-family x windowed matrix complete;
+#         streaming_kmv_windowed_distinct — the streaming and windowed
+#         axes composed: per-day sketches as streaming state),
+#   14-33 the TWENTY r3-stale leftovers — after their rows, no
 #         query's latest evidence predates r5,
-#   33-50 the r5-stale block, first 18 of 50 (alphabetical).
+#   34-50 the r5-stale block, first 17 of 50 (alphabetical).
 #
 # ROUND-10 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 32 r5-stale leftovers open the tail (51-82), then the
-# r6 block (83-126), then the r7 rows (127-172), then the r8 rows
-# (173-217).  Promote 51-onward next round — r10's 50 slots take
-# the 32 r5 leftovers plus the first 18 of the r6 block; any query
+# order): the 33 r5-stale leftovers open the tail (51-83), then the
+# r6 block (84-127), then the r7 rows (128-173), then the r8 rows
+# (174-218).  Promote 51-onward next round — r10's 50 slots take
+# the 33 r5 leftovers plus the first 17 of the r6 block; any query
 # changed during round 10 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -72,7 +74,8 @@ _PRIORITY = [
     "mg_per_lang_top_terms",
     "sketch_quantiles_windowed",
     "mg_windowed_top_events",
-    # ---- 13-32: the 20 r3-stale leftovers ----
+    "streaming_kmv_windowed_distinct",
+    # ---- 14-33: the 20 r3-stale leftovers ----
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
@@ -93,7 +96,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 33-50: r5-stale block, first 18 of 50 alphabetically ----
+    # ---- 34-50: r5-stale block, first 17 of 50 alphabetically ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -111,8 +114,8 @@ _PRIORITY = [
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
     "flatmap_wordcount",
+    # ---- 51-83: r5-stale leftovers (r10 opens here — see note) ----
     "full_outer_join_balances",
-    # ---- 51-82: r5-stale leftovers (r10 opens here — see note) ----
     "keyed_max_by_record",
     "keyed_min_by_record_last",
     "keyed_min_first_record",

@@ -2339,9 +2339,10 @@ def q_bitmap_segment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_pair_ops(merged, "event_type")
 
 
-@query(
-    "kmv_windowed_distinct",
-    oracle="""
+# ONE ground truth for the windowed-KMV shape: the batch range-merge
+# query and the streaming-state twin (queries/streaming_q.py) emit the
+# same per-day estimate table — both decorators reference THIS constant.
+KMV_WINDOWED_ORACLE = """
     WITH d AS (
       SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS day, user_id
       FROM events
@@ -2366,8 +2367,10 @@ def q_bitmap_segment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n < 16 OR hk <= 0 THEN n
                 ELSE CAST(15 * 4294967296 // hk AS BIGINT) END AS distinct_est
     FROM e
-    """,
-)
+    """
+
+
+@query("kmv_windowed_distinct", oracle=KMV_WINDOWED_ORACLE)
 def q_kmv_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series distinct counting — sketches × event-time windows:
     per 1-day tumbling window, the KMV distinct-user estimate from a

@@ -1186,3 +1186,49 @@ def q_streaming_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = latest_mg_emissions(emitted, "shard")
     merged = merge_mg_summaries(latest.select("item", "cnt"), m)
     return mg_certificate(doc_tokens(spark, sf_dir), merged, m)
+
+
+from min_flink_spark.queries.pipeline_q import KMV_WINDOWED_ORACLE
+
+
+@query("streaming_kmv_windowed_distinct", oracle=KMV_WINDOWED_ORACLE)
+def q_streaming_kmv_windowed_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING × WINDOWED KMV — the two axes composed: a
+    continuously-running stream maintains one bottom-16 sketch PER
+    1-day event-time window (the production 'daily uniques' job that
+    never stops and never rescans): the window start is computed
+    JVM-side and rides as the state KEY of the same BottomKFunction
+    the unwindowed streaming query uses, so state is windows-seen × k
+    rows and each day's sketch keeps refining as its stragglers
+    arrive. Emissions collapse through merge_bottom_k per window
+    (order-statistic closure — batch-count-invariant), and the final
+    per-day estimates replay against the SAME oracle as the batch
+    range-merge twin (kmv_windowed_distinct): one shape, batch and
+    streaming builds, one ground truth."""
+    from min_flink_spark.operators.pipeline import (
+        kmv_distinct_estimate,
+        merge_bottom_k,
+    )
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.sketches import streaming_bottom_k
+
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    keyed = s.select(
+        F.window("ts", "1 day").getField("start").alias("window_start"),
+        "user_id",
+    )
+    with shuffle_partitions(spark, 8):
+        emitted = run_to_completion(
+            streaming_bottom_k(
+                keyed,
+                "window_start",
+                "window_start timestamp_ntz",
+                "user_id",
+                k=16,
+            ),
+            output_mode="update",
+        )
+    merged = merge_bottom_k([emitted], ["window_start"], k=16)
+    return kmv_distinct_estimate(merged, ["window_start"], k=16)

@@ -918,3 +918,53 @@ def test_bloom_never_false_negative(spark, members, probes):
         for r in pdf.filter(bloom_might_contain(F.col("k"), mask, 256, 2)).collect()
     }
     assert set(members) <= passed
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries update rule (operators/pipeline.mg_update) — pure python,
+# the ONE counter-update shared by batch partitions and streaming state
+# ---------------------------------------------------------------------------
+
+
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=300),
+    splits=st.lists(st.integers(min_value=1, max_value=50), max_size=8),
+    m=st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_update_composition_holds_classical_bounds(stream, splits, m):
+    """mg_update applied over ANY batch split of a stream must keep
+    the classical guarantees for the WHOLE stream: ≤ m counters,
+    est ∈ [true − N/m, true], and containment for items above N/m —
+    the composition argument the streaming mode (MGFunction) and the
+    batch partition pass both rest on."""
+    import collections
+    import itertools
+
+    from min_flink_spark.operators.pipeline import mg_update
+
+    items = [f"t{v}" for v in stream]
+    # carve the stream into batches at the given split sizes
+    batches, it = [], iter(items)
+    for size in splits:
+        batch = list(itertools.islice(it, size))
+        if batch:
+            batches.append(batch)
+    rest = list(it)
+    if rest:
+        batches.append(rest)
+
+    counters: dict = {}
+    for batch in batches:
+        vc = collections.Counter(batch)
+        counters = mg_update(counters, list(vc), list(vc.values()), m)
+
+    exact = collections.Counter(items)
+    n = len(items)
+    assert len(counters) <= m
+    for item, est in counters.items():
+        assert est <= exact[item]
+        assert est >= exact[item] - n / m
+    for item, true in exact.items():
+        if true > n / m:
+            assert item in counters
