@@ -1254,6 +1254,7 @@ def misra_gries_summary(
     item_col: str,
     m: int = 256,
     keys: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Misra-Gries / SpaceSaving heavy-hitter summary — the
     DETERMINISTIC bounded-memory frequency top-k (complementing the
@@ -1293,8 +1294,26 @@ def misra_gries_summary(
     Corollary worth naming: when a key's distinct-item count never
     exceeds m, no subtraction ever fires anywhere and the summary is
     EXACT for that key (the small-vocab guarantee, pinned by tests).
+
+    ``weight_col`` generalizes every count to a WEIGHT sum (weighted
+    SpaceSaving — the update rule was already weighted): heavy hitters
+    by revenue/bytes/tokens instead of occurrences, with the identical
+    guarantees where N = the total weight. Weights must be
+    non-negative integers (micro-unit money discipline); a negative
+    weight fails the pass loudly — it would silently break the
+    one-sided-error accounting.
     """
     import pandas as pd
+
+    def _batch_weights(sub: pd.DataFrame) -> pd.Series:
+        if weight_col is None:
+            return sub[item_col].value_counts()
+        w = sub.groupby(item_col, sort=False)[weight_col].sum()
+        if (w.to_numpy() < 0).any():
+            raise ValueError(
+                f"misra_gries_summary: negative weight sum in {weight_col}"
+            )
+        return w
 
     def _partition_mg(batches):
         # dict counters + per-batch value_counts beat both the per-row
@@ -1303,7 +1322,10 @@ def misra_gries_summary(
         # alike — measured interleaved A/B, PERF.md round-9 section
         counters: dict = {}
         for pdf in batches:
-            vc = pdf[item_col].dropna().value_counts()
+            sub = pdf.dropna(subset=[item_col])
+            if not len(sub):
+                continue
+            vc = _batch_weights(sub)
             counters = mg_update(
                 counters, vc.index.to_numpy(dtype=object), vc.to_numpy(), m
             )
@@ -1320,7 +1342,7 @@ def misra_gries_summary(
                 continue
             for kv, gd in sub.groupby(keys, sort=False, dropna=False):
                 kv = kv if isinstance(kv, tuple) else (kv,)
-                vc = gd[item_col].value_counts()
+                vc = _batch_weights(gd)
                 groups[kv] = mg_update(
                     groups.get(kv, {}),
                     vc.index.to_numpy(dtype=object),
@@ -1338,15 +1360,19 @@ def misra_gries_summary(
                     }
                 )
 
+    keys = keys or None
+    wcols = [weight_col] if weight_col else []
     if keys:
         key_ddl = ", ".join(
             f"{k} {dict(df.dtypes)[k]}" for k in keys
         )
-        parts = df.select(*keys, F.col(item_col).alias(item_col)).mapInPandas(
+        parts = df.select(
+            *keys, F.col(item_col).alias(item_col), *wcols
+        ).mapInPandas(
             _partition_mg_keyed, schema=f"{key_ddl}, item string, cnt bigint"
         )
     else:
-        parts = df.select(F.col(item_col).alias(item_col)).mapInPandas(
+        parts = df.select(F.col(item_col).alias(item_col), *wcols).mapInPandas(
             _partition_mg, schema="item string, cnt bigint"
         )
     return merge_mg_summaries(parts, m, keys=keys)

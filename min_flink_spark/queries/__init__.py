@@ -35,7 +35,7 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         as in r7/r8; pagerank/triangles: carry_backing moved to
 #         true move semantics — release-path behavior change,
 #         promoted by hand),
-#   6-13  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
+#   6-14  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
 #         join-probe runtime filter at 2^20 bits;
 #         cms_windowed_counts + bitmap_windowed_retention — the CMS
 #         and bitmap legs of the summary x window symmetry;
@@ -46,16 +46,18 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         histogram and MG legs of the summary x window symmetry,
 #         5-family x windowed matrix complete;
 #         streaming_kmv_windowed_distinct — the streaming and windowed
-#         axes composed: per-day sketches as streaming state),
-#   14-33 the TWENTY r3-stale leftovers — after their rows, no
+#         axes composed: per-day sketches as streaming state;
+#         mg_weighted_top_customers — weighted SpaceSaving, heavy
+#         hitters by revenue with the distribution-free certificate),
+#   15-34 the TWENTY r3-stale leftovers — after their rows, no
 #         query's latest evidence predates r5,
-#   34-50 the r5-stale block, first 17 of 50 (alphabetical).
+#   35-50 the r5-stale block, first 16 of 50 (alphabetical).
 #
 # ROUND-10 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 33 r5-stale leftovers open the tail (51-83), then the
-# r6 block (84-127), then the r7 rows (128-173), then the r8 rows
-# (174-218).  Promote 51-onward next round — r10's 50 slots take
-# the 33 r5 leftovers plus the first 17 of the r6 block; any query
+# order): the 34 r5-stale leftovers open the tail (51-84), then the
+# r6 block (85-128), then the r7 rows (129-174), then the r8 rows
+# (175-219).  Promote 51-onward next round — r10's 50 slots take
+# the 34 r5 leftovers plus the first 16 of the r6 block; any query
 # changed during round 10 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -75,7 +77,8 @@ _PRIORITY = [
     "sketch_quantiles_windowed",
     "mg_windowed_top_events",
     "streaming_kmv_windowed_distinct",
-    # ---- 14-33: the 20 r3-stale leftovers ----
+    "mg_weighted_top_customers",
+    # ---- 15-34: the 20 r3-stale leftovers ----
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
@@ -96,7 +99,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 34-50: r5-stale block, first 17 of 50 alphabetically ----
+    # ---- 35-50: r5-stale block, first 16 of 50 alphabetically ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -113,8 +116,8 @@ _PRIORITY = [
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
+    # ---- 51-84: r5-stale leftovers (r10 opens here — see note) ----
     "flatmap_wordcount",
-    # ---- 51-83: r5-stale leftovers (r10 opens here — see note) ----
     "full_outer_join_balances",
     "keyed_max_by_record",
     "keyed_min_by_record_last",

@@ -2643,3 +2643,69 @@ def q_mg_windowed_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select(F.col("rnk").cast("int").alias("rnk"), "item", "est")
     )
+
+
+@query(
+    "mg_weighted_top_customers",
+    oracle="""
+    WITH spend AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS exact_spend_c
+      FROM orders GROUP BY 1
+    ),
+    top AS (
+      SELECT custkey, exact_spend_c,
+             row_number() OVER (ORDER BY exact_spend_c DESC, custkey ASC)
+               AS rn
+      FROM spend
+    )
+    SELECT custkey, exact_spend_c, TRUE AS consistent
+    FROM top WHERE rn <= 10
+    """,
+)
+def q_mg_weighted_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED SpaceSaving (misra_gries_summary weight_col=) — heavy
+    hitters by REVENUE, not occurrences: m=128 counters accumulate
+    integer cents of order value per customer in one scan, and every
+    classical guarantee holds with N = TOTAL revenue. TPC-H spend is
+    near-uniform, so unlike the token queries no customer is promised
+    to clear N/m — the certificate is therefore the DISTRIBUTION-FREE
+    form, TRUE for every exact-top-10 row under any data: present ⇒
+    exact − N/m ≤ est ≤ exact (the accounting bound); absent ⇒
+    exact ≤ N/m (absence itself proves the spend is below the
+    threshold — the contrapositive of the containment guarantee). A
+    FALSE either way is a real counter/merge defect. All arithmetic
+    integer cents; the N/m band rides as a lazy 1-row scalar."""
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    m = 128
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("spend_c"),
+    )
+    summary = misra_gries_summary(
+        orders, "custkey", m=m, weight_col="spend_c"
+    )
+    exact = orders.groupBy("custkey").agg(
+        F.sum("spend_c").alias("exact_spend_c")
+    )
+    top = exact.orderBy(
+        F.col("exact_spend_c").desc(), F.col("custkey").asc()
+    ).limit(10)
+    n_total = exact.agg(F.sum("exact_spend_c").alias("_n"))
+    checked = top.join(
+        summary.withColumnRenamed("item", "custkey"), "custkey", "left"
+    ).join(n_total, how="cross")
+    band = F.col("_n") / F.lit(m)
+    return checked.select(
+        "custkey",
+        "exact_spend_c",
+        F.when(
+            F.col("est").isNotNull(),
+            (F.col("est") <= F.col("exact_spend_c"))
+            & (F.col("est") >= F.col("exact_spend_c") - band),
+        )
+        .otherwise(F.col("exact_spend_c") <= band)
+        .alias("consistent"),
+    )

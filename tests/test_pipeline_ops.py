@@ -1065,3 +1065,52 @@ def test_mg_keyed_bounds_under_forced_overflow(spark):
         for item, est in got[k].items():
             assert est <= cnts[item]
             assert est >= cnts[item] - n / m
+
+
+def test_mg_weighted_exact_when_vocab_fits_and_rejects_negative(spark):
+    """weight_col=: distinct items ≤ m ⇒ the summary is the exact
+    per-item WEIGHT sum; a negative weight must fail the pass loudly
+    (it would corrupt the one-sided-error accounting)."""
+    import pytest as _pytest
+
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7), ("c", 0)],
+        "item string, w bigint",
+    ).repartition(2)
+    got = {
+        r["item"]: r["est"]
+        for r in misra_gries_summary(df, "item", m=8, weight_col="w").collect()
+    }
+    assert got == {"a": 15, "b": 7}  # zero-weight items carry no mass
+    bad = spark.createDataFrame([("a", -3)], "item string, w bigint")
+    with _pytest.raises(Exception, match="negative weight"):
+        misra_gries_summary(bad, "item", m=8, weight_col="w").collect()
+
+
+def test_mg_weighted_bounds_under_forced_overflow(spark):
+    """weight_col= with m below the vocabulary: the classical
+    guarantees must hold with N = the TOTAL weight."""
+    import collections
+
+    from min_flink_spark.operators.pipeline import misra_gries_summary
+
+    rows = [("hot", 50)] * 20 + [(f"x{i % 41}", (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "item string, w bigint").repartition(3)
+    m = 8
+    got = {
+        r["item"]: r["est"]
+        for r in misra_gries_summary(df, "item", m=m, weight_col="w").collect()
+    }
+    exact = collections.Counter()
+    for it, w in rows:
+        exact[it] += w
+    n = sum(exact.values())
+    assert len(got) <= m
+    for item, true in exact.items():
+        if true > n / m:
+            assert item in got, f"{item} (weight {true} > N/m) missing"
+    for item, est in got.items():
+        assert est <= exact[item]
+        assert est >= exact[item] - n / m

@@ -99,6 +99,10 @@ EXPECTED_CROSS = {
     "mg_windowed_top_events",   # 1-row (m+1)-th-counter scalar cross
                                 # (merge_mg_summaries' global path) over
                                 # the <= m-row merged summary
+    "mg_weighted_top_customers",  # same shape as mg_heavy_hitters:
+                                  # 1-row cut scalar + 1-row N-band
+                                  # scalar crosses over summary-sized
+                                  # frames
 }
 # Adjudicated single-partition exchanges (VERDICT r7 item 3: this
 # channel is now FAIL-CLOSED like EXPECTED_CROSS — an unadjudicated
@@ -154,6 +158,8 @@ EXPECTED_SINGLE_PARTITION = {
     "mg_windowed_top_events": "summary-sized global merge window + top-3 "
     "rank window over the <= m-row merged summary (vocab = 6 event "
     "types, never data)",
+    "mg_weighted_top_customers": "summary-sized MG merge window (<= "
+    "partitions x m counter rows) + 1-row revenue-total scalar",
 }
 
 
