@@ -10,15 +10,21 @@ after that is answered from summaries alone:
       → bottom-k (KMV) sketch   — later: distinct counts, uniform
                                   samples, segment overlap/rollup
       → count-min grid          — later: per-item frequencies
+      → Misra-Gries summary     — later: guaranteed top-k heavy items
+      → chunked bitmap index    — later: EXACT set algebra (retention)
     stored per-day summaries
-      → merge (counter addition / order-statistic closure)
-      → quantiles / distinct rollup / heavy-item estimates
+      → merge (counter addition / order-statistic closure /
+               mergeable-summaries subtraction / bit_or)
+      → quantiles / distinct rollup / heavy-item estimates / top-k /
+        exact day-over-day retention
 
 This demo simulates two "days" with the events table's day-of-month
 parity, builds per-day partials, merges, and answers:
   1. p50/p90/p99 of value per event type        (histogram sketch)
   2. distinct users per type AND overall        (KMV + rollup merge)
   3. estimated frequency of the hottest items   (CMS, never-undercount)
+  4. guaranteed top-5 items overall             (MG, deterministic)
+  5. EXACT users active on BOTH days            (bitmap retention)
 
 Every number is reproducible bit-for-bit by any engine (md5-based
 hashing, integer arithmetic) — the same operators are gate-checked
@@ -34,6 +40,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from min_flink_spark import get_spark
+from min_flink_spark.operators.bitmap import (
+    bitmap_index,
+    bitmap_pair_ops,
+    merge_bitmap_indexes,
+)
 from min_flink_spark.operators.pipeline import (
     bottom_k_sketch,
     cms_estimate,
@@ -43,6 +54,8 @@ from min_flink_spark.operators.pipeline import (
     merge_bottom_k,
     merge_cms,
     merge_histogram_sketches,
+    merge_mg_summaries,
+    misra_gries_summary,
     sketch_quantiles,
 )
 
@@ -111,9 +124,44 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     for r in cms_estimate(grid, probes, "item").orderBy("item").collect():
         print(f"  {r['item']:12s} ~{r['cms_est']}")
 
+    # ---- 4. guaranteed top-k from merged per-day MG summaries
+    # (each day's m=64 summary is stored; the range merge is the
+    # mergeable-summaries step — est ∈ [true − N/m, true] end-to-end)
+    mg_daily = misra_gries_summary(
+        ev.select(
+            "day",
+            F.concat_ws("-", "event_type", (F.col("vm") % 7)).alias("item"),
+        ),
+        "item",
+        m=64,
+        keys=["day"],
+    )
+    mg = merge_mg_summaries(
+        mg_daily.select("item", F.col("est").alias("cnt")), 64
+    )
+    print("\n-- top-5 items (Misra-Gries, deterministic bounds) --")
+    for r in mg.orderBy(F.col("est").desc(), "item").limit(5).collect():
+        print(f"  {r['item']:12s} >= {r['est']}")
+
+    # ---- 5. EXACT day-over-day retention from per-day bitmap partials
+    bmp = bitmap_index(
+        ev.select(F.concat(F.lit("day"), F.col("day")).alias("seg"), "user_id"),
+        "seg",
+        "user_id",
+    )
+    merged_bmp = merge_bitmap_indexes(bmp)
+    (ret,) = bitmap_pair_ops(merged_bmp, "seg").collect()
+    print(
+        "\n-- exact retention (bitmap) --\n "
+        f" day0 users {ret['n_a']}, day1 users {ret['n_b']}, "
+        f"both days {ret['n_inter']}, either {ret['n_union']}"
+    )
+
     print(
         "\nSummary sizes: histogram", h.count(), "rows; KMV", per_type.count(),
-        "rows; CMS grid", grid.count(), "rows — the raw events were scanned once per day.",
+        "rows; CMS grid", grid.count(), "rows; MG", mg.count(),
+        "rows; bitmap", merged_bmp.count(),
+        "words — the raw events were scanned once per day.",
     )
 
 

@@ -259,9 +259,28 @@ def shapes(spark, rows: int):
         # value-dependent consumption (join-elimination trap, see _cms)
         return kept.agg(F.sum("user_id")).collect()
 
+    # round-9 shape: Misra-Gries heavy hitters — one mapInPandas pass
+    # with per-batch value_counts (the r9 vectorization) + a
+    # summary-sized merge; should track the Python-stage family
+    # (Arrow transfer dominates, sublinear-to-linear in rows)
+    def _mg():
+        from min_flink_spark.operators.pipeline import misra_gries_summary
+
+        items = ev.select(
+            F.concat_ws(
+                "-", F.col("event_type"), F.pmod(F.col("user_id"), F.lit(997))
+            ).alias("item")
+        )
+        return (
+            misra_gries_summary(items, "item", m=256)
+            .agg(F.sum("est"))
+            .collect()
+        )
+
     yield "cms_grid_estimate", _cms
     yield "bloom_build_and_probe", _bloom
     yield "bloom_bigm_join_probe", _bloom_bigm
+    yield "mg_heavy_hitters", _mg
 
 
 def main() -> None:
