@@ -1308,12 +1308,26 @@ def misra_gries_summary(
     def _batch_weights(sub: pd.DataFrame) -> pd.Series:
         if weight_col is None:
             return sub[item_col].value_counts()
-        w = sub.groupby(item_col, sort=False)[weight_col].sum()
-        if (w.to_numpy() < 0).any():
+        raw = sub[weight_col].dropna()  # null weight = no mass
+        # check the RAW weights, not the per-item sums — a negative
+        # that nets out against a positive in the same Arrow batch
+        # must still fail (enforcement can't depend on batch
+        # boundaries), and a fractional weight would be silently
+        # truncated by the int() in mg_update. A BIGINT column with
+        # nulls arrives as float64 through Arrow, so integrality is
+        # checked by value, not dtype.
+        if not pd.api.types.is_integer_dtype(raw.dtype) and (
+            raw % 1 != 0
+        ).any():
             raise ValueError(
-                f"misra_gries_summary: negative weight sum in {weight_col}"
+                f"misra_gries_summary: {weight_col} must be integral "
+                f"(micro-unit discipline), got fractional values"
             )
-        return w
+        if (raw < 0).any():
+            raise ValueError(
+                f"misra_gries_summary: negative weight in {weight_col}"
+            )
+        return sub.groupby(item_col, sort=False)[weight_col].sum()
 
     def _partition_mg(batches):
         # dict counters + per-batch value_counts beat both the per-row

@@ -361,8 +361,12 @@ def bloom_mask_from_words(rows, m_bits: int) -> list[int]:
     """Assemble collected ``(_word, _mask)`` rows into the dense
     ``m_bits/64``-long bitmask (missing words are 0). Rejects word
     ids outside ``[0, m_bits/64)`` loudly — that means the word frame
-    was built with a DIFFERENT ``m_bits`` than the one passed here
-    (a contract mismatch, not data corruption)."""
+    was built with a LARGER ``m_bits`` than the one passed here (a
+    contract mismatch, not data corruption). The check is inherently
+    one-sided: a frame built at a SMALLER m_bits has only small word
+    ids and cannot be detected here — same-m_bits build/assemble/probe
+    is the caller's contract, exactly as for ``bloom_might_contain``'s
+    k_hashes."""
     n_words = m_bits // 64
     mask = [0] * n_words
     for r in rows:

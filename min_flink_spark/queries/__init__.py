@@ -68,7 +68,7 @@ _PRIORITY = [
     "streaming_bloom_filter_join",
     "pagerank_copurchase",
     "triangle_counts_copurchase",
-    # ---- 6-8: BRAND-NEW in r9 ----
+    # ---- 6-14: BRAND-NEW in r9 ----
     "bloom_bigm_prefilter_join",
     "cms_windowed_counts",
     "bitmap_windowed_retention",
@@ -151,7 +151,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 79-122: r6 rows ----
+    # ---- 85-128: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -196,7 +196,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 123-168: r7 rows ----
+    # ---- 129-174: r7 rows ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -243,7 +243,7 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 169-213: r8 rows (freshest, rotate last) ----
+    # ---- 175-219: r8 rows (freshest, rotate last) ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",

@@ -2525,12 +2525,13 @@ def q_bitmap_windowed_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stored per-day partials (scan-once artifact)
     daily = bitmap_index(ev, "day", "user_id")
     # range merge: relabel each day's chunks by its week, bit_or words
+    # — ONE merge over the relabeled frame (a per-label filter+union
+    # would plan the daily build twice for byte-identical output;
+    # the groupBy inside the merge already separates the segments)
     seg = daily.withColumn(
         "segment", F.when(F.col("day") < cut, F.lit("w1")).otherwise(F.lit("w2"))
     ).select("segment", "word", "mask")
-    merged = merge_bitmap_indexes(
-        *[seg.filter(F.col("segment") == s) for s in ("w1", "w2")]
-    )
+    merged = merge_bitmap_indexes(seg)
     return bitmap_pair_ops(merged, "segment")
 
 

@@ -1356,6 +1356,11 @@ def bloom_effectiveness_certificate(
         bloom_probe_tag,
     )
 
+    if mask is None and words is None:
+        raise ValueError(
+            "bloom_effectiveness_certificate: pass mask= (plan-literal "
+            "probe) or words= (large-m join probe)"
+        )
     urgent = urgent_order_keys(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     if words is not None:
