@@ -477,3 +477,64 @@ def k_core(
         prev = cur
         out.append(cur)
     return out if keep_all else out[-1:]
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection, the
+    Raghavan-Albert-Kumara algorithm made DETERMINISTIC): every node
+    starts labeled with its own id; each round, every node adopts the
+    label most frequent among its neighbors, ties broken by the
+    SMALLEST label — so after the fixed ``rounds`` the result is a
+    pure function of (edges, rounds), replayable in any engine by
+    unrolling (the same determinism discipline as ``bfs_hops`` /
+    ``k_core``; classic async LPA is run-order-dependent and would be
+    un-oracle-able). Returns ``(node, label)``.
+
+    Pass a SYMMETRIZED edge list for undirected semantics (messages
+    flow src→dst as given). Per round: one equi-join of the edge list
+    with the label frame on the node id (bucketing-co-locatable), a
+    (node, label) hash-agg with map-side combine, and one
+    node-partitioned row_number window to pick the argmax — no global
+    structure, no driver crossing. Each round's label frame is
+    localCheckpointed and the superseded round's blocks are freed
+    (iterative-lineage discipline); callers release the FINAL frame
+    via ``release_backing`` after their last action.
+
+    Reference parity: none (min-flink trims all graph processing);
+    this extends the engine's iterative-graph family (CC, PageRank,
+    triangles, BFS, k-core).
+    """
+    labels = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels
+    from pyspark.sql.window import Window
+
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges[src] == labels["node"])
+            .select(F.col(dst).alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("_n").desc(), F.col("label").asc()
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        unpersist_checkpoint(prev)
+        prev = labels
+    return labels

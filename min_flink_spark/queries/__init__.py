@@ -35,7 +35,7 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         as in r7/r8; pagerank/triangles: carry_backing moved to
 #         true move semantics — release-path behavior change,
 #         promoted by hand),
-#   6-14  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
+#   6-15  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
 #         join-probe runtime filter at 2^20 bits;
 #         cms_windowed_counts + bitmap_windowed_retention — the CMS
 #         and bitmap legs of the summary x window symmetry;
@@ -48,16 +48,18 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         streaming_kmv_windowed_distinct — the streaming and windowed
 #         axes composed: per-day sketches as streaming state;
 #         mg_weighted_top_customers — weighted SpaceSaving, heavy
-#         hitters by revenue with the distribution-free certificate),
-#   15-34 the TWENTY r3-stale leftovers — after their rows, no
+#         hitters by revenue with the distribution-free certificate;
+#         lpa_communities_copurchase — deterministic sync label
+#         propagation, sixth iterative-graph member),
+#   16-35 the TWENTY r3-stale leftovers — after their rows, no
 #         query's latest evidence predates r5,
-#   35-50 the r5-stale block, first 16 of 50 (alphabetical).
+#   36-50 the r5-stale block, first 15 of 50 (alphabetical).
 #
 # ROUND-10 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 34 r5-stale leftovers open the tail (51-84), then the
-# r6 block (85-128), then the r7 rows (129-174), then the r8 rows
-# (175-219).  Promote 51-onward next round — r10's 50 slots take
-# the 34 r5 leftovers plus the first 16 of the r6 block; any query
+# order): the 35 r5-stale leftovers open the tail (51-85), then the
+# r6 block (86-129), then the r7 rows (130-175), then the r8 rows
+# (176-220).  Promote 51-onward next round — r10's 50 slots take
+# the 35 r5 leftovers plus the first 15 of the r6 block; any query
 # changed during round 10 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -68,7 +70,7 @@ _PRIORITY = [
     "streaming_bloom_filter_join",
     "pagerank_copurchase",
     "triangle_counts_copurchase",
-    # ---- 6-14: BRAND-NEW in r9 ----
+    # ---- 6-15: BRAND-NEW in r9 ----
     "bloom_bigm_prefilter_join",
     "cms_windowed_counts",
     "bitmap_windowed_retention",
@@ -78,7 +80,8 @@ _PRIORITY = [
     "mg_windowed_top_events",
     "streaming_kmv_windowed_distinct",
     "mg_weighted_top_customers",
-    # ---- 15-34: the 20 r3-stale leftovers ----
+    "lpa_communities_copurchase",
+    # ---- 16-35: the 20 r3-stale leftovers ----
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
@@ -99,7 +102,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 35-50: r5-stale block, first 16 of 50 alphabetically ----
+    # ---- 36-50: r5-stale block, first 15 of 50 alphabetically ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -115,8 +118,8 @@ _PRIORITY = [
     "doc_fingerprint",
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
+    # ---- 51-85: r5-stale leftovers (r10 opens here — see note) ----
     "embedding_quantize_int8",
-    # ---- 51-84: r5-stale leftovers (r10 opens here — see note) ----
     "flatmap_wordcount",
     "full_outer_join_balances",
     "keyed_max_by_record",
@@ -151,7 +154,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 85-128: r6 rows ----
+    # ---- 86-129: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -196,7 +199,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 129-174: r7 rows ----
+    # ---- 130-175: r7 rows ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -243,7 +246,7 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 175-219: r8 rows (freshest, rotate last) ----
+    # ---- 176-220: r8 rows (freshest, rotate last) ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",

@@ -1516,3 +1516,69 @@ def q_sketch_quantiles_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = daily.filter((F.col("day") >= lo) & (F.col("day") < hi)).drop("day")
     merged = merge_histogram_sketches(rng)
     return sketch_quantiles(merged, ["event_type"], [50, 90, 99])
+
+
+_LPA_ROUND = """
+  l{t} AS (
+    SELECT node, label FROM (
+      SELECT e.dst AS node, l.label,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY count(*) DESC, l.label ASC) AS rn
+      FROM e JOIN l{prev} l ON e.src = l.node
+      GROUP BY 1, 2
+    ) WHERE rn = 1
+  )"""
+
+
+@query(
+    "lpa_communities_copurchase",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    {_LPA_ROUND.format(t=1, prev=0)},
+    {_LPA_ROUND.format(t=2, prev=1)},
+    {_LPA_ROUND.format(t=3, prev=2)},
+    comm AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(node) AS BIGINT) AS member_checksum
+      FROM l3 GROUP BY 1
+    )
+    SELECT CAST(label AS BIGINT) AS label, n_members, member_checksum
+    FROM comm ORDER BY n_members DESC, label ASC LIMIT 10
+    """,
+)
+def q_lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (operators/graph.
+    label_propagation) over the part co-purchase graph, 3 synchronous
+    rounds with the smallest-label tie-break — the sixth member of the
+    iterative-graph family (CC, PageRank, triangles, BFS, k-core), and
+    like them a pure function of (edges, rounds) so the oracle replays
+    the rounds by unrolling. Per round: labels⋈edges on the bucketed
+    src key, a (node, label) map-side-combined vote count, one
+    node-partitioned argmax window; rounds are checkpointed and
+    superseded blocks freed. The gate row is the top-10 community
+    census (size + member-id checksum — pins exact membership, not
+    just sizes); tie-break by label keeps the LIMIT deterministic."""
+    from min_flink_spark.core.ckpt import attach_backing
+    from min_flink_spark.operators.graph import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=3)
+    comm = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").cast("bigint").alias("member_checksum"),
+    )
+    out = (
+        comm.orderBy(F.col("n_members").desc(), F.col("label").asc())
+        .limit(10)
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_members",
+            "member_checksum",
+        )
+    )
+    return attach_backing(out, labels)

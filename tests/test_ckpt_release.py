@@ -246,3 +246,21 @@ def test_carry_backing_moves_not_copies(spark):
     assert set(checkpoint_rdd_ids(backing)) <= _persistent_rdd_ids(_jsc(spark))
     assert out.count() == 5
     assert release_backing(out) == 1
+
+
+def test_label_propagation_frees_superseded_rounds(spark):
+    """LPA must hold at most the current round's label checkpoint;
+    after release of the final frame the registry is clean."""
+    from min_flink_spark.core.ckpt import unpersist_checkpoint
+    from min_flink_spark.operators.graph import label_propagation
+
+    before = _persistent_rdd_ids(_jsc(spark))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src int, dst int"
+    )
+    labels = label_propagation(edges, rounds=3)
+    leaked = _persistent_rdd_ids(_jsc(spark)) - before
+    assert leaked == set(checkpoint_rdd_ids(labels)), f"extra blocks: {leaked}"
+    assert labels.count() == 3
+    unpersist_checkpoint(labels)
+    assert _persistent_rdd_ids(_jsc(spark)) == before

@@ -1114,3 +1114,25 @@ def test_mg_weighted_bounds_under_forced_overflow(spark):
     for item, est in got.items():
         assert est <= exact[item]
         assert est >= exact[item] - n / m
+
+
+def test_label_propagation_known_graph_and_invariance(spark):
+    """Deterministic sync LPA on two triangles joined by one bridge:
+    3 rounds must converge each triangle to one community, identically
+    at any partitioning (sync rounds + smallest-label tie-break are
+    run-order-free — the property the oracle's unrolled replay needs)."""
+    from min_flink_spark.core.ckpt import unpersist_checkpoint
+    from min_flink_spark.operators.graph import label_propagation
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src int, dst int")
+    out = label_propagation(edges, rounds=3)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    unpersist_checkpoint(out)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+    out2 = label_propagation(edges.repartition(7), rounds=3)
+    got2 = {r["node"]: r["label"] for r in out2.collect()}
+    unpersist_checkpoint(out2)
+    assert got2 == got
