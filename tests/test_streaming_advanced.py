@@ -598,3 +598,47 @@ def test_streaming_mg_last_writer_collapse_holds_bounds(spark, tmp_path):
     for item, est in got.items():
         assert est <= exact[item]
         assert est >= exact[item] - n / m
+
+
+def test_streaming_mg_state_recovers_across_restarts(spark, tmp_path):
+    """MG state (counters + version) must survive a query RESTART from
+    the checkpoint — the second run's summary reflects BOTH runs' data
+    and its version continues from the recovered state (vocab < m here,
+    so the recovered summary is exactly the union's counts)."""
+    from min_flink_spark.streaming.runner import run_foreach_batch, stream_parquet
+    from min_flink_spark.streaming.sketches import streaming_misra_gries
+
+    d = str(tmp_path / "mg_src")
+    ckpt = str(tmp_path / "mg_ck")
+    schema = "shard string, term string"
+    emitted = []
+
+    def sink(bdf, _bid):
+        emitted.extend(bdf.collect())
+
+    spark.createDataFrame(
+        [("k", "a")] * 5 + [("k", "b")] * 2, schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    run_foreach_batch(
+        streaming_misra_gries(
+            stream_parquet(spark, d, schema), "shard", "shard string", "term", m=8
+        ),
+        sink,
+        output_mode="update",
+        checkpoint_dir=ckpt,
+    )
+    spark.createDataFrame(
+        [("k", "a")] * 3 + [("k", "c")] * 4, schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    run_foreach_batch(
+        streaming_misra_gries(
+            stream_parquet(spark, d, schema), "shard", "shard string", "term", m=8
+        ),
+        sink,
+        output_mode="update",
+        checkpoint_dir=ckpt,
+    )
+    latest = max(r["version"] for r in emitted)
+    assert latest >= 2, "second run did not resume from recovered state"
+    got = {r["item"]: r["cnt"] for r in emitted if r["version"] == latest}
+    assert got == {"a": 8, "b": 2, "c": 4}
