@@ -495,13 +495,20 @@ def label_propagation(
     ``k_core``; classic async LPA is run-order-dependent and would be
     un-oracle-able). Returns ``(node, label)``.
 
-    Pass a SYMMETRIZED edge list for undirected semantics (messages
-    flow src→dst as given). Per round: one equi-join of the edge list
-    with the label frame on the node id (bucketing-co-locatable), a
-    (node, label) hash-agg with map-side combine, and one
-    node-partitioned row_number window to pick the argmax — no global
-    structure, no driver crossing. Each round's label frame is
-    localCheckpointed and the superseded round's blocks are freed
+    Edges must be SYMMETRIZED for undirected semantics (messages flow
+    src→dst as given) and DEDUPLICATED — duplicate edges would turn
+    most-frequent-label voting into multiplicity-weighted voting the
+    unrolled oracle replay cannot express (same contract as
+    ``k_core``; ``connected_components`` is the one sibling that
+    dedups internally because its semantics are dup-invariant). A node
+    that receives no votes in a round (possible on directed input)
+    KEEPS its current label rather than vanishing. Per round: one
+    equi-join of the edge list with the label frame on the node id
+    (bucketing-co-locatable), a (node, label) hash-agg with map-side
+    combine, one node-partitioned row_number window to pick the
+    argmax, and a label-frame-sized left join to carry no-vote nodes —
+    no global structure, no driver crossing. Each round's label frame
+    is localCheckpointed and the superseded round's blocks are freed
     (iterative-lineage discipline); callers release the FINAL frame
     via ``release_backing`` after their last action.
 
@@ -529,10 +536,19 @@ def label_propagation(
         w = Window.partitionBy("node").orderBy(
             F.col("_n").desc(), F.col("label").asc()
         )
-        labels = (
+        winners = (
             votes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select("node", "label")
+            .select("node", F.col("label").alias("_new"))
+        )
+        # no-vote nodes (directed input) keep their current label —
+        # without this carry they would silently vanish from round 2 on
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         unpersist_checkpoint(prev)

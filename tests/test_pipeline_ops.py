@@ -1136,3 +1136,11 @@ def test_label_propagation_known_graph_and_invariance(spark):
     got2 = {r["node"]: r["label"] for r in out2.collect()}
     unpersist_checkpoint(out2)
     assert got2 == got
+
+    # directed input: a zero-in-degree node must KEEP its label, not
+    # vanish (and the cascade must not empty the frame by round 2)
+    directed = spark.createDataFrame([(1, 2)], "src int, dst int")
+    out3 = label_propagation(directed, rounds=2)
+    got3 = {r["node"]: r["label"] for r in out3.collect()}
+    unpersist_checkpoint(out3)
+    assert got3 == {1: 1, 2: 1}
