@@ -968,3 +968,50 @@ def test_mg_update_composition_holds_classical_bounds(stream, splits, m):
     for item, true in exact.items():
         if true > n / m:
             assert item in counters
+
+
+# ---------------------------------------------------------------------------
+# r9: chunked bitmap index — merge identity + exact set algebra on
+# arbitrary memberships (the windowed range-merge correctness rests on
+# merge(bitmap(A), bitmap(B)) ≡ bitmap(A ∪ B))
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(min_value=0, max_value=300),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    cut=st.integers(min_value=0, max_value=39),
+)
+def test_bitmap_merge_identity_and_exact_algebra(spark, rows, cut):
+    from min_flink_spark.operators.bitmap import (
+        bitmap_index,
+        bitmap_pair_ops,
+        merge_bitmap_indexes,
+    )
+
+    cut = min(cut, len(rows))
+    mk = lambda xs: spark.createDataFrame(  # noqa: E731
+        xs or [("s1", 0)], "seg string, id bigint"
+    ).limit(len(xs))
+    whole, a, b = mk(rows), mk(rows[:cut]), mk(rows[cut:])
+    direct = bitmap_index(whole, "seg", "id")
+    merged = merge_bitmap_indexes(
+        bitmap_index(a, "seg", "id"), bitmap_index(b, "seg", "id")
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    s1 = {i for s, i in rows if s == "s1"}
+    s2 = {i for s, i in rows if s == "s2"}
+    if s1 and s2:
+        (got,) = bitmap_pair_ops(direct, "seg").collect()
+        assert (got["n_a"], got["n_b"]) == (len(s1), len(s2))
+        assert got["n_inter"] == len(s1 & s2)
+        assert got["n_union"] == len(s1 | s2)
