@@ -35,7 +35,7 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         as in r7/r8; pagerank/triangles: carry_backing moved to
 #         true move semantics — release-path behavior change,
 #         promoted by hand),
-#   6-15  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
+#   6-16  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
 #         join-probe runtime filter at 2^20 bits;
 #         cms_windowed_counts + bitmap_windowed_retention — the CMS
 #         and bitmap legs of the summary x window symmetry;
@@ -50,16 +50,18 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         mg_weighted_top_customers — weighted SpaceSaving, heavy
 #         hitters by revenue with the distribution-free certificate;
 #         lpa_communities_copurchase — deterministic sync label
-#         propagation, sixth iterative-graph member),
-#   16-35 the TWENTY r3-stale leftovers — after their rows, no
+#         propagation, sixth iterative-graph member;
+#         bucket_pruned_point_lookup — bucket pruning on the bucketed
+#         table, zero-exchange point lookup),
+#   17-36 the TWENTY r3-stale leftovers — after their rows, no
 #         query's latest evidence predates r5,
-#   36-50 the r5-stale block, first 15 of 50 (alphabetical).
+#   37-50 the r5-stale block, first 14 of 50 (alphabetical).
 #
 # ROUND-10 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 35 r5-stale leftovers open the tail (51-85), then the
-# r6 block (86-129), then the r7 rows (130-175), then the r8 rows
-# (176-220).  Promote 51-onward next round — r10's 50 slots take
-# the 35 r5 leftovers plus the first 15 of the r6 block; any query
+# order): the 36 r5-stale leftovers open the tail (51-86), then the
+# r6 block (87-130), then the r7 rows (131-176), then the r8 rows
+# (177-221).  Promote 51-onward next round — r10's 50 slots take
+# the 36 r5 leftovers plus the first 14 of the r6 block; any query
 # changed during round 10 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
@@ -70,7 +72,7 @@ _PRIORITY = [
     "streaming_bloom_filter_join",
     "pagerank_copurchase",
     "triangle_counts_copurchase",
-    # ---- 6-15: BRAND-NEW in r9 ----
+    # ---- 6-16: BRAND-NEW in r9 ----
     "bloom_bigm_prefilter_join",
     "cms_windowed_counts",
     "bitmap_windowed_retention",
@@ -81,7 +83,8 @@ _PRIORITY = [
     "streaming_kmv_windowed_distinct",
     "mg_weighted_top_customers",
     "lpa_communities_copurchase",
-    # ---- 16-35: the 20 r3-stale leftovers ----
+    "bucket_pruned_point_lookup",
+    # ---- 17-36: the 20 r3-stale leftovers ----
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
@@ -102,7 +105,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 36-50: r5-stale block, first 15 of 50 alphabetically ----
+    # ---- 37-50: r5-stale block, first 14 of 50 alphabetically ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -117,8 +120,8 @@ _PRIORITY = [
     "distinct_user_event_types",
     "doc_fingerprint",
     "embedding_cosine_topk",
+    # ---- 51-86: r5-stale leftovers (r10 opens here — see note) ----
     "embedding_near_dup_pairs",
-    # ---- 51-85: r5-stale leftovers (r10 opens here — see note) ----
     "embedding_quantize_int8",
     "flatmap_wordcount",
     "full_outer_join_balances",
@@ -154,7 +157,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 86-129: r6 rows ----
+    # ---- 87-130: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -199,7 +202,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 130-175: r7 rows ----
+    # ---- 131-176: r7 rows ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -246,7 +249,7 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 176-220: r8 rows (freshest, rotate last) ----
+    # ---- 177-221: r8 rows (freshest, rotate last) ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",

@@ -1582,3 +1582,40 @@ def q_lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return attach_backing(out, labels)
+
+
+@query(
+    "bucket_pruned_point_lookup",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    )
+    SELECT src, CAST(count(*) AS BIGINT) AS n_neighbors,
+           CAST(sum(dst) AS BIGINT) AS neighbor_checksum
+    FROM e WHERE src IN (10, 42, 99) GROUP BY 1
+    """,
+)
+def q_bucket_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET PRUNING — the point-lookup complement to partition
+    pruning (partitioned_pruned_read): an equality/IN filter on the
+    bucket column of a bucketed table reads ONLY the buckets those
+    values hash to (plan shows ``SelectedBucketsCount: ≤3 out of 16``),
+    and the groupBy on the bucket key is map-side only — the whole
+    lookup plans with ZERO exchanges (plan-locked). At 100 TB this is
+    the difference between scanning a 6 TB table and reading a few
+    hundred MB for a point query — the physical-design story
+    (write_bucketed) paying off on the read path twice: shuffle-free
+    joins (bucketed_cobucket_join_stats) AND pruned point lookups.
+    The per-part neighbor census replays from the raw lineitem
+    self-join on the oracle side."""
+    edges = copurchase_edges(spark, sf_dir)
+    return (
+        edges.filter(F.col("src").isin(10, 42, 99))
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum("dst").cast("bigint").alias("neighbor_checksum"),
+        )
+    )

@@ -625,3 +625,20 @@ def test_bloom_bigm_probe_is_scan_side_with_one_reused_build(spark):
     assert final.count("ReusedExchange") == 2, "word build ran more than once"
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
     assert "EvalPython" not in final
+
+
+def test_bucket_pruned_point_lookup_plan(spark, sf_dir):
+    """The point lookup on the bucket column must read a SUBSET of
+    buckets (SelectedBucketsCount in the scan) and plan with ZERO
+    exchanges — the bucketed groupBy on the bucket key is map-side
+    only. A missing SelectedBucketsCount means bucket pruning silently
+    regressed to a full-table scan."""
+    import re
+
+    q = QUERIES["bucket_pruned_point_lookup"](spark, sf_dir)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "bucket pruning missing from the scan"
+    assert int(m.group(1)) <= 3 < int(m.group(2))
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
