@@ -68,17 +68,39 @@ def carry_backing(result: DataFrame, *sources: DataFrame) -> DataFrame:
     intermediate frame cannot free checkpoint blocks the carried
     result still reads from (the unrecomputable-frame hazard
     ``unpersist_checkpoint`` warns about). Sources without a handle
-    contribute nothing."""
+    contribute nothing.
+
+    SINGLE-CARRY contract (ADVICE r9): carrying from a source whose
+    handle was already moved raises — the second carry would silently
+    get nothing and whoever releases the second result would leak the
+    blocks for the session. The emptied source is marked with a
+    ``_Carried`` sentinel (an empty-list subclass, so an accidental
+    ``release_backing`` on the drained source stays a 0-release no-op
+    instead of crashing)."""
     frames: list[DataFrame] = []
     for s in sources:
         b = getattr(s, "_graft_backing", None)
+        if isinstance(b, _Carried):
+            raise RuntimeError(
+                "carry_backing: source's backing was already carried — "
+                "a handle moves exactly once (single-carry contract); "
+                "carry the RESULT of the first carry instead"
+            )
         if isinstance(b, DataFrame):
             frames.append(b)
         elif b:
             frames.extend(b)
         if b is not None:
-            s._graft_backing = []
+            s._graft_backing = _Carried()
     return attach_backing(result, *frames)
+
+
+class _Carried(list):
+    """Marker left on a source after ``carry_backing`` moved its
+    handle: falsy/iterable like the empty list it replaces (so
+    ``release_backing`` on the drained source is still a no-op), but
+    distinguishable so a SECOND carry fails loudly instead of silently
+    carrying nothing."""
 
 
 def release_backing(result: DataFrame, blocking: bool = False) -> int:

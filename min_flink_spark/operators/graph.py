@@ -22,7 +22,7 @@ never the data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from min_flink_spark.core.ckpt import attach_backing, unpersist_checkpoint
@@ -207,7 +207,11 @@ def pagerank_integer(
 
 
 def triangle_counts(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_deg: int | None = None,
+    max_id: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph — the local
     clustering signal (community density, spam-graph detection).
@@ -235,6 +239,17 @@ def triangle_counts(
     struct path, which remains as the fallback for string ids /
     overflowing widths.
 
+    ``max_deg``/``max_id`` are OPTIONAL upper-bound hints (the same
+    escape hatch as PQ's ``corpus_count``, VERDICT r9 item 3): a
+    caller that already knows conservative bounds (catalog stats, a
+    prior aggregate) passes both and the packing widths are chosen
+    from them with NO driver-side probe job; they need not be tight —
+    any upper bounds that keep ``bits(max_deg) + bits(max_id) ≤ 62``
+    preserve exactness (looser hints just spend spare bits). Without
+    hints, a bounded 3-scalar probe runs against the materialized
+    degree frame (graph algorithms materialize per round anyway — the
+    probe rides an already-eager pipeline).
+
     Returns (node, n_triangles) for every node in ≥1 triangle."""
     a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
     b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
@@ -257,26 +272,58 @@ def triangle_counts(
 
     integral = dict(edges.dtypes)[src_col] in ("int", "bigint", "smallint", "tinyint")
     id_bits = None
+    deg_bound = id_bound = None
     if integral:
-        # bounded-metadata probe (3 scalars): choose the packing width,
-        # or refuse it when deg/id can't share 62 bits. The degree
-        # frame is materialized so the probe and the plan see one
-        # computation of the degree agg.
+        # the degree frame feeds two joins (and, absent hints, the
+        # width probe) — materialize it once so all consumers see one
+        # computation of the degree agg
         deg = deg.localCheckpoint(eager=True)
-        mx = deg.agg(F.max("deg"), F.max("node"), F.min("node")).collect()[0]
-        if mx[0] is not None and mx[2] >= 0:
-            need = int(mx[1]).bit_length() + int(mx[0]).bit_length()
-            if need <= 62:
-                id_bits = max(1, int(mx[1]).bit_length())
+        if max_deg is not None and max_id is not None:
+            # caller-supplied width hint: no driver-side probe job
+            if max_deg >= 1 and max_id >= 0:
+                deg_bound, id_bound = int(max_deg), int(max_id)
+        else:
+            # bounded-metadata probe (3 scalars): choose the packing
+            # width, or refuse it when deg/id can't share 62 bits
+            mx = deg.agg(F.max("deg"), F.max("node"), F.min("node")).collect()[0]
+            if mx[0] is not None and mx[2] >= 0:
+                deg_bound, id_bound = int(mx[0]), int(mx[1])
+    if deg_bound is not None:
+        need = id_bound.bit_length() + deg_bound.bit_length()
+        if need <= 62:
+            id_bits = max(1, id_bound.bit_length())
 
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
     keyed = pairs.join(da, "a").join(db, "b")
 
     if id_bits is not None:
-        k_bits = int(mx[1]).bit_length() + int(mx[0]).bit_length()
-        ka = F.shiftleft(F.col("da"), id_bits) + F.col("a")
-        kb = F.shiftleft(F.col("db"), id_bits) + F.col("b")
+        k_bits = id_bound.bit_length() + deg_bound.bit_length()
+
+        def _pack(deg_c: Column, node_c: Column) -> Column:
+            packed = F.shiftleft(deg_c, id_bits) + node_c
+            if max_deg is None:
+                return packed  # probe path: bounds are exact maxima
+            # hint path: a violated hint would silently pack into the
+            # wrong bits and corrupt the (deg, id) order — fail in-plan
+            # (codegen branch, no extra job; same idiom as
+            # bitmap_index's negative-id guard)
+            return F.when(
+                (node_c >= 0) & (node_c <= id_bound) & (deg_c <= deg_bound),
+                packed,
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("triangle_counts: max_deg/max_id hint violated "
+                              "by (deg, id) = ("),
+                        deg_c.cast("string"), F.lit(", "),
+                        node_c.cast("string"), F.lit(")"),
+                    )
+                ).cast("bigint")
+            )
+
+        ka = _pack(F.col("da"), F.col("a"))
+        kb = _pack(F.col("db"), F.col("b"))
         o = keyed.select(
             F.least(ka, kb).alias("srck"), F.greatest(ka, kb).alias("dstk")
         )

@@ -1398,10 +1398,17 @@ def mg_update(counters: dict, items, weights, m: int) -> dict:
     the streaming state transition: add each item's weight; when more
     than ``m`` counters survive, subtract the (m+1)-th largest value
     from ALL and drop non-positives (retiring ≥ (m+1)·cut count units,
-    the accounting the error bound rests on)."""
+    the accounting the error bound rests on). Zero-weight items are
+    SKIPPED (ADVICE r9): a w=0 insert would occupy a counter slot
+    without adding mass, firing the subtraction earlier than the
+    accounting requires (still valid, just looser) and emitting
+    cnt=0 summary rows — no mass, no slot."""
     get = counters.get
     for it, w in zip(items, weights):
-        counters[it] = get(it, 0) + int(w)
+        w = int(w)
+        if w == 0:
+            continue
+        counters[it] = get(it, 0) + w
     if len(counters) > m:
         cut = sorted(counters.values(), reverse=True)[m]
         counters = {k: v - cut for k, v in counters.items() if v > cut}

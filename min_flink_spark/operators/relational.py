@@ -447,6 +447,19 @@ def bloom_probe_tag(
 
     if m_bits % 64:
         raise ValueError(f"m_bits {m_bits} not a multiple of 64")
+    # the probe plumbs fixed helper columns through the fact frame; a
+    # caller column with one of these names would be silently dropped
+    # by the per-iteration drop() or make the _bw equi-join ambiguous
+    # (ADVICE r9) — refuse loudly instead
+    reserved = {"_bp", "_bw", "_bm", "bloom_pass"} | {
+        f"_hit{i}" for i in range(k_hashes)
+    }
+    clash = reserved.intersection(fact.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_probe_tag: fact frame columns {sorted(clash)} collide "
+            "with the probe's helper columns — rename them first"
+        )
     out = fact
     hits = []
     for i in range(k_hashes):

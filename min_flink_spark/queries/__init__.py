@@ -24,103 +24,48 @@ from min_flink_spark.queries import windows  # noqa: F401
 # the ledger (python tools/rotation_ledger.py --write) ONLY when
 # rearranging this list.
 #
-# ROUND-9 PREFIX (positions 1-50), executing the r8 verdict item 1
-# (the written r9 rotation, adjusted for r9's own changed/new
-# queries — changed always first):
-#   1-5   changed in r9 (mg_heavy_hitters: vectorized weighted MG
-#         partition pass + lazy N scalar — hash-visible;
-#         bloom_prefilter_join + streaming_bloom_filter_join: the
-#         shared certificate grew the words= probe path — operator
-#         refactor invisible to the source hash, promoted by hand
-#         as in r7/r8; pagerank/triangles: carry_backing moved to
-#         true move semantics — release-path behavior change,
-#         promoted by hand),
-#   6-16  BRAND-NEW in r9 (bloom_bigm_prefilter_join — the large-m
-#         join-probe runtime filter at 2^20 bits;
-#         cms_windowed_counts + bitmap_windowed_retention — the CMS
-#         and bitmap legs of the summary x window symmetry;
-#         streaming_mg_heavy_hitters — the heavy-hitter family's
-#         streaming-state mode, five-family symmetry complete;
-#         mg_per_lang_top_terms — keyed MG, one summary per key;
-#         sketch_quantiles_windowed + mg_windowed_top_events — the
-#         histogram and MG legs of the summary x window symmetry,
-#         5-family x windowed matrix complete;
-#         streaming_kmv_windowed_distinct — the streaming and windowed
-#         axes composed: per-day sketches as streaming state;
-#         mg_weighted_top_customers — weighted SpaceSaving, heavy
-#         hitters by revenue with the distribution-free certificate;
-#         lpa_communities_copurchase — deterministic sync label
-#         propagation, sixth iterative-graph member;
-#         bucket_pruned_point_lookup — bucket pruning on the bucketed
-#         table, zero-exchange point lookup),
-#   17-36 the TWENTY r3-stale leftovers — after their rows, no
-#         query's latest evidence predates r5,
-#   37-50 the r5-stale block, first 14 of 50 (alphabetical).
+# ROUND-10 PREFIX (positions 1-50), executing the r9 verdict item 1
+# (the written r10 rotation: the 36 r5-stale leftovers + the head of
+# the r6 block), with r10's own changed/new queries jumping ahead
+# (changed always first):
+#   1-2   changed in r10 (heavy_hitter_terms: the constructor-time
+#         freqItems(...).first() eager job replaced by an in-plan
+#         m=100 Misra-Gries broadcast-join certificate — hash-visible;
+#         mg_weighted_top_customers: mg_update now skips zero-weight
+#         items (ADVICE r9) — operator change invisible to the source
+#         hash, promoted by hand as in r7/r8/r9; results invariant
+#         here since every weight is a positive micro-unit int, but
+#         the weighted insert path is the one that changed),
+#   3-5   BRAND-NEW in r10 (the keyed axis composed with the windowed
+#         axis for the three families the r9 verdict named:
+#         kmv_keyed_windowed_distinct — per-(day, event_type)
+#         bottom-16 sketches range-merged per key;
+#         sketch_quantiles_key_rollup — the KEY axis of stored
+#         (day, event_type) histogram partials merged away for the
+#         __ALL__ rollup, one artifact serving both grouping levels;
+#         bitmap_keyed_windowed_ops — per-(day, segment) bitmaps
+#         bit_or-merged over a date range, exact pairwise overlap),
+#   6-41  the 36 r5-stale leftovers — after their rows, no query's
+#         latest evidence predates r6,
+#   42-50 the r6 block, first 9 of 44 (alphabetical).
 #
-# ROUND-10 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 36 r5-stale leftovers open the tail (51-86), then the
-# r6 block (87-130), then the r7 rows (131-176), then the r8 rows
-# (177-221).  Promote 51-onward next round — r10's 50 slots take
-# the 36 r5 leftovers plus the first 14 of the r6 block; any query
-# changed during round 10 jumps ahead of everything (changed always
+# ROUND-11 ROTATION NOTE (positions 51+ are already in promotion
+# order): the 35 r6 leftovers open the tail (51-85), then the r7
+# rows (86-131), then the r8 rows (132-175), then the r9-fresh block
+# (176-224).  Promote 51-onward next round — r11's 50 slots take the
+# 35 r6 leftovers plus the first 15 of the r7 block; any query
+# changed during round 11 jumps ahead of everything (changed always
 # first).  The guardrail test enforces this shape — re-sorting this
 # list IS the rotation.
 _PRIORITY = [
-    # ---- 1-5: changed in r9 (see note above) ----
-    "mg_heavy_hitters",
-    "bloom_prefilter_join",
-    "streaming_bloom_filter_join",
-    "pagerank_copurchase",
-    "triangle_counts_copurchase",
-    # ---- 6-16: BRAND-NEW in r9 ----
-    "bloom_bigm_prefilter_join",
-    "cms_windowed_counts",
-    "bitmap_windowed_retention",
-    "streaming_mg_heavy_hitters",
-    "mg_per_lang_top_terms",
-    "sketch_quantiles_windowed",
-    "mg_windowed_top_events",
-    "streaming_kmv_windowed_distinct",
+    # ---- 1-2: changed in r10 (see note above) ----
+    "heavy_hitter_terms",
     "mg_weighted_top_customers",
-    "lpa_communities_copurchase",
-    "bucket_pruned_point_lookup",
-    # ---- 17-36: the 20 r3-stale leftovers ----
-    "recency_decay_weights",
-    "recursive_event_chains",
-    "returned_item_customers",
-    "semantic_dedup_survivors",
-    "set_ops_all_multiset",
-    "skew_report",
-    "streaming_cep_absence",
-    "streaming_cep_followed_by",
-    "streaming_connect_coprocess",
-    "streaming_outer_interval_join",
-    "streaming_running_reduce",
-    "substring_dedup",
-    "text_chunking",
-    "tfidf_top_terms",
-    "train_val_test_split",
-    "unigram_surprisal_score",
-    "variant_json_stats",
-    "vocab_oov_rate",
-    "winsorized_values",
-    "zscore_standardized_values",
-    # ---- 37-50: r5-stale block, first 14 of 50 alphabetically ----
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "anti_join_no_urgent_customers",
-    "asof_join_click_to_signup",
-    "coarse_to_fine_topk",
-    "correlated_subquery_big_orders",
-    "cube_order_status_priority",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "deterministic_sample",
-    "distinct_user_event_types",
-    "doc_fingerprint",
-    "embedding_cosine_topk",
-    # ---- 51-86: r5-stale leftovers (r10 opens here — see note) ----
+    # ---- 3-5: BRAND-NEW in r10 ----
+    "kmv_keyed_windowed_distinct",
+    "sketch_quantiles_key_rollup",
+    "bitmap_keyed_windowed_ops",
+    # ---- 6-41: the 36 r5-stale leftovers ----
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
     "flatmap_wordcount",
@@ -157,7 +102,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 87-130: r6 rows ----
+    # ---- 42-50: r6 block, first 9 of 44 alphabetically ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -167,6 +112,7 @@ _PRIORITY = [
     "cohort_retention",
     "compaction_plan_bins",
     "concurrent_sessions_sweep",
+    # ---- 51-85: r6 leftovers (r11 opens here — see note) ----
     "contrastive_negative_pairs",
     "copurchase_pmi_top",
     "count_window_sliding",
@@ -202,7 +148,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 131-176: r7 rows ----
+    # ---- 86-131: r7 rows ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -249,7 +195,7 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 177-221: r8 rows (freshest, rotate last) ----
+    # ---- 132-175: r8 rows ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -262,7 +208,6 @@ _PRIORITY = [
     "customer_order_distribution",
     "declining_streak_users",
     "event_funnel_conversion",
-    "heavy_hitter_terms",
     "html_text_extraction",
     "idle_rich_customers",
     "incremental_near_dup_matches",
@@ -295,6 +240,56 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
+    # ---- 176-224: r9/r10-fresh rows (rotate last) ----
+    "mg_heavy_hitters",
+    "bloom_prefilter_join",
+    "streaming_bloom_filter_join",
+    "pagerank_copurchase",
+    "triangle_counts_copurchase",
+    "bloom_bigm_prefilter_join",
+    "cms_windowed_counts",
+    "bitmap_windowed_retention",
+    "streaming_mg_heavy_hitters",
+    "mg_per_lang_top_terms",
+    "sketch_quantiles_windowed",
+    "mg_windowed_top_events",
+    "streaming_kmv_windowed_distinct",
+    "lpa_communities_copurchase",
+    "bucket_pruned_point_lookup",
+    "recency_decay_weights",
+    "recursive_event_chains",
+    "returned_item_customers",
+    "semantic_dedup_survivors",
+    "set_ops_all_multiset",
+    "skew_report",
+    "streaming_cep_absence",
+    "streaming_cep_followed_by",
+    "streaming_connect_coprocess",
+    "streaming_outer_interval_join",
+    "streaming_running_reduce",
+    "substring_dedup",
+    "text_chunking",
+    "tfidf_top_terms",
+    "train_val_test_split",
+    "unigram_surprisal_score",
+    "variant_json_stats",
+    "vocab_oov_rate",
+    "winsorized_values",
+    "zscore_standardized_values",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anti_join_no_urgent_customers",
+    "asof_join_click_to_signup",
+    "coarse_to_fine_topk",
+    "correlated_subquery_big_orders",
+    "cube_order_status_priority",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "deterministic_sample",
+    "distinct_user_event_types",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
 ]
 
 

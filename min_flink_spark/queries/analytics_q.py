@@ -1518,6 +1518,92 @@ def q_sketch_quantiles_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_quantiles(merged, ["event_type"], [50, 90, 99])
 
 
+@query(
+    "sketch_quantiles_key_rollup",
+    oracle=f"""
+    WITH vm0 AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+      WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08'
+        AND time_bucket(INTERVAL '1 day', ts) < TIMESTAMP '2024-01-15'
+    ),
+    g AS (
+      SELECT event_type, vm FROM vm0
+      UNION ALL SELECT '__ALL__' AS event_type, vm FROM vm0
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN vm <= 0 THEN -1
+                  ELSE CAST(length(bin(vm)) - 1 AS INT) END AS bin,
+             count(*) AS cnt
+      FROM g GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(cnt) AS total FROM b GROUP BY 1),
+    c AS (
+      SELECT b.event_type, bin,
+             sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin) AS cum,
+             t.total
+      FROM b JOIN t USING (event_type)
+    ),
+    hits AS (
+      {_SKETCH_PCT.format(q=50)} UNION ALL
+      {_SKETCH_PCT.format(q=90)} UNION ALL
+      {_SKETCH_PCT.format(q=99)}
+    )
+    SELECT event_type, pct, bin,
+           CASE WHEN bin < 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) << bin END AS lo_micro
+    FROM hits
+    """,
+)
+def q_sketch_quantiles_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED rollup over stored histogram partials (VERDICT r9 item 6
+    — the key axis itself is mergeable, completing the log₂-histogram
+    row of the mode matrix): the SAME stored (day, event_type)
+    partials that sketch_quantiles_windowed range-merges also answer
+    the COARSER grouping — global (all-event-type) percentiles — by
+    summing the key axis away, exactly as the day axis merges away
+    (integer counts, zero drift, both re-aggregations exact). One
+    stored artifact serves every grouping at or above its key grain;
+    neither the per-key nor the global answer rescans the raw rows.
+    The gate row carries the Jan 8-14 per-event-type p50/p90/p99 AND
+    the '__ALL__' rollup rows from one partial frame; the oracle
+    computes both groupings directly from the range's raw rows, so
+    the row proves rollup(partials) ≡ sketch(raw) on BOTH levels."""
+    from min_flink_spark.operators.pipeline import (
+        log_histogram_sketch,
+        merge_histogram_sketches,
+        sketch_quantiles,
+    )
+
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    # the stored per-(day, key) partials (scan-once artifact) — built
+    # ONCE; both grouping levels below re-aggregate this sketch-sized
+    # frame, so the union plans the raw scan a single time per branch
+    # of the rollup, never per quantile
+    daily = log_histogram_sketch(ev, ["day", "event_type"], F.col("vm"))
+    rng = daily.filter((F.col("day") >= lo) & (F.col("day") < hi)).drop("day")
+    per_key = merge_histogram_sketches(rng)
+    fine = sketch_quantiles(per_key, ["event_type"], [50, 90, 99])
+    # the key rollup: merge the KEY axis away from the same partials
+    coarse = sketch_quantiles(
+        merge_histogram_sketches(
+            per_key.select(
+                F.lit("__ALL__").alias("event_type"), "bin", "cnt"
+            )
+        ),
+        ["event_type"],
+        [50, 90, 99],
+    )
+    return fine.unionByName(coarse)
+
+
 _LPA_ROUND = """
   l{t} AS (
     SELECT node, label FROM (

@@ -9,6 +9,7 @@ Streaming sources live in ``min_flink_spark.streaming``.
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Iterable
 from typing import Any
 
@@ -42,8 +43,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> "_stream.Stream":
     return _stream.Stream(load_table(spark, sf_dir, name))
 
 
+# per-session (sf_dir, table) -> DataFrame memo. A DataFrame is an
+# immutable logical plan, so handing every caller the same object is
+# safe — and it makes repeat loads job-FREE: each spark.read.parquet()
+# call fires a one-task footer read for schema inference, which at 220+
+# registry queries × tables is hundreds of redundant driver jobs per
+# gate run (and the reason lazy queries showed construction-time jobs
+# at all — VERDICT r9 item 3's zero-jobs-at-construction assertion
+# pins this). Weakly keyed on the session so a stopped session's
+# entries die with it instead of resolving for an id-reusing successor.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    global _TABLE_CACHE
+    if _TABLE_CACHE is None:
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        per_session[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:

@@ -248,6 +248,32 @@ def test_carry_backing_moves_not_copies(spark):
     assert release_backing(out) == 1
 
 
+def test_carry_backing_rejects_double_carry(spark):
+    """ADVICE r9: a second carry from an already-drained source must
+    raise — it would silently carry nothing, and whoever releases the
+    second result would leak the blocks for the session. Sources that
+    never HAD a handle stay a silent no-op (the documented contract)."""
+    import pytest
+
+    from min_flink_spark.core.ckpt import (
+        attach_backing,
+        carry_backing,
+        release_backing,
+    )
+
+    backing = spark.range(5).localCheckpoint(eager=True)
+    inter = attach_backing(backing.filter("id > 0"), backing)
+    out1 = carry_backing(inter.select("id"), inter)
+    with pytest.raises(RuntimeError, match="already carried"):
+        carry_backing(inter.select("id"), inter)
+    # handle-less sources still contribute nothing, silently
+    clean = spark.range(3)
+    out2 = carry_backing(clean.select("id"), clean)
+    assert release_backing(out2) == 0
+    assert out1.count() == 4
+    assert release_backing(out1) == 1
+
+
 def test_label_propagation_frees_superseded_rounds(spark):
     """LPA must hold at most the current round's label checkpoint;
     after release of the final frame the registry is clean."""

@@ -627,6 +627,35 @@ def test_bloom_bigm_probe_is_scan_side_with_one_reused_build(spark):
     assert "EvalPython" not in final
 
 
+def test_bloom_probe_rejects_colliding_fact_columns(spark):
+    """ADVICE r9: the probe plumbs fixed helper columns (_bp/_bw/_bm/
+    _hit{i}/bloom_pass) through the fact frame — a caller column with
+    one of these names must be refused loudly, not silently dropped by
+    the per-iteration drop() or left to an ambiguous-join error."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from min_flink_spark.operators.relational import (
+        bloom_probe_tag,
+        bloom_word_frame,
+    )
+
+    members = spark.range(0, 50).select(F.col("id").alias("k"))
+    words = bloom_word_frame(members, "k", m_bits=1 << 10, k_hashes=2)
+    for bad in ("_bw", "bloom_pass", "_hit1"):
+        fact = spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit(1).alias(bad)
+        )
+        with pytest.raises(ValueError, match="collide"):
+            bloom_probe_tag(fact, "k", words, 1 << 10, 2)
+    # _hit2 is outside k_hashes=2's helper set — not reserved, passes
+    fact = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(1).alias("_hit2")
+    )
+    assert bloom_probe_tag(fact, "k", words, 1 << 10, 2).count() == 10
+
+
 def test_bucket_pruned_point_lookup_plan(spark, sf_dir):
     """The point lookup on the bucket column must read a SUBSET of
     buckets (SelectedBucketsCount in the scan) and plan with ZERO

@@ -970,6 +970,22 @@ def test_mg_update_composition_holds_classical_bounds(stream, splits, m):
             assert item in counters
 
 
+def test_mg_update_skips_zero_weight_items():
+    """ADVICE r9: a zero-weight item must not occupy a counter slot —
+    it adds no mass but would fire the (m+1)-th-largest subtraction
+    earlier than the accounting requires and emit cnt=0 summary rows.
+    With m=2 and two real items, a flood of distinct zero-weight items
+    must leave the real counters EXACT (no subtraction ever fires)."""
+    from min_flink_spark.operators.pipeline import mg_update
+
+    counters: dict = {}
+    counters = mg_update(counters, ["a", "b"], [5, 3], m=2)
+    counters = mg_update(
+        counters, [f"z{i}" for i in range(10)], [0] * 10, m=2
+    )
+    assert counters == {"a": 5, "b": 3}
+
+
 # ---------------------------------------------------------------------------
 # r9: chunked bitmap index — merge identity + exact set algebra on
 # arbitrary memberships (the windowed range-merge correctness rests on

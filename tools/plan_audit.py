@@ -103,6 +103,16 @@ EXPECTED_CROSS = {
                                   # 1-row cut scalar + 1-row N-band
                                   # scalar crosses over summary-sized
                                   # frames
+    # ---- added r10 ----
+    "heavy_hitter_terms",       # 1-row (m+1)-th-counter scalar cross
+                                # (merge_mg_summaries' global path) over
+                                # the <= m-row summary — the in-plan MG
+                                # certificate that replaced the eager
+                                # constructor-time freqItems job
+    "bitmap_keyed_windowed_ops",  # the SAME bitmap_pair_ops pair grid
+                                  # as bitmap_segment_ops (event types²
+                                  # ≈ dozens of rows), here fed from
+                                  # range-merged per-day partials
 }
 # Adjudicated single-partition exchanges (VERDICT r7 item 3: this
 # channel is now FAIL-CLOSED like EXPECTED_CROSS — an unadjudicated
@@ -160,6 +170,13 @@ EXPECTED_SINGLE_PARTITION = {
     "types, never data)",
     "mg_weighted_top_customers": "summary-sized MG merge window (<= "
     "partitions x m counter rows) + 1-row revenue-total scalar",
+    # ---- added r10 ----
+    "heavy_hitter_terms": "summary-sized MG merge window (<= partitions "
+    "x m counter rows, not data — the in-plan sketch certificate that "
+    "replaced the eager freqItems job)",
+    "sketch_quantiles_key_rollup": "the __ALL__ rollup branch's windows "
+    "partition on a constant key, so they fold to single-partition — "
+    "over the <= 64-bin merged sketch frame, never data",
 }
 
 
