@@ -509,7 +509,17 @@ def bloom_probe_filter(
     pass all ``k_hashes`` bit tests (no false negatives ever — a
     joining row always survives). See ``bloom_probe_tag`` for the plan
     shape; the pass predicate is a conjunction, so Catalyst pushes each
-    conjunct to the earliest join that can evaluate it."""
+    conjunct to the earliest join that can evaluate it.
+
+    WHEN to prefilter (measured, PERF.md round 10): the probe costs
+    k hashes per fact row riding the scan, so it pays only when the
+    shuffle bytes it eliminates dominate — expected survivor fraction
+    small (≲10%) and/or wide payload rows. On a narrow-row fact at
+    ~50% selectivity the probe DOUBLED end-to-end join time at 20M
+    rows; on a 1.6%-selectivity payload-bearing fact it won. (Spark's
+    own bloom_filter_agg/might_contain are optimizer-internal in this
+    build — not user-callable — so this frame probe is the invocable
+    runtime filter; see the PERF.md A/B.)"""
     return bloom_probe_tag(fact, key_col, words, m_bits, k_hashes).filter(
         F.col("bloom_pass")
     ).drop("bloom_pass")
