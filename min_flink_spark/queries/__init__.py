@@ -28,15 +28,19 @@ from min_flink_spark.queries import windows  # noqa: F401
 # (the written r10 rotation: the 36 r5-stale leftovers + the head of
 # the r6 block), with r10's own changed/new queries jumping ahead
 # (changed always first):
-#   1-2   changed in r10 (heavy_hitter_terms: the constructor-time
+#   1-5   changed in r10 (heavy_hitter_terms: the constructor-time
 #         freqItems(...).first() eager job replaced by an in-plan
 #         m=100 Misra-Gries broadcast-join certificate — hash-visible;
 #         mg_weighted_top_customers: mg_update now skips zero-weight
 #         items (ADVICE r9) — operator change invisible to the source
-#         hash, promoted by hand as in r7/r8/r9; results invariant
-#         here since every weight is a positive micro-unit int, but
-#         the weighted insert path is the one that changed),
-#   3-5   BRAND-NEW in r10 (the keyed axis composed with the windowed
+#         hash, promoted by hand as in r7/r8/r9, results invariant
+#         here since every weight is a positive micro-unit int;
+#         cms_windowed_counts / bitmap_windowed_retention /
+#         mg_windowed_top_events: inline oracles refactored into the
+#         shared named constants their new streaming×windowed twins
+#         certify against — decorator text changed, hash-visible,
+#         semantics identical),
+#   6-12  BRAND-NEW in r10 (the keyed axis composed with the windowed
 #         axis for the three families the r9 verdict named:
 #         kmv_keyed_windowed_distinct — per-(day, event_type)
 #         bottom-16 sketches range-merged per key;
@@ -44,28 +48,43 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         (day, event_type) histogram partials merged away for the
 #         __ALL__ rollup, one artifact serving both grouping levels;
 #         bitmap_keyed_windowed_ops — per-(day, segment) bitmaps
-#         bit_or-merged over a date range, exact pairwise overlap),
-#   6-41  the 36 r5-stale leftovers — after their rows, no query's
+#         bit_or-merged over a date range, exact pairwise overlap;
+#         PLUS the streaming × windowed row completed for ALL five
+#         summary families (KMV landed r9): streaming_cms_windowed_
+#         counts, streaming_bitmap_windowed_retention,
+#         streaming_sketch_quantiles_windowed,
+#         streaming_mg_windowed_top_events — per-day partials
+#         maintained as streaming state, range-merged by each
+#         family's own collapse rule, each against the SAME oracle
+#         as its batch twin),
+#   13-48 the 36 r5-stale leftovers — after their rows, no query's
 #         latest evidence predates r6,
-#   42-50 the r6 block, first 9 of 44 (alphabetical).
+#   49-50 the r6 block, first 2 of 44 (alphabetical).
 #
 # ROUND-11 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 35 r6 leftovers open the tail (51-85), then the r7
-# rows (86-131), then the r8 rows (132-175), then the r9-fresh block
-# (176-224).  Promote 51-onward next round — r11's 50 slots take the
-# 35 r6 leftovers plus the first 15 of the r7 block; any query
-# changed during round 11 jumps ahead of everything (changed always
-# first).  The guardrail test enforces this shape — re-sorting this
-# list IS the rotation.
+# order): the 42 r6 leftovers open the tail (51-92), then the r7
+# rows, then the r8 rows, then the r9/r10-fresh block.  Promote
+# 51-onward next round — r11's 50 slots take the 42 r6 leftovers
+# plus the first 8 of the r7 block; any query changed during round
+# 11 jumps ahead of everything (changed always first).  The
+# guardrail test enforces this shape — re-sorting this list IS the
+# rotation.
 _PRIORITY = [
-    # ---- 1-2: changed in r10 (see note above) ----
+    # ---- 1-5: changed in r10 (see note above) ----
     "heavy_hitter_terms",
     "mg_weighted_top_customers",
-    # ---- 3-5: BRAND-NEW in r10 ----
+    "cms_windowed_counts",
+    "bitmap_windowed_retention",
+    "mg_windowed_top_events",
+    # ---- 6-12: BRAND-NEW in r10 ----
     "kmv_keyed_windowed_distinct",
     "sketch_quantiles_key_rollup",
     "bitmap_keyed_windowed_ops",
-    # ---- 6-41: the 36 r5-stale leftovers ----
+    "streaming_cms_windowed_counts",
+    "streaming_bitmap_windowed_retention",
+    "streaming_sketch_quantiles_windowed",
+    "streaming_mg_windowed_top_events",
+    # ---- 13-48: the 36 r5-stale leftovers ----
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
     "flatmap_wordcount",
@@ -102,9 +121,10 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "value_percentiles",
     "volume_shipping",
-    # ---- 42-50: r6 block, first 9 of 44 alphabetically ----
+    # ---- 49-50: r6 block, first 2 of 44 alphabetically ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
+    # ---- 51-92: r6 leftovers (r11 opens here — see note) ----
     "bpe_tokenized_lengths",
     "bucketed_cobucket_join_stats",
     "char_entropy_quality",
@@ -112,7 +132,6 @@ _PRIORITY = [
     "cohort_retention",
     "compaction_plan_bins",
     "concurrent_sessions_sweep",
-    # ---- 51-85: r6 leftovers (r11 opens here — see note) ----
     "contrastive_negative_pairs",
     "copurchase_pmi_top",
     "count_window_sliding",
@@ -148,7 +167,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 86-131: r7 rows ----
+    # ---- 93-138: r7 rows ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -195,7 +214,7 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 132-175: r8 rows ----
+    # ---- 139-182: r8 rows ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -240,19 +259,16 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 176-224: r9/r10-fresh rows (rotate last) ----
+    # ---- 183-228: r9/r10-fresh rows (rotate last) ----
     "mg_heavy_hitters",
     "bloom_prefilter_join",
     "streaming_bloom_filter_join",
     "pagerank_copurchase",
     "triangle_counts_copurchase",
     "bloom_bigm_prefilter_join",
-    "cms_windowed_counts",
-    "bitmap_windowed_retention",
     "streaming_mg_heavy_hitters",
     "mg_per_lang_top_terms",
     "sketch_quantiles_windowed",
-    "mg_windowed_top_events",
     "streaming_kmv_windowed_distinct",
     "lpa_communities_copurchase",
     "bucket_pruned_point_lookup",

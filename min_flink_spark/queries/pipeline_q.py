@@ -2483,9 +2483,11 @@ def q_kmv_keyed_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "cms_windowed_counts",
-    oracle="""
+# ONE ground truth for the windowed-CMS shape: the batch range-merge
+# query and the streaming-state twin (queries/streaming_q.py) emit the
+# same estimate table — both decorators reference THIS constant (the
+# same discipline as KMV_WINDOWED_ORACLE).
+CMS_WINDOWED_ORACLE = """
     WITH e AS (
       SELECT event_type FROM events
       WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08'
@@ -2516,8 +2518,10 @@ def q_kmv_keyed_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
     FROM probes p LEFT JOIN cells c USING (d, w)
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("cms_windowed_counts", oracle=CMS_WINDOWED_ORACLE)
 def q_cms_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series frequency estimation — the count-min leg of the
     summary × event-time-window symmetry (VERDICT r8 item 4; template:
@@ -2561,9 +2565,11 @@ def q_cms_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bitmap_windowed_retention",
-    oracle="""
+# ONE ground truth for the windowed-bitmap retention shape: the batch
+# range-merge query and the streaming-state twin (queries/
+# streaming_q.py) emit the same pair table — both decorators reference
+# THIS constant.
+BITMAP_WINDOWED_ORACLE = """
     WITH d AS (
       SELECT DISTINCT
              CASE WHEN time_bucket(INTERVAL '1 day', ts) < TIMESTAMP '2024-01-08'
@@ -2583,8 +2589,10 @@ def q_cms_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            ca.n + cb.n - coalesce(i.n_inter, 0) AS n_union
     FROM card ca JOIN card cb ON ca.seg < cb.seg
     LEFT JOIN inter i ON i.key_a = ca.seg AND i.key_b = cb.seg
-    """,
-)
+    """
+
+
+@query("bitmap_windowed_retention", oracle=BITMAP_WINDOWED_ORACLE)
 def q_bitmap_windowed_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week retention, EXACT, from stored per-day bitmap
     partials — the bitmap leg of the summary × window symmetry
@@ -2748,9 +2756,10 @@ def q_mg_per_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mg_windowed_top_events",
-    oracle="""
+# ONE ground truth for the windowed-MG shape: the batch range-merge
+# query and the streaming-state twin (queries/streaming_q.py) emit the
+# same top-3 table — both decorators reference THIS constant.
+MG_WINDOWED_ORACLE = """
     WITH e AS (
       SELECT event_type FROM events
       WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08'
@@ -2763,8 +2772,10 @@ def q_mg_per_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(rnk AS INT) AS rnk, item, est
     FROM exact WHERE rnk <= 3
-    """,
-)
+    """
+
+
+@query("mg_windowed_top_events", oracle=MG_WINDOWED_ORACLE)
 def q_mg_windowed_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series heavy hitters — the Misra-Gries leg of the summary ×
     event-time-window symmetry, completing the 5-family × windowed

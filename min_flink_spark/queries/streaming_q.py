@@ -1232,3 +1232,207 @@ def q_streaming_kmv_windowed_distinct(
         )
     merged = merge_bottom_k([emitted], ["window_start"], k=16)
     return kmv_distinct_estimate(merged, ["window_start"], k=16)
+
+
+from min_flink_spark.queries.analytics_q import sketch_quantiles_oracle
+from min_flink_spark.queries.pipeline_q import (
+    BITMAP_WINDOWED_ORACLE,
+    CMS_WINDOWED_ORACLE,
+    MG_WINDOWED_ORACLE,
+)
+
+
+@query("streaming_cms_windowed_counts", oracle=CMS_WINDOWED_ORACLE)
+def q_streaming_cms_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING × WINDOWED CMS — a continuously-running stream
+    maintains one 4×128 count-min grid PER 1-day event-time window
+    (the window start rides as a grid key of the SAME
+    operators/pipeline.count_min_sketch the batch/merge/streaming
+    modes use): state is windows-seen × 512 counters at any stream
+    length, and each day's grid keeps absorbing stragglers as they
+    arrive. Per-cell streaming counts are cumulative, so emissions
+    collapse batch-count-invariantly by per-(day, cell) MAX (the same
+    collapse as the unwindowed streaming_cms_counts); the Jan 8-14
+    range query then MERGES the collapsed grids by counter addition —
+    exactly the stored-partials path of the batch twin
+    (cms_windowed_counts), certified against the SAME oracle: one
+    shape, batch and streaming builds, one ground truth."""
+    from min_flink_spark.operators.pipeline import cms_estimate, count_min_sketch
+    from min_flink_spark.sources import load_table
+
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    keyed = s.select(
+        F.window("ts", "1 day").getField("start").alias("day"), "event_type"
+    )
+    emitted = run_to_completion(
+        count_min_sketch(keyed, "event_type", depth=4, width=128, keys=["day"]),
+        output_mode="update",
+    )
+    # cumulative per-cell counts: MAX = the cell's final value
+    grids = emitted.groupBy("day", "d", "w").agg(F.max("cnt").alias("cnt"))
+    merged = (
+        grids.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").getField("start").alias("day"), "event_type"
+    )
+    types = ev.select("event_type").distinct()
+    est = cms_estimate(merged, types, "event_type")
+    exact = (
+        ev.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "event_type", "left").select(
+        "event_type",
+        F.coalesce(F.col("exact_cnt"), F.lit(0).cast("bigint")).alias("exact_cnt"),
+        "cms_est",
+    )
+
+
+@query("streaming_bitmap_windowed_retention", oracle=BITMAP_WINDOWED_ORACLE)
+def q_streaming_bitmap_windowed_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING × WINDOWED bitmaps — the stream maintains one EXACT
+    user bitmap PER 1-day event-time window (the day rides as the
+    index key of the SAME operators/bitmap.bitmap_index the batch and
+    unwindowed-streaming builds use): state is windows-seen × touched
+    64-id words, bits only turn ON, so cumulative per-word emissions
+    collapse batch-count-invariantly by a second bit_or
+    (merge_bitmap_indexes — also the range-merge rule). The
+    week-over-week retention query then relabels each stored day by
+    its week, OR-merges, and popcounts — the batch twin's
+    (bitmap_windowed_retention) exact stored-partials path, certified
+    against the SAME oracle. Unlike the CMS/KMV legs the streaming
+    answer is EXACT, not an estimate."""
+    from min_flink_spark.operators.bitmap import (
+        bitmap_index,
+        bitmap_pair_ops,
+        merge_bitmap_indexes,
+    )
+
+    cut = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    keyed = s.select(
+        F.window("ts", "1 day").getField("start").alias("day"), "user_id"
+    ).filter(F.col("day") < hi)
+    emitted = run_to_completion(
+        bitmap_index(keyed, "day", "user_id"), output_mode="update"
+    )
+    # bits only turn ON: bit_or collapses cumulative emissions AND
+    # merges the relabeled days in one pass
+    seg = emitted.withColumn(
+        "segment", F.when(F.col("day") < cut, F.lit("w1")).otherwise(F.lit("w2"))
+    ).select("segment", "word", "mask")
+    merged = merge_bitmap_indexes(seg)
+    return bitmap_pair_ops(merged, "segment")
+
+
+@query(
+    "streaming_sketch_quantiles_windowed",
+    oracle=sketch_quantiles_oracle(
+        "WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08' "
+        "AND time_bucket(INTERVAL '1 day', ts) < TIMESTAMP '2024-01-15'"
+    ),
+)
+def q_streaming_sketch_quantiles_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING × WINDOWED log₂-histogram quantiles — the stream
+    maintains one ≤64-bin sketch PER (1-day window, event_type) (both
+    ride as keys of the SAME operators/pipeline.log_histogram_sketch
+    all other modes use): state is windows × keys × bins counters at
+    any stream length. Cumulative per-bin streaming counts collapse by
+    MAX per (day, key, bin); the Jan 8-14 range query merges the
+    collapsed partials by count addition and reads p50/p90/p99 —
+    exactly the batch twin's (sketch_quantiles_windowed) stored-
+    partials path, certified against the SAME parametric oracle
+    (sketch_quantiles_oracle — the one ground truth all histogram
+    modes share)."""
+    from min_flink_spark.operators.pipeline import (
+        log_histogram_sketch,
+        merge_histogram_sketches,
+        sketch_quantiles,
+    )
+
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    keyed = s.select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    emitted = run_to_completion(
+        log_histogram_sketch(keyed, ["day", "event_type"], F.col("vm")),
+        output_mode="update",
+    )
+    # cumulative per-bin counts: MAX = the bin's final value
+    daily = emitted.groupBy("day", "event_type", "bin").agg(
+        F.max("cnt").alias("cnt")
+    )
+    rng = daily.filter((F.col("day") >= lo) & (F.col("day") < hi)).drop("day")
+    merged = merge_histogram_sketches(rng)
+    return sketch_quantiles(merged, ["event_type"], [50, 90, 99])
+
+
+@query("streaming_mg_windowed_top_events", oracle=MG_WINDOWED_ORACLE)
+def q_streaming_mg_windowed_top_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING × WINDOWED Misra-Gries — completes the streaming ×
+    windowed row of the mode matrix for ALL five summary families
+    (KMV landed in r9; CMS, bitmap, histogram land alongside this in
+    r10): the stream maintains one m=16 SpaceSaving summary PER 1-day
+    event-time window (the window start is the state KEY of the SAME
+    streaming/sketches.MGFunction the unwindowed streaming query
+    uses), so state is windows-seen × m counters and each day's
+    summary keeps refining as stragglers arrive. MG emissions are NOT
+    monotone, so the collapse is LAST-WRITER by state version
+    (latest_mg_emissions per day — batch-count-invariant); the
+    Jan 8-14 range query merges the collapsed per-day summaries
+    through the batch operator's own merge_mg_summaries (mergeable-
+    summaries closure) and reports the top-3 — the batch twin's
+    (mg_windowed_top_events) stored-partials path against the SAME
+    oracle. The 6-type vocabulary never exceeds m, so no subtraction
+    fires and the answer is provably EXACT (the small-vocab
+    guarantee), counts and tie-breaks bit-for-bit."""
+    from min_flink_spark.operators.pipeline import merge_mg_summaries
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.sketches import (
+        latest_mg_emissions,
+        streaming_misra_gries,
+    )
+    from pyspark.sql import Window
+
+    m = 16
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    keyed = s.select(
+        F.window("ts", "1 day").getField("start").alias("day"), "event_type"
+    )
+    with shuffle_partitions(spark, 8):
+        emitted = run_to_completion(
+            streaming_misra_gries(
+                keyed, "day", "day timestamp_ntz", "event_type", m=m
+            ),
+            output_mode="update",
+        )
+    daily = latest_mg_emissions(emitted, "day")
+    rng = daily.filter((F.col("day") >= lo) & (F.col("day") < hi))
+    merged = merge_mg_summaries(rng.select("item", "cnt"), m)
+    w = Window.orderBy(F.col("est").desc(), F.col("item").asc())
+    # the merged summary is ≤ m rows — the global top-3 window is
+    # bounded metadata, not data (adjudicated class)
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("rnk").cast("int").alias("rnk"), "item", "est")
+    )

@@ -642,3 +642,54 @@ def test_streaming_mg_state_recovers_across_restarts(spark, tmp_path):
     assert latest >= 2, "second run did not resume from recovered state"
     got = {r["item"]: r["cnt"] for r in emitted if r["version"] == latest}
     assert got == {"a": 8, "b": 2, "c": 4}
+
+
+def test_streaming_windowed_histogram_collapse_matches_batch(spark, tmp_path):
+    """r10 streaming × windowed composition: per-day histogram sketches
+    maintained as streaming state, with a day-1 STRAGGLER arriving in
+    batch 2 (the case the composition exists for). Collapsing
+    update-mode emissions by per-(day, key, bin) MAX must reproduce
+    the batch sketch of the union at any micro-batch split — the
+    identity streaming_sketch_quantiles_windowed's range-merge rests
+    on."""
+    from min_flink_spark.operators.pipeline import log_histogram_sketch
+
+    schema = "day string, event_type string, vm bigint"
+    b1 = spark.createDataFrame(
+        [("d1", "click", 3), ("d1", "click", 700), ("d1", "view", 0)], schema
+    )
+    # d1 straggler rides batch 2 next to d2 rows — its day-1 sketch
+    # must keep refining, not fork
+    b2 = spark.createDataFrame(
+        [("d1", "click", 5), ("d2", "click", 64), ("d2", "view", 1)], schema
+    )
+    src = str(tmp_path / "hist_two_batches")
+    b1.coalesce(1).write.parquet(src + "/f=a")
+    b2.coalesce(1).write.parquet(src + "/f=b")
+    import glob as _glob
+
+    flat = str(tmp_path / "hist_flat")
+    os.makedirs(flat)
+    for i, f in enumerate(
+        sorted(_glob.glob(src + "/f=*/**/*.parquet", recursive=True))
+    ):
+        os.link(f, os.path.join(flat, f"{i:02d}.parquet"))
+
+    s = stream_parquet(spark, flat, schema, max_files_per_trigger=1)
+    emitted = run_to_completion(
+        log_histogram_sketch(s, ["day", "event_type"], F.col("vm")),
+        output_mode="update",
+    )
+    got = {
+        (r["day"], r["event_type"], r["bin"]): r["cnt"]
+        for r in emitted.groupBy("day", "event_type", "bin")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+    want = {
+        (r["day"], r["event_type"], r["bin"]): r["cnt"]
+        for r in log_histogram_sketch(
+            b1.unionByName(b2), ["day", "event_type"], F.col("vm")
+        ).collect()
+    }
+    assert got == want
