@@ -25,9 +25,10 @@ from min_flink_spark.queries import windows  # noqa: F401
 # rearranging this list.
 #
 # ROUND-10 PREFIX (positions 1-50), executing the r9 verdict item 1
-# (the written r10 rotation: the 36 r5-stale leftovers + the head of
-# the r6 block), with r10's own changed/new queries jumping ahead
-# (changed always first):
+# (the written r10 rotation: the r5-stale leftovers first), with
+# r10's own changed/new queries jumping ahead (changed always first —
+# r10 shipped 11 new queries and 5 changed ones, so 34 of the 36 r5
+# leftovers fit this round's 50 slots; the last 2 open the r11 tail):
 #   1-5   changed in r10 (heavy_hitter_terms: the constructor-time
 #         freqItems(...).first() eager job replaced by an in-plan
 #         m=100 Misra-Gries broadcast-join certificate — hash-visible;
@@ -40,7 +41,7 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         shared named constants their new streaming×windowed twins
 #         certify against — decorator text changed, hash-visible,
 #         semantics identical),
-#   6-12  BRAND-NEW in r10 (the keyed axis composed with the windowed
+#   6-16  BRAND-NEW in r10 (the keyed axis composed with the windowed
 #         axis for the three families the r9 verdict named:
 #         kmv_keyed_windowed_distinct — per-(day, event_type)
 #         bottom-16 sketches range-merged per key;
@@ -49,26 +50,30 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         __ALL__ rollup, one artifact serving both grouping levels;
 #         bitmap_keyed_windowed_ops — per-(day, segment) bitmaps
 #         bit_or-merged over a date range, exact pairwise overlap;
-#         PLUS the streaming × windowed row completed for ALL five
+#         the streaming × windowed row completed for ALL five
 #         summary families (KMV landed r9): streaming_cms_windowed_
 #         counts, streaming_bitmap_windowed_retention,
 #         streaming_sketch_quantiles_windowed,
 #         streaming_mg_windowed_top_events — per-day partials
 #         maintained as streaming state, range-merged by each
 #         family's own collapse rule, each against the SAME oracle
-#         as its batch twin),
-#   13-48 the 36 r5-stale leftovers — after their rows, no query's
-#         latest evidence predates r6,
-#   49-50 the r6 block, first 2 of 44 (alphabetical).
+#         as its batch twin; PLUS the four remaining classic
+#         decision-support shapes: cheapest_supplier_per_type (Q2),
+#         concentrated_suppliers (Q20), product_profit_by_nation_year
+#         (Q9), supplier_part_counts (Q16) — adapted to this schema,
+#         all exact-integer money/quantity arithmetic),
+#   17-50 the first 34 of the 36 r5-stale leftovers (alphabetical;
+#         winsorized_values and zscore_standardized_values open the
+#         r11 tail — both strict-verified by the r9 judge session).
 #
 # ROUND-11 ROTATION NOTE (positions 51+ are already in promotion
-# order): the 42 r6 leftovers open the tail (51-92), then the r7
-# rows, then the r8 rows, then the r9/r10-fresh block.  Promote
-# 51-onward next round — r11's 50 slots take the 42 r6 leftovers
-# plus the first 8 of the r7 block; any query changed during round
-# 11 jumps ahead of everything (changed always first).  The
-# guardrail test enforces this shape — re-sorting this list IS the
-# rotation.
+# order): the last 2 r5 leftovers open the tail (51-52), then the 44
+# r6 rows, then r7, then r8, then the r9/r10-fresh block.  Promote
+# 51-onward next round — r11's 50 slots take the 2 r5 leftovers, the
+# full 44-row r6 block, and the first 4 of the r7 block; any query
+# changed during round 11 jumps ahead of everything (changed always
+# first).  The guardrail test enforces this shape — re-sorting this
+# list IS the rotation.
 _PRIORITY = [
     # ---- 1-5: changed in r10 (see note above) ----
     "heavy_hitter_terms",
@@ -76,7 +81,7 @@ _PRIORITY = [
     "cms_windowed_counts",
     "bitmap_windowed_retention",
     "mg_windowed_top_events",
-    # ---- 6-12: BRAND-NEW in r10 ----
+    # ---- 6-16: BRAND-NEW in r10 ----
     "kmv_keyed_windowed_distinct",
     "sketch_quantiles_key_rollup",
     "bitmap_keyed_windowed_ops",
@@ -84,7 +89,11 @@ _PRIORITY = [
     "streaming_bitmap_windowed_retention",
     "streaming_sketch_quantiles_windowed",
     "streaming_mg_windowed_top_events",
-    # ---- 13-48: the 36 r5-stale leftovers ----
+    "cheapest_supplier_per_type",
+    "concentrated_suppliers",
+    "product_profit_by_nation_year",
+    "supplier_part_counts",
+    # ---- 17-50: r5-stale leftovers, first 34 of 36 ----
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
     "flatmap_wordcount",
@@ -119,12 +128,12 @@ _PRIORITY = [
     "top_supplier_revenue",
     "union_rebalance",
     "unpivot_lineitem_metrics",
+    # ---- 51-52: last r5 leftovers (r11 opens here — see note) ----
     "value_percentiles",
     "volume_shipping",
-    # ---- 49-50: r6 block, first 2 of 44 alphabetically ----
+    # ---- 53-96: r6 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
-    # ---- 51-92: r6 leftovers (r11 opens here — see note) ----
     "bpe_tokenized_lengths",
     "bucketed_cobucket_join_stats",
     "char_entropy_quality",
@@ -167,7 +176,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "weekly_active_growth",
     "window_rank_lag",
-    # ---- 93-138: r7 rows ----
+    # ---- 97-142: r7 rows ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -214,7 +223,7 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 139-182: r8 rows ----
+    # ---- 143-186: r8 rows ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -259,7 +268,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 183-228: r9/r10-fresh rows (rotate last) ----
+    # ---- 187-232: r9/r10-fresh rows (rotate last) ----
     "mg_heavy_hitters",
     "bloom_prefilter_join",
     "streaming_bloom_filter_join",

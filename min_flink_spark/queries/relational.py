@@ -1383,3 +1383,107 @@ def bloom_effectiveness_certificate(
         F.sum(b(F.col("is_match") & ~F.col("bloom_pass"))).alias("n_false_neg"),
         F.sum(b(F.col("bloom_pass") & ~F.col("is_match"))).alias("n_fp_rows"),
     )
+
+
+@query(
+    "product_profit_by_nation_year",
+    oracle="""
+    WITH amounts AS (
+      SELECT n.n_name AS nation,
+             CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               - CAST(round(p.p_retailprice * 100) AS BIGINT)
+               * CAST(round(l.l_quantity) AS BIGINT) * 100 AS amount_u
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    )
+    SELECT nation, order_year,
+           CAST(sum(CAST(amount_u AS DECIMAL(18,0))) AS BIGINT) AS profit_u,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM amounts GROUP BY 1, 2
+    """,
+)
+def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 SHAPE (product-line profit by supplier nation and
+    order year; no partsupp in this schema, so the cost leg is
+    p_retailprice · quantity instead of ps_supplycost · quantity):
+    a five-table join filtered by part-name LIKE, with SIGNED profit
+    amounts — the shape that stresses join ordering (the selective
+    part scan must drive) and signed-sum exactness. Money discipline:
+    revenue and cost both in integer 10^-4 currency units
+    (cents × cents-scale), summed through a decimal(18,0) cast so
+    Spark allocates the overflow-safe decimal(28,0) accumulator; the
+    LIKE pushes down to the part scan and Catalyst broadcasts the
+    pruned dims. Signed integer sums are order-independent, so the
+    hash is parallelism-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    amount = (
+        _cents("l_extendedprice") * (100 - _cents("l_discount"))
+        - _cents("p_retailprice") * F.round("l_quantity").cast("bigint") * 100
+    )
+    rows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(nat, supp["s_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            amount.alias("amount_u"),
+        )
+    )
+    return rows.groupBy("nation", "order_year").agg(
+        F.sum(_acc(F.col("amount_u"))).cast("bigint").alias("profit_u"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 9, 19, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 SHAPE (how many qualified suppliers can deliver each
+    part segment; the NOT IN exclusion list in the original is the
+    complaint suppliers — here, suppliers in deficit): per
+    (brand, type, size ∈ {1,9,19,29}) the DISTINCT supplier count
+    from the lineitem relationship table, excluding the deficit list.
+    Plan shape: the NOT IN over a non-nullable key column plans as a
+    left-anti join against the tiny exclusion frame (no null-aware
+    nested loop needed — s_suppkey is a key), the size IN-list pushes
+    to the part scan, and count(DISTINCT) hash-aggregates in two
+    stages (partial distinct before the shuffle). Counts are exact
+    integers; the oracle replays the same exclusion semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 9, 19, 29)
+    )
+    deficit = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    kept = li.join(deficit, "l_suppkey", "left_anti")
+    return (
+        kept.join(part, kept["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

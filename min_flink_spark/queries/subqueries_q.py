@@ -582,3 +582,131 @@ def q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "cheapest_supplier_per_type",
+    oracle="""
+    WITH priced AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS price_u
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT pr.p_type, s.s_name, n.n_name AS nation, pr.price_u AS best_price_u
+    FROM priced pr
+    JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE pr.price_u = (SELECT min(p2.price_u) FROM priced p2
+                        WHERE p2.p_type = pr.p_type)
+    QUALIFY row_number() OVER (PARTITION BY pr.p_type
+                               ORDER BY s.s_name ASC, pr.l_suppkey ASC) = 1
+    """,
+)
+def q_cheapest_supplier_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 SHAPE (minimum-cost supplier via correlated scalar-min
+    subquery; this schema has no partsupp, so the offer table is the
+    lineitem price book): for each part type, the supplier behind the
+    MINIMUM discounted price, ties broken deterministically
+    (s_name, suppkey). Decorrelation doctrine (module docstring): the
+    per-type min is computed ONCE as a pre-aggregation and joined back
+    on the correlation key — Catalyst sees a plain agg + equi-join
+    where a naive planner would re-run the subquery per row; the
+    winner-row cut is one per-type row_number over the tied minima
+    (WindowGroupLimit — partial top-1 before the shuffle). Price
+    arithmetic stays in exact integer micro-units end-to-end, so the
+    tie SET (and hence the winner) is bit-stable at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    priced = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "p_type",
+        "l_suppkey",
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "price_u"
+        ),
+    )
+    # rename the agg's key: the min frame shares `priced`'s lineage and
+    # Spark refuses the ambiguous attribute on a shared-name self-join
+    best = (
+        priced.groupBy("p_type")
+        .agg(F.min("price_u").alias("best_u"))
+        .withColumnRenamed("p_type", "_bt")
+    )
+    # no broadcast hint on `best`: #types-sized here, but derived from
+    # an SF-scaling scan — let AQE decide from the measured size
+    winners = priced.join(
+        best,
+        (priced["p_type"] == F.col("_bt"))
+        & (priced["price_u"] == F.col("best_u")),
+    ).select("p_type", "l_suppkey", "price_u")
+    named = (
+        winners.join(supp, winners["l_suppkey"] == supp["s_suppkey"])
+        .join(nat, supp["s_nationkey"] == nat["n_nationkey"])
+        .select("p_type", "s_name", F.col("n_name").alias("nation"),
+                "l_suppkey", "price_u")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("s_name").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        named.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("p_type", "s_name", "nation",
+                F.col("price_u").alias("best_price_u"))
+    )
+
+
+@query(
+    "concentrated_suppliers",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty,
+             CAST(count(*) AS BIGINT) AS n_supp
+      FROM per GROUP BY 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_dominated_parts
+    FROM per JOIN tot USING (l_partkey)
+    JOIN supplier s ON per.l_suppkey = s.s_suppkey
+    WHERE tot.n_supp > 1 AND per.qty * n_supp > 2 * tot.total_qty
+    GROUP BY 1
+    """,
+)
+def q_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 SHAPE (supplier qualification against a correlated
+    quantity-sum threshold; availqty > ½·sum(l_quantity) in the
+    original — here, with no partsupp, the threshold compares a
+    supplier's shipped quantity of a part against TWICE the part's
+    mean per-supplier quantity): suppliers counted by how many
+    multi-supplier parts they dominate. Decorrelation doctrine: BOTH
+    sides of the correlated comparison are pre-aggregations of the
+    same per-(part, supplier) frame — one hash-agg feeding a per-part
+    rollup, joined back on the correlation key; the comparison
+    qty · n_supp > 2 · total stays in integer cross-multiplied form
+    (no division), so the qualifying set is exact and the oracle
+    replays it bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round("l_quantity").cast("bigint")).alias("qty")
+    )
+    tot = per.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    dom = per.join(tot, "l_partkey").filter(
+        (F.col("n_supp") > 1)
+        & (F.col("qty") * F.col("n_supp") > 2 * F.col("total_qty"))
+    )
+    return (
+        dom.join(supp, dom["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
