@@ -277,10 +277,62 @@ def shapes(spark, rows: int):
             .collect()
         )
 
+    # round-10 shapes: the keyed × windowed summary paths — per-(day,
+    # key) partials built in ONE scan then range-merged on the
+    # summary-sized frame; both should track the hash-agg family
+    # (map-side combine collapses each partition to days × keys ×
+    # sketch-size rows before the shuffle), with the range merge
+    # contributing a constant tail
+    def _kmv_keyed_windowed():
+        from min_flink_spark.operators.pipeline import (
+            bottom_k_sketch,
+            kmv_distinct_estimate,
+            merge_bottom_k,
+        )
+
+        keyed = ev.select(
+            F.window("ts", "1 day").getField("start").alias("day"),
+            "event_type",
+            "user_id",
+        )
+        daily = bottom_k_sketch(keyed, ["day", "event_type"], "user_id", k=16)
+        merged = merge_bottom_k([daily.drop("day")], ["event_type"], k=16)
+        return (
+            kmv_distinct_estimate(merged, ["event_type"], k=16)
+            .agg(F.sum("distinct_est"))
+            .collect()
+        )
+
+    def _bitmap_keyed_windowed():
+        from min_flink_spark.operators.bitmap import (
+            bitmap_index,
+            bitmap_pair_ops,
+            merge_bitmap_indexes,
+        )
+
+        keyed = ev.select(
+            F.window("ts", "1 day").getField("start").alias("day"),
+            "event_type",
+            "user_id",
+        )
+        daily = bitmap_index(
+            keyed.withColumn("_key", F.struct("day", "event_type")),
+            "_key",
+            "user_id",
+        ).select(F.col("_key.event_type").alias("event_type"), "word", "mask")
+        merged = merge_bitmap_indexes(daily)
+        return (
+            bitmap_pair_ops(merged, "event_type")
+            .agg(F.sum("n_inter"), F.sum("n_union"))
+            .collect()
+        )
+
     yield "cms_grid_estimate", _cms
     yield "bloom_build_and_probe", _bloom
     yield "bloom_bigm_join_probe", _bloom_bigm
     yield "mg_heavy_hitters", _mg
+    yield "kmv_keyed_windowed", _kmv_keyed_windowed
+    yield "bitmap_keyed_windowed", _bitmap_keyed_windowed
 
 
 def main() -> None:
