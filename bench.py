@@ -70,6 +70,26 @@ HEADLINE = [
     "deterministic_sample",
 ]
 
+# Machine-drift self-adjudication (VERDICT r10 item 5; the r9 incident:
+# a +34% artifact that was pure box drift cost a round-trip of idle-box
+# re-measurement to adjudicate). The four NO-DEPENDENCY controls —
+# headline queries whose sources and plans have been frozen since the
+# early rounds — are pinned at their best quiet-box sf0.1 steady-state
+# minimums (the r8-era band, confirmed by BENCH_r10, the program-best
+# artifact). Each run emits per-control measured/pin ratios and their
+# median: a future artifact whose headline total inflates WHILE the
+# controls' median ratio inflates by the same factor self-adjudicates
+# as machine drift (nothing in the controls changed); a non-uniform
+# inflation, or headlines departing from the controls' ratio, is the
+# bisect trigger (PERF.md round 10 documents the rule). Pins are only
+# meaningful at sf0.1 — at other SFs the field reports null.
+CONTROL_PINS_SF01 = {
+    "pricing_summary": 1.036,
+    "flatmap_wordcount": 0.259,
+    "pivot_event_counts": 0.285,
+    "deterministic_sample": 0.177,
+}
+
 
 def main() -> None:
     spark = get_spark(app_name="min-flink-spark-bench")
@@ -110,6 +130,19 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # machine-drift self-adjudication: measured/pin per control (sf0.1
+    # only — the pins are sf0.1 steady-state minimums)
+    controls_ratio = None
+    controls_ratio_median = None
+    if sf_val == 0.1:
+        controls_ratio = {
+            name: round(times[name] / pin, 3)
+            for name, pin in CONTROL_PINS_SF01.items()
+        }
+        controls_ratio_median = round(
+            statistics.median(controls_ratio.values()), 3
+        )
     print(
         json.dumps(
             {
@@ -121,6 +154,8 @@ def main() -> None:
                 "queries_median": medians,
                 "reps": reps,
                 "sf": sf_val,
+                "controls_ratio_vs_r8era": controls_ratio,
+                "controls_ratio_median": controls_ratio_median,
             }
         )
     )

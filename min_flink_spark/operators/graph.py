@@ -251,6 +251,24 @@ def triangle_counts(
     probe rides an already-eager pipeline).
 
     Returns (node, n_triangles) for every node in ≥1 triangle."""
+    # Hints are all-or-nothing and loud (ADVICE r10: a half-specified
+    # or out-of-range hint used to fall through SILENTLY to the probe
+    # or the struct path — the caller believed they skipped a driver
+    # job they didn't; same fail-loud idiom as bloom_probe_tag's
+    # collision check).
+    hinted = max_deg is not None or max_id is not None
+    if hinted and (max_deg is None or max_id is None):
+        raise ValueError(
+            "triangle_counts: max_deg/max_id must be passed together "
+            f"(got max_deg={max_deg!r}, max_id={max_id!r}) — a half-"
+            "specified hint cannot skip the width probe it exists to avoid"
+        )
+    if hinted and (max_deg < 1 or max_id < 0):
+        raise ValueError(
+            "triangle_counts: hint out of range "
+            f"(max_deg={max_deg!r} must be >= 1, max_id={max_id!r} must "
+            "be >= 0)"
+        )
     a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
     b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
     # the deduped pair list feeds BOTH the degree agg and the
@@ -278,10 +296,10 @@ def triangle_counts(
         # width probe) — materialize it once so all consumers see one
         # computation of the degree agg
         deg = deg.localCheckpoint(eager=True)
-        if max_deg is not None and max_id is not None:
+        if hinted:
             # caller-supplied width hint: no driver-side probe job
-            if max_deg >= 1 and max_id >= 0:
-                deg_bound, id_bound = int(max_deg), int(max_id)
+            # (validated above — never silently ignored)
+            deg_bound, id_bound = int(max_deg), int(max_id)
         else:
             # bounded-metadata probe (3 scalars): choose the packing
             # width, or refuse it when deg/id can't share 62 bits
@@ -302,7 +320,7 @@ def triangle_counts(
 
         def _pack(deg_c: Column, node_c: Column) -> Column:
             packed = F.shiftleft(deg_c, id_bits) + node_c
-            if max_deg is None:
+            if not hinted:
                 return packed  # probe path: bounds are exact maxima
             # hint path: a violated hint would silently pack into the
             # wrong bits and corrupt the (deg, id) order — fail in-plan

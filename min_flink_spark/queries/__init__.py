@@ -24,114 +24,54 @@ from min_flink_spark.queries import windows  # noqa: F401
 # the ledger (python tools/rotation_ledger.py --write) ONLY when
 # rearranging this list.
 #
-# ROUND-10 PREFIX (positions 1-50), executing the r9 verdict item 1
-# (the written r10 rotation: the r5-stale leftovers first), with
-# r10's own changed/new queries jumping ahead (changed always first —
-# r10 shipped 11 new queries and 5 changed ones, so 34 of the 36 r5
-# leftovers fit this round's 50 slots; the last 2 open the r11 tail):
-#   1-5   changed in r10 (heavy_hitter_terms: the constructor-time
-#         freqItems(...).first() eager job replaced by an in-plan
-#         m=100 Misra-Gries broadcast-join certificate — hash-visible;
-#         mg_weighted_top_customers: mg_update now skips zero-weight
-#         items (ADVICE r9) — operator change invisible to the source
-#         hash, promoted by hand as in r7/r8/r9, results invariant
-#         here since every weight is a positive micro-unit int;
-#         cms_windowed_counts / bitmap_windowed_retention /
-#         mg_windowed_top_events: inline oracles refactored into the
-#         shared named constants their new streaming×windowed twins
-#         certify against — decorator text changed, hash-visible,
-#         semantics identical),
-#   6-16  BRAND-NEW in r10 (the keyed axis composed with the windowed
-#         axis for the three families the r9 verdict named:
-#         kmv_keyed_windowed_distinct — per-(day, event_type)
-#         bottom-16 sketches range-merged per key;
-#         sketch_quantiles_key_rollup — the KEY axis of stored
-#         (day, event_type) histogram partials merged away for the
-#         __ALL__ rollup, one artifact serving both grouping levels;
-#         bitmap_keyed_windowed_ops — per-(day, segment) bitmaps
-#         bit_or-merged over a date range, exact pairwise overlap;
-#         the streaming × windowed row completed for ALL five
-#         summary families (KMV landed r9): streaming_cms_windowed_
-#         counts, streaming_bitmap_windowed_retention,
-#         streaming_sketch_quantiles_windowed,
-#         streaming_mg_windowed_top_events — per-day partials
-#         maintained as streaming state, range-merged by each
-#         family's own collapse rule, each against the SAME oracle
-#         as its batch twin; PLUS the four remaining classic
-#         decision-support shapes: cheapest_supplier_per_type (Q2),
-#         concentrated_suppliers (Q20), product_profit_by_nation_year
-#         (Q9), supplier_part_counts (Q16) — adapted to this schema,
-#         all exact-integer money/quantity arithmetic),
-#   17-50 the first 34 of the 36 r5-stale leftovers (alphabetical;
-#         winsorized_values and zscore_standardized_values open the
-#         r11 tail — both strict-verified by the r9 judge session).
+# ROUND-11 PREFIX (positions 1-50), executing the r10 verdict item 1
+# (the written r11 rotation) with r11's own changed/new queries
+# jumping ahead (changed always first):
+#   1-4   changed in r11 (kmv_keyed_windowed_distinct: inline oracle
+#         refactored into the shared KMV_KEYED_WINDOWED_ORACLE constant
+#         its new streaming×keyed×windowed twin certifies against —
+#         decorator text changed, hash-visible, semantics identical;
+#         streaming_kmv_distinct / streaming_kmv_windowed_distinct:
+#         BottomKFunction/streaming_bottom_k generalized to COMPOSITE
+#         state keys for the new matrix cell — operator change
+#         invisible to the source hash, promoted by hand as in
+#         r7-r10, results invariant for their single-key calls;
+#         triangle_counts_copurchase: triangle_counts now fail-louds
+#         on half-specified/out-of-range width hints (ADVICE r10) —
+#         operator change, results invariant on the no-hint path this
+#         query takes),
+#   5     BRAND-NEW in r11 (streaming_kmv_keyed_windowed_distinct —
+#         STREAMING × KEYED × WINDOWED KMV, the last empty cell of the
+#         mode matrix: per-(day, event_type) bottom-16 sketches as
+#         composite-keyed streaming state, range-merged per key,
+#         certified against the SAME oracle as its batch twin),
+#   6-7   the last two r5-evidence rows (value_percentiles,
+#         volume_shipping — both also strict-verified live by the r10
+#         judge session),
+#   8-50  the first 43 of the 44 r6-evidence rows (alphabetical;
+#         window_rank_lag opens the r12 tail at position 51).
 #
-# ROUND-11 ROTATION NOTE (positions 51+ are already in promotion
-# order): the last 2 r5 leftovers open the tail (51-52), then the 44
-# r6 rows, then r7, then r8, then the r9/r10-fresh block.  Promote
-# 51-onward next round — r11's 50 slots take the 2 r5 leftovers, the
-# full 44-row r6 block, and the first 4 of the r7 block; any query
-# changed during round 11 jumps ahead of everything (changed always
-# first).  The guardrail test enforces this shape — re-sorting this
-# list IS the rotation.
+# ROUND-12 ROTATION NOTE (positions 51+ are already in promotion
+# order — mechanically: everything outside the r11 head sorted by
+# (last driver round, name)): window_rank_lag is the single r6
+# leftover at 51, then the 46 r7 rows, then r8, r9, and the r10-fresh
+# block last.  Promote 51-onward next round — r12's 50 slots take
+# window_rank_lag, the full 46-row r7 block, and the first 3 of the
+# r8 block; any query changed during round 12 jumps ahead of
+# everything (changed always first).  The guardrail test enforces
+# this shape — re-sorting this list IS the rotation.
 _PRIORITY = [
-    # ---- 1-5: changed in r10 (see note above) ----
-    "heavy_hitter_terms",
-    "mg_weighted_top_customers",
-    "cms_windowed_counts",
-    "bitmap_windowed_retention",
-    "mg_windowed_top_events",
-    # ---- 6-16: BRAND-NEW in r10 ----
+    # ---- 1-4: changed in r11 (see note above) ----
     "kmv_keyed_windowed_distinct",
-    "sketch_quantiles_key_rollup",
-    "bitmap_keyed_windowed_ops",
-    "streaming_cms_windowed_counts",
-    "streaming_bitmap_windowed_retention",
-    "streaming_sketch_quantiles_windowed",
-    "streaming_mg_windowed_top_events",
-    "cheapest_supplier_per_type",
-    "concentrated_suppliers",
-    "product_profit_by_nation_year",
-    "supplier_part_counts",
-    # ---- 17-50: r5-stale leftovers, first 34 of 36 ----
-    "embedding_near_dup_pairs",
-    "embedding_quantize_int8",
-    "flatmap_wordcount",
-    "full_outer_join_balances",
-    "keyed_max_by_record",
-    "keyed_min_by_record_last",
-    "keyed_min_first_record",
-    "keyed_sum_first_record",
-    "language_id",
-    "levenshtein_rerank",
-    "map_filter_project",
-    "market_share",
-    "media_byte_stats",
-    "model_quality_scores",
-    "ngram_jaccard_pairs",
-    "pivot_event_counts",
-    "pricing_summary",
-    "regexp_extract_props",
-    "revenue_by_nation",
-    "rollup_acctbal",
-    "running_reduce_sum",
-    "scalar_function_sampler",
-    "semi_join_urgent_customers",
-    "set_ops_users",
-    "shipping_priority",
-    "simhash_docs",
-    "stratified_sample",
-    "streaming_static_join",
-    "text_stats",
-    "top100_orders_global",
-    "top3_orders_per_priority",
-    "top_supplier_revenue",
-    "union_rebalance",
-    "unpivot_lineitem_metrics",
-    # ---- 51-52: last r5 leftovers (r11 opens here — see note) ----
+    "streaming_kmv_distinct",
+    "streaming_kmv_windowed_distinct",
+    "triangle_counts_copurchase",
+    # ---- 5: BRAND-NEW in r11 ----
+    "streaming_kmv_keyed_windowed_distinct",
+    # ---- 6-7: the last two r5-evidence rows ----
     "value_percentiles",
     "volume_shipping",
-    # ---- 53-96: r6 rows ----
+    # ---- 8-50: r6 rows, first 43 of 44 ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -175,8 +115,9 @@ _PRIORITY = [
     "trend_slope_by_type",
     "video_mp4_stats",
     "weekly_active_growth",
+    # ---- 51: last r6 row (r12 opens here — see note) ----
     "window_rank_lag",
-    # ---- 97-142: r7 rows ----
+    # ---- 52-97: r7 rows ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -223,7 +164,7 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 143-186: r8 rows ----
+    # ---- 98-140: r8 rows ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -257,7 +198,6 @@ _PRIORITY = [
     "streaming_bitmap_segment_ops",
     "streaming_cms_counts",
     "streaming_interval_join",
-    "streaming_kmv_distinct",
     "streaming_session_window",
     "streaming_sliding_window",
     "streaming_tumbling_window",
@@ -268,28 +208,40 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 187-232: r9/r10-fresh rows (rotate last) ----
-    "mg_heavy_hitters",
-    "bloom_prefilter_join",
-    "streaming_bloom_filter_join",
-    "pagerank_copurchase",
-    "triangle_counts_copurchase",
+    # ---- 141-184: r9 rows ----
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anti_join_no_urgent_customers",
+    "asof_join_click_to_signup",
     "bloom_bigm_prefilter_join",
-    "streaming_mg_heavy_hitters",
-    "mg_per_lang_top_terms",
-    "sketch_quantiles_windowed",
-    "streaming_kmv_windowed_distinct",
-    "lpa_communities_copurchase",
+    "bloom_prefilter_join",
     "bucket_pruned_point_lookup",
+    "coarse_to_fine_topk",
+    "correlated_subquery_big_orders",
+    "cube_order_status_priority",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "deterministic_sample",
+    "distinct_user_event_types",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "lpa_communities_copurchase",
+    "mg_heavy_hitters",
+    "mg_per_lang_top_terms",
+    "pagerank_copurchase",
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
     "semantic_dedup_survivors",
     "set_ops_all_multiset",
+    "sketch_quantiles_windowed",
     "skew_report",
+    "streaming_bloom_filter_join",
     "streaming_cep_absence",
     "streaming_cep_followed_by",
     "streaming_connect_coprocess",
+    "streaming_mg_heavy_hitters",
     "streaming_outer_interval_join",
     "streaming_running_reduce",
     "substring_dedup",
@@ -301,20 +253,56 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "anti_join_no_urgent_customers",
-    "asof_join_click_to_signup",
-    "coarse_to_fine_topk",
-    "correlated_subquery_big_orders",
-    "cube_order_status_priority",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "deterministic_sample",
-    "distinct_user_event_types",
-    "doc_fingerprint",
-    "embedding_cosine_topk",
+    # ---- 185-233: r10 rows (rotate last) ----
+    "bitmap_keyed_windowed_ops",
+    "bitmap_windowed_retention",
+    "cheapest_supplier_per_type",
+    "cms_windowed_counts",
+    "concentrated_suppliers",
+    "embedding_near_dup_pairs",
+    "embedding_quantize_int8",
+    "flatmap_wordcount",
+    "full_outer_join_balances",
+    "heavy_hitter_terms",
+    "keyed_max_by_record",
+    "keyed_min_by_record_last",
+    "keyed_min_first_record",
+    "keyed_sum_first_record",
+    "language_id",
+    "levenshtein_rerank",
+    "map_filter_project",
+    "market_share",
+    "media_byte_stats",
+    "mg_weighted_top_customers",
+    "mg_windowed_top_events",
+    "model_quality_scores",
+    "ngram_jaccard_pairs",
+    "pivot_event_counts",
+    "pricing_summary",
+    "product_profit_by_nation_year",
+    "regexp_extract_props",
+    "revenue_by_nation",
+    "rollup_acctbal",
+    "running_reduce_sum",
+    "scalar_function_sampler",
+    "semi_join_urgent_customers",
+    "set_ops_users",
+    "shipping_priority",
+    "simhash_docs",
+    "sketch_quantiles_key_rollup",
+    "stratified_sample",
+    "streaming_bitmap_windowed_retention",
+    "streaming_cms_windowed_counts",
+    "streaming_mg_windowed_top_events",
+    "streaming_sketch_quantiles_windowed",
+    "streaming_static_join",
+    "supplier_part_counts",
+    "text_stats",
+    "top100_orders_global",
+    "top3_orders_per_priority",
+    "top_supplier_revenue",
+    "union_rebalance",
+    "unpivot_lineitem_metrics",
 ]
 
 

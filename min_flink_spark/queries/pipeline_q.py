@@ -2406,9 +2406,13 @@ def q_kmv_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(sk, ["window_start"], k=16)
 
 
-@query(
-    "kmv_keyed_windowed_distinct",
-    oracle="""
+# ONE ground truth for the KEYED × windowed KMV shape: the batch
+# range-merge query below and the streaming-state twin
+# (queries/streaming_q.py: streaming_kmv_keyed_windowed_distinct) emit
+# the same per-event-type sketch + estimate table — both decorators
+# reference THIS constant (the same shared-oracle discipline as
+# KMV_WINDOWED_ORACLE / CMS_WINDOWED_ORACLE).
+KMV_KEYED_WINDOWED_ORACLE = """
     WITH d AS (
       SELECT DISTINCT event_type, user_id FROM events
       WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08'
@@ -2436,8 +2440,10 @@ def q_kmv_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN e.n < 16 OR e.hk <= 0 THEN e.n
                 ELSE CAST(15 * 4294967296 // e.hk AS BIGINT) END AS distinct_est
     FROM s JOIN e USING (event_type)
-    """,
-)
+    """
+
+
+@query("kmv_keyed_windowed_distinct", oracle=KMV_KEYED_WINDOWED_ORACLE)
 def q_kmv_keyed_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYED × windowed KMV (VERDICT r9 item 6 — the keyed axis
     composed with the windowed axis, completing the bottom-k row of

@@ -1234,6 +1234,82 @@ def q_streaming_kmv_windowed_distinct(
     return kmv_distinct_estimate(merged, ["window_start"], k=16)
 
 
+from min_flink_spark.queries.pipeline_q import KMV_KEYED_WINDOWED_ORACLE
+
+
+@query("streaming_kmv_keyed_windowed_distinct", oracle=KMV_KEYED_WINDOWED_ORACLE)
+def q_streaming_kmv_keyed_windowed_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING × KEYED × WINDOWED KMV — all three axes composed, the
+    LAST empty cell of the mode matrix (VERDICT r10 item 4): a
+    continuously-running stream maintains one bottom-16 sketch per
+    (1-day event-time window, event_type) — the production "continuous
+    per-segment daily uniques" job. The COMPOSITE key (day, event_type)
+    rides as the state key of the SAME BottomKFunction every other KMV
+    mode uses (process_keyed already shuffles on the full column list),
+    so state is windows × segments × k rows at any stream length and
+    each (day, segment) sketch keeps refining as stragglers arrive.
+    The Jan 8-14 range query then drops the day and merges the
+    range's emissions per event_type in ONE merge_bottom_k pass —
+    valid because every emitted survivor is a member of its (day, key)
+    population and each final per-day sketch's rows are among the
+    emissions, so bottom-k(all range emissions) ≡ bottom-k(union of
+    stored per-day sketches) ≡ the batch twin's closure merge
+    (kmv_keyed_windowed_distinct), certified against the SAME oracle
+    (KMV_KEYED_WINDOWED_ORACLE): one keyed×windowed shape, batch and
+    streaming builds, one ground truth — a user active for one segment
+    on several days counts once."""
+    from min_flink_spark.operators.pipeline import (
+        kmv_distinct_estimate,
+        merge_bottom_k,
+    )
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.sketches import streaming_bottom_k
+
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    keyed = s.select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    with shuffle_partitions(spark, 8):
+        emitted = run_to_completion(
+            streaming_bottom_k(
+                keyed,
+                ["day", "event_type"],
+                "day timestamp_ntz, event_type string",
+                "user_id",
+                k=16,
+            ),
+            output_mode="update",
+        )
+    # The sketch + its estimate join back together (a self-join of the
+    # memory sink), and Spark's MemoryPlan leaf does NOT implement
+    # multi-instance dedup — the join dies with "Conflicting
+    # attributes". Break the lineage with a localCheckpoint: the
+    # emissions table is SUMMARY-sized (batches × windows × segments ×
+    # k rows, never data-sized), and this query already runs an eager
+    # streaming job at construction, so the extra bounded job rides the
+    # existing allowlist entry.
+    rng = (
+        emitted.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        .drop("day")
+        .localCheckpoint(eager=True)
+    )
+    merged = merge_bottom_k([rng], ["event_type"], k=16)
+    est = kmv_distinct_estimate(merged, ["event_type"], k=16)
+    return merged.join(est, "event_type").select(
+        "event_type",
+        F.col("pos").cast("int").alias("pos"),
+        "hash",
+        F.col("id").cast("bigint").alias("id"),
+        "distinct_est",
+    )
+
+
 from min_flink_spark.queries.analytics_q import sketch_quantiles_oracle
 from min_flink_spark.queries.pipeline_q import (
     BITMAP_WINDOWED_ORACLE,

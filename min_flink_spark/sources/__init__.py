@@ -56,6 +56,18 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ig
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized testdata-table loader.
+
+    STALENESS CONTRACT (ADVICE r10): the returned DataFrame is cached
+    per (session, sf_dir, table) for the session's lifetime, and the
+    plan pins the parquet schema + file listing captured at FIRST read.
+    If the table's files are rewritten in-place mid-session the cache
+    serves the old listing (stale rows, or task failures on deleted
+    files). The driver's tables are immutable per run, so this is the
+    right default; a caller that regenerates data mid-session must call
+    :func:`invalidate_table_cache` (whole session, one sf_dir, or one
+    table) before re-reading.
+    """
     global _TABLE_CACHE
     if _TABLE_CACHE is None:
         _TABLE_CACHE = weakref.WeakKeyDictionary()
@@ -66,6 +78,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         per_session[key] = df
     return df
+
+
+def invalidate_table_cache(
+    spark: SparkSession, sf_dir: str | None = None, name: str | None = None
+) -> int:
+    """Drop memoized :func:`load_table` entries for ``spark`` so the
+    next load re-reads schema + file listing from disk. With no filters
+    the session's whole cache clears; ``sf_dir``/``name`` narrow it.
+    Returns the number of entries dropped. The invalidation hook for
+    callers that regenerate table files mid-session — see the staleness
+    contract on :func:`load_table`."""
+    if _TABLE_CACHE is None:
+        return 0
+    per_session = _TABLE_CACHE.get(spark)
+    if not per_session:
+        return 0
+    doomed = [
+        k
+        for k in per_session
+        if (sf_dir is None or k[0] == sf_dir) and (name is None or k[1] == name)
+    ]
+    for k in doomed:
+        del per_session[k]
+    return len(doomed)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:

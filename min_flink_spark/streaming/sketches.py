@@ -50,18 +50,22 @@ class BottomKFunction(KeyedProcessFunction):
     """Per-key bottom-k of (hash, id) pairs as streaming state.
 
     State is two parallel arrays (hashes, ids) sorted by (hash, id) —
-    at most ``k`` entries, the documented keys × k contract. Incoming
-    rows carry ``_h`` (32-bit md5 prefix, computed JVM-side) and
-    ``_id``; duplicate ids collapse because a given id always maps to
-    the same hash, exactly as the batch operator's ``distinct()``.
+    at most ``k`` entries per key, the documented keys × k contract.
+    The key may be COMPOSITE (e.g. (window_start, event_type) for the
+    streaming × keyed × windowed matrix cell): `process_keyed` already
+    shuffles on the full column list, so each grouping column simply
+    rides back out next to the sketch rows. Incoming rows carry ``_h``
+    (32-bit md5 prefix, computed JVM-side) and ``_id``; duplicate ids
+    collapse because a given id always maps to the same hash, exactly
+    as the batch operator's ``distinct()``.
     """
 
     state_schema = "hashes array<bigint>, ids array<bigint>"
     needs_full_group = True
 
-    def __init__(self, k: int, key_col: str, key_ddl: str):
+    def __init__(self, k: int, key_cols: "str | list[str]", key_ddl: str):
         self.k = k
-        self.key_col = key_col
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self.output_schema = f"{key_ddl}, pos int, hash bigint, id bigint"
 
     def process_element(self, key, rows: pd.DataFrame, state):
@@ -71,7 +75,7 @@ class BottomKFunction(KeyedProcessFunction):
         top = sorted(pairs)[: self.k]
         out = pd.DataFrame(
             {
-                self.key_col: [key[0]] * len(top),
+                **{c: [key[i]] * len(top) for i, c in enumerate(self.key_cols)},
                 "pos": range(1, len(top) + 1),
                 "hash": [h for h, _ in top],
                 "id": [i for _, i in top],
@@ -82,23 +86,25 @@ class BottomKFunction(KeyedProcessFunction):
 
 def streaming_bottom_k(
     stream: DataFrame,
-    key_col: str,
+    key_cols: "str | list[str]",
     key_ddl: str,
     id_col: str,
     k: int,
 ) -> DataFrame:
-    """Maintain a bottom-k (KMV) sketch per ``key_col`` over a keyed
-    stream; emits the refreshed per-key sketch each micro-batch as
-    ``(key, pos, hash, id)``. Collapse the emissions with
+    """Maintain a bottom-k (KMV) sketch per ``key_cols`` (one column or
+    a composite list — ``key_ddl`` must cover them in order) over a
+    keyed stream; emits the refreshed per-key sketch each micro-batch
+    as ``(*keys, pos, hash, id)``. Collapse the emissions with
     ``operators.pipeline.merge_bottom_k`` after the run — see module
     docstring for why that is exact at any batch count."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     hashed = stream.select(
-        F.col(key_col),
+        *[F.col(c) for c in keys],
         md5_prefix_int(F.col(id_col).cast("string")).alias("_h"),
         F.col(id_col).alias("_id"),
     )
-    fn = BottomKFunction(k, key_col, key_ddl)
-    return process_keyed(hashed, [key_col], fn, output_mode="update")
+    fn = BottomKFunction(k, keys, key_ddl)
+    return process_keyed(hashed, keys, fn, output_mode="update")
 
 
 class MGFunction(KeyedProcessFunction):

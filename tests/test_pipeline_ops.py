@@ -612,6 +612,27 @@ def test_triangle_counts_width_hints(spark):
         triangle_counts(df, max_deg=4, max_id=4).collect()
 
 
+def test_triangle_counts_rejects_bad_hints(spark):
+    """ADVICE r10: half-specified or out-of-range hints used to fall
+    through SILENTLY (half-specified still ran the probe the hint was
+    meant to skip; out-of-range dropped to the struct path). Both must
+    now raise at call time, mirroring bloom_probe_tag's loud collision
+    check."""
+    import pytest
+
+    from min_flink_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="passed together"):
+        triangle_counts(df, max_deg=4)
+    with pytest.raises(ValueError, match="passed together"):
+        triangle_counts(df, max_id=9)
+    with pytest.raises(ValueError, match="out of range"):
+        triangle_counts(df, max_deg=0, max_id=9)
+    with pytest.raises(ValueError, match="out of range"):
+        triangle_counts(df, max_deg=4, max_id=-1)
+
+
 def test_snapshot_diff_statuses(spark):
     from min_flink_spark.operators.pipeline import snapshot_diff
 

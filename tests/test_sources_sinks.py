@@ -307,3 +307,29 @@ def test_csv_malformed_rows_quarantined(spark, tmp_path):
     bad = df.filter("_corrupt IS NOT NULL")
     assert good.count() == 2 and bad.count() == 1
     assert "too,many" in bad.first()["_corrupt"]
+
+
+def test_load_table_memo_and_invalidation(spark, tmp_path):
+    """ADVICE r10: load_table memoizes per (session, sf_dir, table) —
+    the same DataFrame object comes back, pinning the first read's file
+    listing — and invalidate_table_cache is the documented escape hatch
+    when files are regenerated mid-session: after invalidation the next
+    load sees the rewritten data."""
+    from min_flink_spark.sources import invalidate_table_cache, load_table
+
+    sf = str(tmp_path)
+    spark.createDataFrame([(1,)], "v bigint").write.parquet(f"{sf}/events.parquet")
+    first = load_table(spark, sf, "events")
+    assert load_table(spark, sf, "events") is first  # memoized object
+    assert first.count() == 1
+
+    # rewrite in place: the cached plan still serves the old listing
+    spark.createDataFrame([(1,), (2,)], "v bigint").write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    # narrow invalidation (wrong table) drops nothing
+    assert invalidate_table_cache(spark, sf_dir=sf, name="orders") == 0
+    assert invalidate_table_cache(spark, sf_dir=sf, name="events") == 1
+    fresh = load_table(spark, sf, "events")
+    assert fresh is not first
+    assert fresh.count() == 2

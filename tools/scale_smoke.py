@@ -32,6 +32,12 @@ from min_flink_spark.session import get_spark  # noqa: E402
 from min_flink_spark.sources.pysource import register_synthetic_source  # noqa: E402
 
 
+# per-size crossover for the build→merge split shapes (round 11): the
+# *_build shapes materialize partials here; the *_range_merge shapes
+# read them — valid because main() runs shapes in yield order per size
+_STASH: dict = {}
+
+
 def events(spark, rows: int, partitions: int = 64):
     return (
         spark.read.format("synthetic_events")
@@ -333,6 +339,170 @@ def shapes(spark, rows: int):
     yield "mg_heavy_hitters", _mg
     yield "kmv_keyed_windowed", _kmv_keyed_windowed
     yield "bitmap_keyed_windowed", _bitmap_keyed_windowed
+
+    # round-11 shapes (VERDICT r10 item 3): the keyed × windowed
+    # families SPLIT into their two stages so the stored-partials claim
+    # is measured, not asserted. The *_build shapes construct and
+    # MATERIALIZE the per-(day, key) partials from the raw rows — they
+    # must scale ~linearly with rows (one scan + map-side-combined
+    # hash agg). The *_range_merge shapes then answer a FIXED 14-day
+    # range query from the stored partials alone — their input is the
+    # same ~14 days × 5 types × sketch-size rows at EVERY data size
+    # (the synthetic ts advances 1 s/row, so more rows = more days,
+    # never denser days), so a flat-ish merge time at 4× rows is
+    # direct evidence that range queries touch stored partials, never
+    # history. Partials cross from build to merge via _STASH (the
+    # harness runs shapes in yield order per size).
+    lo = "2024-01-08"
+    hi = "2024-01-22"
+    day_keyed = ev.select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    stash = _STASH.setdefault(rows, {})
+
+    def _in_range(df):
+        return df.filter(
+            (F.col("day") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("day") < F.lit(hi).cast("timestamp_ntz"))
+        )
+
+    def _kmv_build():
+        from min_flink_spark.operators.pipeline import bottom_k_sketch
+
+        stash["kmv"] = bottom_k_sketch(
+            day_keyed, ["day", "event_type"], "user_id", k=16
+        ).localCheckpoint(eager=True)
+        return stash["kmv"].count()
+
+    def _kmv_range_merge():
+        from min_flink_spark.operators.pipeline import (
+            kmv_distinct_estimate,
+            merge_bottom_k,
+        )
+
+        rng = _in_range(stash["kmv"]).drop("day")
+        merged = merge_bottom_k([rng], ["event_type"], k=16)
+        return (
+            kmv_distinct_estimate(merged, ["event_type"], k=16)
+            .agg(F.sum("distinct_est"))
+            .collect()
+        )
+
+    def _hist_build():
+        from min_flink_spark.operators.pipeline import log_histogram_sketch
+
+        vm = F.round(F.col("value") * 1_000_000).cast("bigint")
+        src = ev.select(
+            F.window("ts", "1 day").getField("start").alias("day"),
+            "event_type",
+            vm.alias("v"),
+        )
+        stash["hist"] = log_histogram_sketch(
+            src, ["day", "event_type"], F.col("v")
+        ).localCheckpoint(eager=True)
+        return stash["hist"].count()
+
+    def _hist_range_merge():
+        from min_flink_spark.operators.pipeline import sketch_quantiles
+
+        # range-collapse the day axis AND roll the key axis up to
+        # __ALL__ — the sketch_quantiles_key_rollup shape, one stored
+        # artifact serving both grouping levels
+        part = _in_range(stash["hist"])
+        by_key = part.groupBy("event_type", "bin").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        both = by_key.unionByName(
+            by_key.groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("event_type", F.lit("__ALL__"))
+            .select("event_type", "bin", "cnt")
+        )
+        return sketch_quantiles(both, ["event_type"], [50, 90, 99]).count()
+
+    def _bitmap_build():
+        from min_flink_spark.operators.bitmap import bitmap_index
+
+        stash["bitmap"] = (
+            bitmap_index(
+                day_keyed.withColumn("_key", F.struct("day", "event_type")),
+                "_key",
+                "user_id",
+            )
+            .select(
+                F.col("_key.day").alias("day"),
+                F.col("_key.event_type").alias("event_type"),
+                "word",
+                "mask",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return stash["bitmap"].count()
+
+    def _bitmap_range_merge():
+        from min_flink_spark.operators.bitmap import (
+            bitmap_pair_ops,
+            merge_bitmap_indexes,
+        )
+
+        merged = merge_bitmap_indexes(
+            _in_range(stash["bitmap"]).select("event_type", "word", "mask")
+        )
+        return (
+            bitmap_pair_ops(merged, "event_type")
+            .agg(F.sum("n_inter"), F.sum("n_union"))
+            .collect()
+        )
+
+    yield "kmv_kw_build", _kmv_build
+    yield "kmv_kw_range_merge", _kmv_range_merge
+    yield "hist_kw_build", _hist_build
+    yield "hist_kw_range_merge", _hist_range_merge
+    yield "bitmap_kw_build", _bitmap_build
+    yield "bitmap_kw_range_merge", _bitmap_range_merge
+
+    # streaming × windowed leg (same verdict item): the CMS family's
+    # streaming build — per-day grids maintained as streaming agg state
+    # over the synthetic STREAM reader, availableNow to end-of-input —
+    # then the same fixed-range merge. The stream is sized rows/5
+    # (still 1M/4M at the defaults: the micro-batch engine re-plans per
+    # batch, and the ratio between sizes is the signal, same as the
+    # generation-cost note in the module docstring).
+    def _streaming_cms_windowed():
+        from min_flink_spark.operators.pipeline import cms_estimate, count_min_sketch
+        from min_flink_spark.streaming.runner import run_to_completion
+
+        n = max(rows // 5, 200_000)
+        s = (
+            spark.readStream.format("synthetic_events")
+            .option("rows", str(n))
+            .option("partitions", "32")
+            .load()
+            .select(
+                F.window("ts", "1 day").getField("start").alias("day"),
+                "event_type",
+            )
+        )
+        emitted = run_to_completion(
+            count_min_sketch(s, "event_type", depth=4, width=128, keys=["day"]),
+            output_mode="update",
+            timeout_sec=600,
+        )
+        grids = emitted.groupBy("day", "d", "w").agg(F.max("cnt").alias("cnt"))
+        merged = (
+            _in_range(grids).groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+        )
+        probes = spark.createDataFrame([(t,) for t in ("click", "purchase")],
+                                       "event_type string")
+        return (
+            cms_estimate(merged, probes, "event_type")
+            .agg(F.sum("cms_est"))
+            .collect()
+        )
+
+    yield "streaming_cms_windowed", _streaming_cms_windowed
 
 
 def main() -> None:
