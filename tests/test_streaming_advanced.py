@@ -497,6 +497,73 @@ def test_streaming_bottom_k_matches_batch_across_batches(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_bottom_k_composite_key_matches_batch(spark, tmp_path):
+    """COMPOSITE state keys (r11: the streaming × keyed × windowed
+    matrix cell): streaming_bottom_k keyed on (day, event_type) across
+    two micro-batches must equal the batch sketch of the union under
+    the same composite grouping — including an id recurring for one
+    key on both sides of the batch boundary counting once. Also pins
+    that every key column rides back out next to the sketch rows."""
+    from min_flink_spark.operators.pipeline import bottom_k_sketch, merge_bottom_k
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.sketches import streaming_bottom_k
+
+    schema = "day string, event_type string, user_id bigint"
+    b1 = spark.createDataFrame(
+        [("d1", "click", i) for i in range(20)]
+        + [("d1", "view", i) for i in range(8)]
+        + [("d2", "click", i) for i in range(5)],
+        schema,
+    )
+    # users 10-19 recur for (d1, click) and must count once; d2 grows
+    b2 = spark.createDataFrame(
+        [("d1", "click", i) for i in range(10, 35)]
+        + [("d2", "click", i) for i in range(3, 12)],
+        schema,
+    )
+    src = str(tmp_path / "kmv_ck")
+    os.makedirs(src)
+    b1.coalesce(1).write.parquet(src + "_a")
+    b2.coalesce(1).write.parquet(src + "_b")
+    import glob as _glob
+
+    for i, f in enumerate(
+        sorted(
+            _glob.glob(src + "_a/*.parquet") + _glob.glob(src + "_b/*.parquet")
+        )
+    ):
+        os.link(f, os.path.join(src, f"{i:02d}.parquet"))
+
+    s = stream_parquet(spark, src, schema, max_files_per_trigger=1)
+    with shuffle_partitions(spark, 2):
+        emitted = run_to_completion(
+            streaming_bottom_k(
+                s,
+                ["day", "event_type"],
+                "day string, event_type string",
+                "user_id",
+                k=4,
+            ),
+            output_mode="update",
+        )
+    assert emitted.columns == ["day", "event_type", "pos", "hash", "id"]
+    got = {
+        tuple(r)
+        for r in merge_bottom_k([emitted], ["day", "event_type"], k=4)
+        .select("day", "event_type", "pos", "hash", "id")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in bottom_k_sketch(
+            b1.unionByName(b2), ["day", "event_type"], "user_id", k=4
+        )
+        .select("day", "event_type", "pos", "hash", F.col("id").cast("bigint"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_cms_max_collapse_matches_batch(spark, tmp_path):
     """The streaming CMS grid's per-cell counts are cumulative and
     monotone, so collapsing update-mode emissions by per-cell MAX must

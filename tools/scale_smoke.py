@@ -13,8 +13,17 @@ Row generation itself (3 md5 calls/row in Python) dominates at these
 sizes (~2M rows/s on 32 cores) and is the same cost in every shape, so
 RATIOS between sizes are the signal, not absolute times.
 
-Usage: python tools/scale_smoke.py [small_rows] [big_rows]
-Prints one JSON line per (shape, rows).
+Usage: python tools/scale_smoke.py [small_rows] [big_rows] [--only SUBSTR ...]
+Prints one JSON line per (shape, rows). ``--only`` (repeatable) runs
+only shapes whose name contains a given substring — an isolated-JVM
+measurement for one family: the full tree accumulates localCheckpoint
+blocks (graph symmetrizations, stash partials) that are never released
+mid-run, and materializing ANYTHING under that block-manager pressure
+at the 20M size stalls tens of seconds (measured r11: kmv_kw_build
+2.7 s at 5M but 46.7 s at 20M inside the full tree vs ~7 s isolated —
+the pressure, not the shape). Dependent shapes share a prefix
+(kmv_kw_build / kmv_kw_range_merge), so a substring keeps pairs
+together.
 """
 
 from __future__ import annotations
@@ -506,8 +515,14 @@ def shapes(spark, rows: int):
 
 
 def main() -> None:
-    small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
-    big = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
+    args = sys.argv[1:]
+    only: list[str] = []
+    while "--only" in args:
+        i = args.index("--only")
+        only.append(args[i + 1])
+        del args[i : i + 2]
+    small = int(args[0]) if len(args) > 0 else 5_000_000
+    big = int(args[1]) if len(args) > 1 else 20_000_000
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     register_synthetic_source(spark)
@@ -516,7 +531,19 @@ def main() -> None:
     results = {}
     names = []
     for rows in (small, big):
+        # free the PREVIOUS size's stash partials before this size runs
+        # — superseded checkpoint blocks otherwise pile up in the block
+        # manager and distort later materializations (module docstring)
+        from min_flink_spark.core.ckpt import unpersist_checkpoint
+
+        for sz, d in list(_STASH.items()):
+            if sz != rows:
+                for df in d.values():
+                    unpersist_checkpoint(df)
+                del _STASH[sz]
         for name, fn in shapes(spark, rows):
+            if only and not any(s in name for s in only):
+                continue
             if rows == small:
                 names.append(name)
             t0 = time.time()
