@@ -513,6 +513,58 @@ def shapes(spark, rows: int):
 
     yield "streaming_cms_windowed", _streaming_cms_windowed
 
+    # the r11 composite-key STATEFUL path: bottom-16 sketches keyed on
+    # (day, event_type) maintained by the Python state store
+    # (applyInPandasWithState) over the synthetic stream — unlike the
+    # CMS leg (a JVM streaming agg) every row here crosses the Arrow
+    # boundary into the per-key process function, so this measures the
+    # Python-stateful family's row scaling. Same rows/5 sizing as the
+    # CMS leg; 8 state partitions (the query default).
+    def _streaming_kmv_keyed_windowed():
+        from min_flink_spark.operators.pipeline import (
+            kmv_distinct_estimate,
+            merge_bottom_k,
+        )
+        from min_flink_spark.streaming.runner import (
+            run_to_completion,
+            shuffle_partitions,
+        )
+        from min_flink_spark.streaming.sketches import streaming_bottom_k
+
+        n = max(rows // 5, 200_000)
+        s = (
+            spark.readStream.format("synthetic_events")
+            .option("rows", str(n))
+            .option("partitions", "32")
+            .load()
+            .select(
+                F.window("ts", "1 day").getField("start").alias("day"),
+                "event_type",
+                "user_id",
+            )
+        )
+        with shuffle_partitions(spark, 8):
+            emitted = run_to_completion(
+                streaming_bottom_k(
+                    s,
+                    ["day", "event_type"],
+                    "day timestamp_ntz, event_type string",
+                    "user_id",
+                    k=16,
+                ),
+                output_mode="update",
+                timeout_sec=600,
+            )
+        rng = _in_range(emitted).drop("day")
+        merged = merge_bottom_k([rng], ["event_type"], k=16)
+        return (
+            kmv_distinct_estimate(merged, ["event_type"], k=16)
+            .agg(F.sum("distinct_est"))
+            .collect()
+        )
+
+    yield "streaming_kmv_keyed_windowed", _streaming_kmv_keyed_windowed
+
 
 def main() -> None:
     args = sys.argv[1:]
