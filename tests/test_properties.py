@@ -1031,3 +1031,41 @@ def test_bitmap_merge_identity_and_exact_algebra(spark, rows, cut):
         assert (got["n_a"], got["n_b"]) == (len(s1), len(s2))
         assert got["n_inter"] == len(s1 & s2)
         assert got["n_union"] == len(s1 | s2)
+
+
+# ---------------------------------------------------------------------------
+# r11: bottom-k (KMV) — the keyed closure behind every keyed×windowed
+# mode: merging per-(day, key) sketches with the day dropped must equal
+# sketching the same rows per key directly, for ARBITRARY row multisets,
+# day assignments, and k (the order-statistic closure bottom-k(A ∪ B) =
+# bottom-k(bottom-k(A) ∪ bottom-k(B)) composed with key retention —
+# the identity kmv_keyed_windowed_distinct and its streaming twin ride)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # day bucket
+            st.integers(min_value=0, max_value=1),   # retained key
+            st.integers(min_value=0, max_value=30),  # id (dups intended)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_bottom_k_keyed_range_merge_identity(spark, rows, k):
+    from min_flink_spark.operators.pipeline import bottom_k_sketch, merge_bottom_k
+
+    df = spark.createDataFrame(
+        [(f"d{d}", f"g{g}", i) for d, g, i in rows],
+        "day string, key string, id bigint",
+    )
+    daily = bottom_k_sketch(df, ["day", "key"], "id", k=k)
+    merged = merge_bottom_k([daily.drop("day")], ["key"], k=k)
+    direct = bottom_k_sketch(df.drop("day"), ["key"], "id", k=k)
+    assert sorted(
+        map(tuple, merged.select("key", "pos", "hash", "id").collect())
+    ) == sorted(map(tuple, direct.select("key", "pos", "hash", "id").collect()))
