@@ -131,11 +131,14 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    # machine-drift self-adjudication: measured/pin per control (sf0.1
-    # only — the pins are sf0.1 steady-state minimums)
+    # machine-drift self-adjudication: measured/pin per control — sf0.1
+    # AND warm/min methodology only (the pins are sf0.1 steady-state
+    # minimums; a cold single-shot divided by them reads uniformly
+    # inflated and would mis-adjudicate as machine drift, the exact
+    # confusion the field exists to prevent)
     controls_ratio = None
     controls_ratio_median = None
-    if sf_val == 0.1:
+    if sf_val == 0.1 and not cold:
         controls_ratio = {
             name: round(times[name] / pin, 3)
             for name, pin in CONTROL_PINS_SF01.items()

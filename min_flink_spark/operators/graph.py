@@ -289,6 +289,13 @@ def triangle_counts(
     )
 
     integral = dict(edges.dtypes)[src_col] in ("int", "bigint", "smallint", "tinyint")
+    if hinted and not integral:
+        raise ValueError(
+            "triangle_counts: max_deg/max_id hints require integral node "
+            f"ids (got {dict(edges.dtypes)[src_col]!r} for {src_col!r}) — "
+            "packing is impossible on this column, so the hint would be "
+            "silently ignored"
+        )
     id_bits = None
     deg_bound = id_bound = None
     if integral:

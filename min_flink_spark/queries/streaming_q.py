@@ -1286,22 +1286,18 @@ def q_streaming_kmv_keyed_windowed_distinct(
             ),
             output_mode="update",
         )
-    # The sketch + its estimate join back together (a self-join of the
-    # memory sink), and Spark's MemoryPlan leaf does NOT implement
-    # multi-instance dedup — the join dies with "Conflicting
-    # attributes". Break the lineage with a localCheckpoint: the
-    # emissions table is SUMMARY-sized (batches × windows × segments ×
-    # k rows, never data-sized), and this query already runs an eager
-    # streaming job at construction, so the extra bounded job rides the
-    # existing allowlist entry.
-    rng = (
-        emitted.filter((F.col("day") >= lo) & (F.col("day") < hi))
-        .drop("day")
-        .localCheckpoint(eager=True)
-    )
+    rng = emitted.filter((F.col("day") >= lo) & (F.col("day") < hi)).drop("day")
     merged = merge_bottom_k([rng], ["event_type"], k=16)
-    est = kmv_distinct_estimate(merged, ["event_type"], k=16)
-    return merged.join(est, "event_type").select(
+    # rename the estimate's key before the self-join (the
+    # streaming_kmv_distinct idiom): both frames share the memory-sink
+    # view's lineage, whose MemoryPlan leaf does not multi-instance-
+    # dedup — a common-column join dies with "Conflicting attributes",
+    # and a subquery alias doesn't help (it mints no new attribute
+    # ids); the rename's Project does, at zero extra jobs
+    est = kmv_distinct_estimate(merged, ["event_type"], k=16).withColumnRenamed(
+        "event_type", "_et"
+    )
+    return merged.join(est, F.col("event_type") == F.col("_et")).select(
         "event_type",
         F.col("pos").cast("int").alias("pos"),
         "hash",

@@ -88,7 +88,10 @@ def invalidate_table_cache(
     the session's whole cache clears; ``sf_dir``/``name`` narrow it.
     Returns the number of entries dropped. The invalidation hook for
     callers that regenerate table files mid-session — see the staleness
-    contract on :func:`load_table`."""
+    contract on :func:`load_table`. NOTE: temp views created by
+    :func:`register_views` wrap the OLD DataFrames and are not touched
+    here — re-call ``register_views`` after invalidating if the SQL
+    path is in use."""
     if _TABLE_CACHE is None:
         return 0
     per_session = _TABLE_CACHE.get(spark)
@@ -109,7 +112,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> None:
-    """Register the testdata tables as temp views for spark.sql use."""
+    """Register the testdata tables as temp views for spark.sql use.
+
+    Each view wraps the memoized :func:`load_table` DataFrame, so it
+    inherits the same staleness contract — after
+    :func:`invalidate_table_cache`, re-call this function or the SQL
+    path keeps serving the pre-invalidation plans."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 

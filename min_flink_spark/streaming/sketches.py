@@ -66,6 +66,16 @@ class BottomKFunction(KeyedProcessFunction):
     def __init__(self, k: int, key_cols: "str | list[str]", key_ddl: str):
         self.k = k
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        # fail at construction, not as an Arrow schema error deep inside
+        # a micro-batch: the DDL must name exactly the key columns, in
+        # order (a count or order mismatch would mislabel/miscast the
+        # emitted key columns)
+        ddl_names = [e.strip().split()[0] for e in key_ddl.split(",") if e.strip()]
+        if ddl_names != self.key_cols:
+            raise ValueError(
+                f"BottomKFunction: key_ddl names {ddl_names} must match "
+                f"key_cols {self.key_cols} exactly (count and order)"
+            )
         self.output_schema = f"{key_ddl}, pos int, hash bigint, id bigint"
 
     def process_element(self, key, rows: pd.DataFrame, state):

@@ -631,6 +631,12 @@ def test_triangle_counts_rejects_bad_hints(spark):
         triangle_counts(df, max_deg=0, max_id=9)
     with pytest.raises(ValueError, match="out of range"):
         triangle_counts(df, max_deg=4, max_id=-1)
+    # hints on non-integral ids can never pack — refuse them too
+    strs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="integral node"):
+        triangle_counts(strs, max_deg=4, max_id=9)
 
 
 def test_snapshot_diff_statuses(spark):

@@ -564,6 +564,26 @@ def test_streaming_bottom_k_composite_key_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_bottom_k_function_rejects_mismatched_key_ddl():
+    """The key DDL must name exactly the key columns, in order — a
+    mismatch must fail at CONSTRUCTION, not as an Arrow schema error
+    deep inside a micro-batch (same fail-loud idiom as the r11
+    triangle_counts hint validation)."""
+    import pytest
+
+    from min_flink_spark.streaming.sketches import BottomKFunction
+
+    with pytest.raises(ValueError, match="must match"):
+        BottomKFunction(4, ["day", "event_type"], "day timestamp_ntz")
+    with pytest.raises(ValueError, match="must match"):
+        BottomKFunction(
+            4, ["day", "event_type"], "event_type string, day timestamp_ntz"
+        )
+    # correct DDLs construct fine (single and composite)
+    BottomKFunction(4, "event_type", "event_type string")
+    BottomKFunction(4, ["day", "event_type"], "day timestamp_ntz, event_type string")
+
+
 def test_streaming_cms_max_collapse_matches_batch(spark, tmp_path):
     """The streaming CMS grid's per-cell counts are cumulative and
     monotone, so collapsing update-mode emissions by per-cell MAX must

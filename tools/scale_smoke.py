@@ -377,6 +377,18 @@ def shapes(spark, rows: int):
             & (F.col("day") < F.lit(hi).cast("timestamp_ntz"))
         )
 
+    def _require(st, fam):
+        # a *_range_merge shape needs its *_build sibling's partials —
+        # running it alone (e.g. --only range_merge) is a usage error,
+        # not a KeyError deep in a plan
+        if fam not in st:
+            raise SystemExit(
+                f"{fam}_kw_range_merge needs {fam}_kw_build to run first "
+                "in the same invocation (pick an --only substring that "
+                "keeps the pair together, e.g. 'kw_' or the family name)"
+            )
+        return st[fam]
+
     def _kmv_build():
         from min_flink_spark.operators.pipeline import bottom_k_sketch
 
@@ -391,7 +403,7 @@ def shapes(spark, rows: int):
             merge_bottom_k,
         )
 
-        rng = _in_range(stash["kmv"]).drop("day")
+        rng = _in_range(_require(stash, "kmv")).drop("day")
         merged = merge_bottom_k([rng], ["event_type"], k=16)
         return (
             kmv_distinct_estimate(merged, ["event_type"], k=16)
@@ -419,7 +431,7 @@ def shapes(spark, rows: int):
         # range-collapse the day axis AND roll the key axis up to
         # __ALL__ — the sketch_quantiles_key_rollup shape, one stored
         # artifact serving both grouping levels
-        part = _in_range(stash["hist"])
+        part = _in_range(_require(stash, "hist"))
         by_key = part.groupBy("event_type", "bin").agg(
             F.sum("cnt").alias("cnt")
         )
@@ -457,7 +469,7 @@ def shapes(spark, rows: int):
         )
 
         merged = merge_bitmap_indexes(
-            _in_range(stash["bitmap"]).select("event_type", "word", "mask")
+            _in_range(_require(stash, "bitmap")).select("event_type", "word", "mask")
         )
         return (
             bitmap_pair_ops(merged, "event_type")
@@ -571,6 +583,8 @@ def main() -> None:
     only: list[str] = []
     while "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: --only SUBSTR (missing value)")
         only.append(args[i + 1])
         del args[i : i + 2]
     small = int(args[0]) if len(args) > 0 else 5_000_000
