@@ -477,12 +477,68 @@ def shapes(spark, rows: int):
             .collect()
         )
 
+    def _cms_build():
+        from min_flink_spark.operators.pipeline import count_min_sketch
+
+        items = ev.select(
+            F.window("ts", "1 day").getField("start").alias("day"),
+            F.concat_ws(
+                "-", F.col("event_type"), F.pmod(F.col("user_id"), F.lit(997))
+            ).alias("item"),
+        )
+        stash["cms"] = count_min_sketch(
+            items, "item", keys=["day"]
+        ).localCheckpoint(eager=True)
+        return stash["cms"].count()
+
+    def _cms_range_merge():
+        from min_flink_spark.operators.pipeline import cms_estimate
+
+        merged = (
+            _in_range(_require(stash, "cms"))
+            .groupBy("d", "w")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        probes = spark.createDataFrame(
+            [(f"click-{i}",) for i in range(20)], "item string"
+        )
+        return (
+            cms_estimate(merged, probes, "item").agg(F.sum("cms_est")).collect()
+        )
+
+    def _mg_build():
+        from min_flink_spark.operators.pipeline import misra_gries_summary
+
+        items = ev.select(
+            F.window("ts", "1 day").getField("start").alias("day"),
+            F.concat_ws(
+                "-", F.col("event_type"), F.pmod(F.col("user_id"), F.lit(997))
+            ).alias("item"),
+        )
+        stash["mg"] = misra_gries_summary(
+            items, "item", m=256, keys=["day"]
+        ).localCheckpoint(eager=True)
+        return stash["mg"].count()
+
+    def _mg_range_merge():
+        from min_flink_spark.operators.pipeline import merge_mg_summaries
+
+        rng = _in_range(_require(stash, "mg"))
+        merged = merge_mg_summaries(
+            rng.select("item", F.col("est").alias("cnt")), 256
+        )
+        return merged.agg(F.sum("est")).collect()
+
     yield "kmv_kw_build", _kmv_build
     yield "kmv_kw_range_merge", _kmv_range_merge
     yield "hist_kw_build", _hist_build
     yield "hist_kw_range_merge", _hist_range_merge
     yield "bitmap_kw_build", _bitmap_build
     yield "bitmap_kw_range_merge", _bitmap_range_merge
+    yield "cms_kw_build", _cms_build
+    yield "cms_kw_range_merge", _cms_range_merge
+    yield "mg_kw_build", _mg_build
+    yield "mg_kw_range_merge", _mg_range_merge
 
     # streaming × windowed leg (same verdict item): the CMS family's
     # streaming build — per-day grids maintained as streaming agg state
