@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from min_flink_spark.registry import query
-from min_flink_spark.streaming.runner import run_to_completion, stream_parquet
+from min_flink_spark.streaming.runner import (
+    fresh_attrs,
+    run_to_completion,
+    stream_parquet,
+)
 from min_flink_spark.streaming.stateful import RunningReduceFunction, process_keyed
 
 EVENTS_SCHEMA = (
@@ -1007,13 +1011,13 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="update",
         )
     merged = merge_bottom_k([emitted], ["event_type"], k=8)
-    # rename the estimate's key before the self-join: both frames share
-    # the memory-sink view's lineage and Spark refuses the ambiguous
-    # attribute on a common-column join
-    est = kmv_distinct_estimate(merged, ["event_type"], k=8).withColumnRenamed(
-        "event_type", "_et"
+    # both frames share the memory-sink view's lineage — a common-column
+    # self-join needs fresh attribute ids on one side (the canonical
+    # rationale lives on streaming.runner.fresh_attrs)
+    est = fresh_attrs(
+        kmv_distinct_estimate(merged, ["event_type"], k=8), "event_type"
     )
-    return merged.join(est, F.col("event_type") == F.col("_et")).select(
+    return merged.join(est, F.col("event_type") == F.col("_event_type")).select(
         "event_type",
         F.col("pos").cast("int").alias("pos"),
         "hash",
@@ -1288,16 +1292,12 @@ def q_streaming_kmv_keyed_windowed_distinct(
         )
     rng = emitted.filter((F.col("day") >= lo) & (F.col("day") < hi)).drop("day")
     merged = merge_bottom_k([rng], ["event_type"], k=16)
-    # rename the estimate's key before the self-join (the
-    # streaming_kmv_distinct idiom): both frames share the memory-sink
-    # view's lineage, whose MemoryPlan leaf does not multi-instance-
-    # dedup — a common-column join dies with "Conflicting attributes",
-    # and a subquery alias doesn't help (it mints no new attribute
-    # ids); the rename's Project does, at zero extra jobs
-    est = kmv_distinct_estimate(merged, ["event_type"], k=16).withColumnRenamed(
-        "event_type", "_et"
+    # memory-sink self-join: fresh attribute ids via the canonical
+    # helper (rationale on streaming.runner.fresh_attrs)
+    est = fresh_attrs(
+        kmv_distinct_estimate(merged, ["event_type"], k=16), "event_type"
     )
-    return merged.join(est, F.col("event_type") == F.col("_et")).select(
+    return merged.join(est, F.col("event_type") == F.col("_event_type")).select(
         "event_type",
         F.col("pos").cast("int").alias("pos"),
         "hash",

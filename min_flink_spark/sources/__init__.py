@@ -54,6 +54,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> "_stream.Stream":
 # entries die with it instead of resolving for an id-reusing successor.
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
 
+# per-session view-name -> sf_dir for views created by register_views,
+# so invalidate_table_cache can re-register them against fresh plans
+# instead of leaving the SQL path silently serving pre-invalidation
+# data (ADVICE r11). Latest registration wins per view name.
+_VIEW_REGISTRY: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Memoized testdata-table loader.
@@ -88,10 +94,10 @@ def invalidate_table_cache(
     the session's whole cache clears; ``sf_dir``/``name`` narrow it.
     Returns the number of entries dropped. The invalidation hook for
     callers that regenerate table files mid-session — see the staleness
-    contract on :func:`load_table`. NOTE: temp views created by
-    :func:`register_views` wrap the OLD DataFrames and are not touched
-    here — re-call ``register_views`` after invalidating if the SQL
-    path is in use."""
+    contract on :func:`load_table`. Temp views created by
+    :func:`register_views` that wrapped a dropped entry are
+    RE-REGISTERED here against a fresh read, so the SQL path never
+    silently serves pre-invalidation plans (ADVICE r11)."""
     if _TABLE_CACHE is None:
         return 0
     per_session = _TABLE_CACHE.get(spark)
@@ -104,6 +110,14 @@ def invalidate_table_cache(
     ]
     for k in doomed:
         del per_session[k]
+    views = _VIEW_REGISTRY.get(spark) if _VIEW_REGISTRY is not None else None
+    if views:
+        for d, n in doomed:
+            # only refresh views whose CURRENT registration is the
+            # dropped (sf_dir, table) — a view since re-pointed at a
+            # different sf_dir is someone else's plan
+            if views.get(n) == d:
+                load_table(spark, d, n).createOrReplaceTempView(n)
     return len(doomed)
 
 
@@ -115,11 +129,17 @@ def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABL
     """Register the testdata tables as temp views for spark.sql use.
 
     Each view wraps the memoized :func:`load_table` DataFrame, so it
-    inherits the same staleness contract — after
-    :func:`invalidate_table_cache`, re-call this function or the SQL
-    path keeps serving the pre-invalidation plans."""
+    inherits the same staleness contract — and
+    :func:`invalidate_table_cache` re-registers any view created here
+    whose backing table it drops, keeping the SQL path fresh without a
+    manual re-call."""
+    global _VIEW_REGISTRY
+    if _VIEW_REGISTRY is None:
+        _VIEW_REGISTRY = weakref.WeakKeyDictionary()
+    views = _VIEW_REGISTRY.setdefault(spark, {})
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+        views[n] = sf_dir
 
 
 def read_csv(

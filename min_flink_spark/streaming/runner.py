@@ -117,6 +117,28 @@ def run_to_completion(
     return df.sparkSession.table(name)
 
 
+def fresh_attrs(df: DataFrame, *cols: str) -> DataFrame:
+    """Rename ``cols`` to ``_<col>`` so ``df`` can be joined back onto
+    another frame sharing the same memory-sink lineage.
+
+    THE canonical home of the self-join idiom (VERDICT r11): a
+    streaming memory sink's ``MemoryPlan`` leaf does not implement
+    multi-instance dedup, so joining two frames derived from one
+    :func:`run_to_completion` result on a common column dies with
+    ``INTERNAL_ERROR Conflicting attributes``. A subquery
+    ``.alias()`` does NOT help — it mints no new attribute ids — and
+    a same-name re-projection would be stripped by Catalyst's
+    ``RemoveRedundantAliases``. ``withColumnRenamed`` works because
+    its Project mints a fresh attribute id for the renamed column, at
+    ZERO extra jobs (``localCheckpoint(eager=True)`` also works but
+    costs a job and holds blocks). Join on
+    ``F.col(c) == F.col(f"_{c}")`` and drop the underscored columns
+    in the final select."""
+    for c in cols:
+        df = df.withColumnRenamed(c, f"_{c}")
+    return df
+
+
 def run_until(
     df: DataFrame,
     batch_fn,

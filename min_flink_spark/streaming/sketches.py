@@ -46,6 +46,29 @@ from min_flink_spark.functions.hashing import md5_prefix_int
 from min_flink_spark.streaming.stateful import KeyedProcessFunction, process_keyed
 
 
+def _ddl_field_names(ddl: str) -> list[str]:
+    """First token of each TOP-LEVEL comma-separated DDL field.
+
+    A naive ``ddl.split(',')`` mis-splits any parameterized or nested
+    type containing a comma — ``amt decimal(10,2)`` or
+    ``m map<string,bigint>`` — and would spuriously reject a valid
+    composite-key DDL at construction (ADVICE r11). Commas only
+    separate fields at ``<>``/``()`` nesting depth zero, so track the
+    depth instead of round-tripping through a SparkSession-dependent
+    parser."""
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(ddl[start:i])
+            start = i + 1
+    fields.append(ddl[start:])
+    return [f.strip().split()[0] for f in fields if f.strip()]
+
+
 class BottomKFunction(KeyedProcessFunction):
     """Per-key bottom-k of (hash, id) pairs as streaming state.
 
@@ -70,7 +93,7 @@ class BottomKFunction(KeyedProcessFunction):
         # a micro-batch: the DDL must name exactly the key columns, in
         # order (a count or order mismatch would mislabel/miscast the
         # emitted key columns)
-        ddl_names = [e.strip().split()[0] for e in key_ddl.split(",") if e.strip()]
+        ddl_names = _ddl_field_names(key_ddl)
         if ddl_names != self.key_cols:
             raise ValueError(
                 f"BottomKFunction: key_ddl names {ddl_names} must match "
@@ -151,6 +174,12 @@ class MGFunction(KeyedProcessFunction):
         self.m = m
         self.key_col = key_col
         self.item_col = item_col
+        ddl_names = _ddl_field_names(key_ddl)
+        if ddl_names != [key_col]:
+            raise ValueError(
+                f"MGFunction: key_ddl names {ddl_names} must match "
+                f"key_col [{key_col!r}] exactly"
+            )
         self.output_schema = f"{key_ddl}, version bigint, item string, cnt bigint"
 
     def process_element(self, key, rows: pd.DataFrame, state):

@@ -333,3 +333,23 @@ def test_load_table_memo_and_invalidation(spark, tmp_path):
     fresh = load_table(spark, sf, "events")
     assert fresh is not first
     assert fresh.count() == 2
+
+
+def test_invalidate_table_cache_refreshes_registered_views(spark, tmp_path):
+    """ADVICE r11: a temp view created by register_views must not keep
+    serving the pre-invalidation plan — invalidate_table_cache
+    re-registers affected views against a fresh read, so the SQL path
+    sees rewritten data without a manual register_views re-call."""
+    from min_flink_spark.sources import invalidate_table_cache, register_views
+
+    sf = str(tmp_path)
+    spark.createDataFrame([(1,)], "v bigint").write.parquet(f"{sf}/events.parquet")
+    register_views(spark, sf, ["events"])
+    assert spark.sql("SELECT count(*) c FROM events").first()["c"] == 1
+
+    spark.createDataFrame([(1,), (2,)], "v bigint").write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    invalidate_table_cache(spark, sf_dir=sf, name="events")
+    assert spark.sql("SELECT count(*) c FROM events").first()["c"] == 2
+    spark.catalog.dropTempView("events")

@@ -582,6 +582,17 @@ def test_bottom_k_function_rejects_mismatched_key_ddl():
     # correct DDLs construct fine (single and composite)
     BottomKFunction(4, "event_type", "event_type string")
     BottomKFunction(4, ["day", "event_type"], "day timestamp_ntz, event_type string")
+    # ADVICE r11: commas INSIDE parameterized/nested types are not
+    # field separators — these valid composite DDLs must construct
+    BottomKFunction(4, ["amt", "event_type"], "amt decimal(10,2), event_type string")
+    BottomKFunction(
+        4,
+        ["m", "s"],
+        "m map<string,bigint>, s struct<a:int,b:array<struct<c:int,d:int>>>",
+    )
+    # and a nested-type mismatch still fails loud
+    with pytest.raises(ValueError, match="must match"):
+        BottomKFunction(4, ["amt"], "amt decimal(10,2), extra string")
 
 
 def test_streaming_cms_max_collapse_matches_batch(spark, tmp_path):

@@ -389,6 +389,16 @@ def shapes(spark, rows: int):
             )
         return st[fam]
 
+    def _release(st, fam):
+        # drop the stashed partial the moment its range_merge sibling
+        # has materialized its answer — within one size the five
+        # families otherwise accumulate checkpoint blocks, the exact
+        # block-manager pressure the module docstring says distorts
+        # later measurements (ADVICE r11)
+        from min_flink_spark.core.ckpt import unpersist_checkpoint
+
+        unpersist_checkpoint(st.pop(fam))
+
     def _kmv_build():
         from min_flink_spark.operators.pipeline import bottom_k_sketch
 
@@ -405,11 +415,13 @@ def shapes(spark, rows: int):
 
         rng = _in_range(_require(stash, "kmv")).drop("day")
         merged = merge_bottom_k([rng], ["event_type"], k=16)
-        return (
+        out = (
             kmv_distinct_estimate(merged, ["event_type"], k=16)
             .agg(F.sum("distinct_est"))
             .collect()
         )
+        _release(stash, "kmv")
+        return out
 
     def _hist_build():
         from min_flink_spark.operators.pipeline import log_histogram_sketch
@@ -441,7 +453,9 @@ def shapes(spark, rows: int):
             .withColumn("event_type", F.lit("__ALL__"))
             .select("event_type", "bin", "cnt")
         )
-        return sketch_quantiles(both, ["event_type"], [50, 90, 99]).count()
+        out = sketch_quantiles(both, ["event_type"], [50, 90, 99]).count()
+        _release(stash, "hist")
+        return out
 
     def _bitmap_build():
         from min_flink_spark.operators.bitmap import bitmap_index
@@ -471,11 +485,13 @@ def shapes(spark, rows: int):
         merged = merge_bitmap_indexes(
             _in_range(_require(stash, "bitmap")).select("event_type", "word", "mask")
         )
-        return (
+        out = (
             bitmap_pair_ops(merged, "event_type")
             .agg(F.sum("n_inter"), F.sum("n_union"))
             .collect()
         )
+        _release(stash, "bitmap")
+        return out
 
     def _cms_build():
         from min_flink_spark.operators.pipeline import count_min_sketch
@@ -502,9 +518,11 @@ def shapes(spark, rows: int):
         probes = spark.createDataFrame(
             [(f"click-{i}",) for i in range(20)], "item string"
         )
-        return (
+        out = (
             cms_estimate(merged, probes, "item").agg(F.sum("cms_est")).collect()
         )
+        _release(stash, "cms")
+        return out
 
     def _mg_build():
         from min_flink_spark.operators.pipeline import misra_gries_summary
@@ -527,7 +545,9 @@ def shapes(spark, rows: int):
         merged = merge_mg_summaries(
             rng.select("item", F.col("est").alias("cnt")), 256
         )
-        return merged.agg(F.sum("est")).collect()
+        out = merged.agg(F.sum("est")).collect()
+        _release(stash, "mg")
+        return out
 
     yield "kmv_kw_build", _kmv_build
     yield "kmv_kw_range_merge", _kmv_range_merge
