@@ -34,14 +34,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bitmap_index(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
-    """Build the chunked bitmap index: ``(key, word, mask)`` with
+def bitmap_index(
+    df: DataFrame, key_col: "str | list[str]", id_col: str
+) -> DataFrame:
+    """Build the chunked bitmap index: ``(*keys, word, mask)`` with
     ``word = id div 64`` and bit ``id mod 64`` set in ``mask``.
+    ``key_col`` may be one column or a COMPOSITE list (e.g.
+    ``["day", "event_type"]`` for per-(window, segment) indexes — the
+    keyed × windowed matrix cells; the keys simply widen the hash-agg
+    grouping, batch or streaming state alike).
     Duplicate (key, id) rows collapse for free (OR is idempotent).
     Negative ids FAIL the build (codegen assert): `div` truncates
     toward zero while the shift wraps mod 64, so a negative id would
     set a plausible-looking bit in the wrong word and silently corrupt
     the advertised-exact algebra."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     word = F.expr(f"{id_col} div 64").alias("word")
     bit = F.when(
         F.col(id_col) >= 0,
@@ -57,8 +64,8 @@ def bitmap_index(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
         ).cast("bigint")
     )
     return (
-        df.select(F.col(key_col), word, bit.alias("_bit"))
-        .groupBy(key_col, "word")
+        df.select(*[F.col(k) for k in keys], word, bit.alias("_bit"))
+        .groupBy(*keys, "word")
         .agg(F.bit_or("_bit").alias("mask"))
     )
 

@@ -2637,9 +2637,13 @@ def q_bitmap_windowed_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_pair_ops(merged, "segment")
 
 
-@query(
-    "bitmap_keyed_windowed_ops",
-    oracle="""
+# ONE ground truth for the keyed × windowed bitmap shape: the batch
+# range-merge query and its streaming-state twin
+# (queries/streaming_q.py:q_streaming_bitmap_keyed_windowed_ops) emit
+# the same pairwise set-algebra table over the same Jan 8-14 range —
+# both decorators reference THIS constant (the
+# KMV_KEYED_WINDOWED_ORACLE discipline, r11).
+BITMAP_KEYED_WINDOWED_ORACLE = """
     WITH d AS (
       SELECT DISTINCT event_type, user_id FROM events
       WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08'
@@ -2663,8 +2667,10 @@ def q_bitmap_windowed_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN card cb ON ca.event_type < cb.event_type
     LEFT JOIN inter i
       ON i.key_a = ca.event_type AND i.key_b = cb.event_type
-    """,
-)
+    """
+
+
+@query("bitmap_keyed_windowed_ops", oracle=BITMAP_KEYED_WINDOWED_ORACLE)
 def q_bitmap_keyed_windowed_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYED × windowed bitmaps (VERDICT r9 item 6 — the keyed axis
     composed with the windowed axis, completing the bitmap row of the
@@ -2694,16 +2700,9 @@ def q_bitmap_keyed_windowed_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     # the stored per-(day, key) partials: the day rides as a SECOND
-    # index key next to the segment (same discipline as the CMS/KMV
-    # twins), flattened back out for the range filter
-    daily = bitmap_index(
-        ev.withColumn("_key", F.struct("day", "event_type")), "_key", "user_id"
-    ).select(
-        F.col("_key.day").alias("day"),
-        F.col("_key.event_type").alias("event_type"),
-        "word",
-        "mask",
-    )
+    # index key next to the segment (same keys= discipline as the
+    # CMS/KMV twins — bitmap_index takes the composite list directly)
+    daily = bitmap_index(ev, ["day", "event_type"], "user_id")
     # range merge over the retained key: index-sized, no rescan
     rng = daily.filter((F.col("day") >= lo) & (F.col("day") < hi)).drop("day")
     merged = merge_bitmap_indexes(rng)

