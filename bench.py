@@ -138,6 +138,7 @@ def main() -> None:
     # confusion the field exists to prevent)
     controls_ratio = None
     controls_ratio_median = None
+    value_controls_normalized = None
     if sf_val == 0.1 and not cold:
         controls_ratio = {
             name: round(times[name] / pin, 3)
@@ -145,6 +146,16 @@ def main() -> None:
         }
         controls_ratio_median = round(
             statistics.median(controls_ratio.values()), 3
+        )
+        # box-independent trend number (VERDICT r11 item 4): the r11
+        # artifact spread proved raw wall-time is dominated by box
+        # state (one HEAD measured 10.3-12.6 s as controls rode
+        # 0.82-1.14). Dividing the headline total by the controls'
+        # median ratio removes the uniform-drift component, so
+        # round-over-round comparisons in PERF.md use THIS field; the
+        # raw value stays for continuity with the BENCH_r1-r11 history.
+        value_controls_normalized = round(
+            sum(times.values()) / controls_ratio_median, 3
         )
     print(
         json.dumps(
@@ -159,6 +170,7 @@ def main() -> None:
                 "sf": sf_val,
                 "controls_ratio_vs_r8era": controls_ratio,
                 "controls_ratio_median": controls_ratio_median,
+                "value_controls_normalized": value_controls_normalized,
             }
         )
     )
