@@ -1,0 +1,98 @@
+"""One-shot sf1 testdata generator (VERDICT r11 item 5).
+
+The largest REAL-data oracle point is sf0.1 (~600k lineitem); every
+scale claim beyond that rides the synthetic generator. This tool buys
+a 10× correctness data point: it upsamples /root/testdata/sf0.1 to
+sf1 volumes (~6M lineitem / 1M events / 50k documents) by writing ten
+deterministic copies of each fact table with ALL entity keys offset by
+copy × 10^7 — the SAME offset on both sides of every foreign key, so
+referential integrity is preserved exactly (copy i's orders reference
+copy i's customers, lineitems reference copy i's orders/parts/
+suppliers, events' user ids move with the id space). Dimension tables
+(region, nation) keep their fixed TPC-H cardinality, as at every SF.
+
+Correctness methodology note: the check compares Spark vs DuckDB on
+the SAME parquet, so ANY deterministic data is a valid probe — the
+upsample only needs to keep schemas, value domains, and time ranges
+intact (it does: non-key attributes are copied verbatim, so the
+2024-01 event window and every categorical domain survive). The one
+deliberate perturbation: copy i adds i/1000 to each embedding's first
+component, so cosine scores never tie across copies and top-k id
+lists stay order-deterministic in both engines.
+
+Usage:  python tools/make_sf1.py [/tmp/sf1]
+Then:   python tools/check_oracle.py --strict /tmp/sf1 <queries...>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+OFF = 10_000_000  # > every key in sf0.1 by 10x; keys stay BIGINT-tiny
+
+# table -> columns to offset per copy (entity/foreign keys move
+# together; everything else is copied verbatim)
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation"]
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE copies AS SELECT unnest(range({COPIES})) AS i")
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT parquet)"
+        )
+        print(f"{t}: copied (dimension)", flush=True)
+    for t, keys in KEYED.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = []
+        for c in cols:
+            if c in keys:
+                sel.append(f"{c} + i * {OFF} AS {c}")
+            elif t == "embeddings" and c == "embedding":
+                # deterministic tie-breaker: copy i shifts component 1
+                # by i/1000 (FLOAT-exact for i <= 9), so cosine top-k
+                # never ties across copies in either engine
+                sel.append(
+                    "list_cat([CAST(embedding[1] + i * 0.001 AS FLOAT)],"
+                    " embedding[2:]) AS embedding"
+                )
+            else:
+                sel.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} "
+            f"FROM read_parquet('{SRC}/{t}.parquet') CROSS JOIN copies "
+            f"ORDER BY i, {keys[0]}) "
+            f"TO '{out}/{t}.parquet' (FORMAT parquet)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows", flush=True)
+
+
+if __name__ == "__main__":
+    main()
