@@ -1191,46 +1191,59 @@ def count_min_sketch(
     )
 
 
-def _require_plain_cms_grid(df: DataFrame, fn: str) -> None:
-    """merge_cms/cms_estimate operate on a PLAIN (d, w, cnt) grid. A
-    grid still carrying a ``keys=`` prefix column would silently
-    mis-aggregate (min/sum across the undropped key values — an
-    UNDERCOUNTING estimator, violating the one-sided-error guarantee),
-    so reject it loudly: split/drop the key first (see the
-    cms_term_frequencies query for the pattern)."""
-    extra = [c for c in df.columns if c not in ("d", "w", "cnt")]
-    if extra or set(df.columns) != {"d", "w", "cnt"}:
+def _require_cms_grid(df: DataFrame, fn: str, keys: list[str]) -> None:
+    """merge_cms/cms_estimate operate on a grid whose columns are
+    EXACTLY ``keys + (d, w, cnt)``. A grid still carrying a key prefix
+    the caller did not declare would silently mis-aggregate (min/sum
+    across the undropped key values — an UNDERCOUNTING estimator,
+    violating the one-sided-error guarantee), and a declared key the
+    grid lacks would join to nothing; reject both loudly. Plain
+    callers (keys=[]) keep the original (d, w, cnt)-only contract —
+    split/drop the key first, or pass ``keys=`` to operate per key
+    (the r12 keyed × windowed gate rows)."""
+    expected = set(keys) | {"d", "w", "cnt"}
+    if set(df.columns) != expected or len(df.columns) != len(expected):
         raise ValueError(
-            f"{fn} needs a plain (d, w, cnt) grid; got columns "
-            f"{df.columns} — filter/drop the sketch-key prefix first"
+            f"{fn} needs a plain ({', '.join([*keys, 'd, w, cnt'])}) grid; "
+            f"got columns {df.columns} — filter/drop the sketch-key "
+            f"prefix first, or declare it via keys="
         )
 
 
-def merge_cms(*parts: DataFrame) -> DataFrame:
+def merge_cms(*parts: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Merge count-min sketches (same depth/width): counter addition —
-    rows examined = parts × depth × width, never the data."""
+    rows examined = parts × depth × width, never the data. ``keys``
+    merges one grid PER key value (the per-segment range merge of the
+    keyed × windowed rows), mirroring ``merge_mg_summaries``."""
+    keys = keys or []
     for p in parts:
-        _require_plain_cms_grid(p, "merge_cms")
+        _require_cms_grid(p, "merge_cms", keys)
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    return u.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+    return u.groupBy(*keys, "d", "w").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_estimate(
     sketch: DataFrame, items: DataFrame, item_col: str,
-    depth: int = 4, width: int = 128,
+    depth: int = 4, width: int = 128, keys: list[str] | None = None,
 ) -> DataFrame:
     """Point-frequency estimates from a count-min sketch: for each item
     in ``items`` (a SMALL frame — it broadcasts), recompute its
     ``depth`` cell coordinates, look them up in the grid, and take the
     row-minimum. Returns ``(item_col, cms_est)``; an item whose cell
     was never touched reports 0 (the grid stores no explicit zeros).
-    All arithmetic is exact-integer, so the SQL replay is
-    bit-identical. Cost: items × depth grid lookups — sketch-sized,
-    the data is never rescanned."""
+    With ``keys``, ``sketch`` holds one grid per key value and
+    ``items`` carries the same key columns next to the item — lookups
+    join on ``keys + (d, w)`` and estimates come back per
+    ``(*keys, item)``; the hash depends on the ITEM alone, so a probe
+    costs the same depth lookups per key. All arithmetic is
+    exact-integer, so the SQL replay is bit-identical. Cost:
+    items × depth grid lookups — sketch-sized, the data is never
+    rescanned."""
     from min_flink_spark.functions.hashing import hash_bucket
 
+    keys = keys or []
     cells = F.array(
         *[
             hash_bucket(
@@ -1240,11 +1253,11 @@ def cms_estimate(
             for i in range(depth)
         ]
     )
-    _require_plain_cms_grid(sketch, "cms_estimate")
-    probes = items.select(item_col, F.posexplode(cells).alias("d", "w"))
+    _require_cms_grid(sketch, "cms_estimate", keys)
+    probes = items.select(*keys, item_col, F.posexplode(cells).alias("d", "w"))
     return (
-        probes.join(sketch, ["d", "w"], "left")
-        .groupBy(item_col)
+        probes.join(sketch, [*keys, "d", "w"], "left")
+        .groupBy(*keys, item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 

@@ -27,46 +27,51 @@ from min_flink_spark.queries import windows  # noqa: F401
 # ROUND-12 PREFIX (positions 1-50), executing the r11 verdict item 1
 # (the written r12 rotation) with r12's own changed/new queries
 # jumping ahead (changed always first):
-#   1-10  changed in r12 (the whole bitmap family: bitmap_index
+#   1-14  changed in r12 (the whole bitmap family: bitmap_index
 #         widened to composite keys= lists — bitmap_keyed_windowed_ops
 #         moved to the widened form and its inline oracle became the
 #         shared BITMAP_KEYED_WINDOWED_ORACLE constant its new
 #         streaming twin certifies against (decorator + plan change);
-#         bitmap_segment_ops / bitmap_windowed_retention /
-#         streaming_bitmap_segment_ops /
-#         streaming_bitmap_windowed_retention: single-key calls now
-#         route through the keys-list path — operator change invisible
-#         to the source hash, promoted by hand as in r7-r11, results
-#         invariant; streaming_kmv_distinct /
-#         streaming_kmv_keyed_windowed_distinct: memory-sink self-join
-#         rework onto the canonical fresh_attrs helper (hash-visible);
-#         streaming_kmv_windowed_distinct / streaming_mg_heavy_hitters
-#         / streaming_mg_windowed_top_events: BottomKFunction/
-#         MGFunction key-DDL validation now parses top-level commas
-#         only (ADVICE r11) — construction-path change, hand-promoted,
-#         results invariant),
-#   11    BRAND-NEW in r12 (streaming_bitmap_keyed_windowed_ops —
-#         STREAMING × KEYED × WINDOWED bitmap, the exact-algebra
-#         family's triple composition: per-(day, event_type) audience
-#         bitmaps as composite-keyed streaming-agg state, range
-#         answered by bit_or over stored words, certified against the
-#         SAME oracle as its batch twin — closes VERDICT r11 item 2),
-#   12    the last r6-evidence row (window_rank_lag — also
+#         bitmap_segment_ops / bitmap_windowed_retention and their
+#         streaming twins: single-key calls now route through the
+#         keys-list path — operator change invisible to the source
+#         hash, promoted by hand as in r7-r11, results invariant;
+#         streaming_kmv_distinct / streaming_kmv_keyed_windowed_
+#         distinct: memory-sink self-join rework onto the canonical
+#         fresh_attrs helper (hash-visible); streaming_kmv_windowed_
+#         distinct: BottomKFunction key-DDL validation now parses
+#         top-level commas only (ADVICE r11), hand-promoted;
+#         streaming_mg_heavy_hitters / streaming_mg_windowed_top_
+#         events: MGFunction generalized to COMPOSITE state keys +
+#         latest_mg_emissions key-list aware — results invariant for
+#         their single-key calls; the four CMS rows: merge_cms /
+#         cms_estimate gained keys= and the plain-grid guard became
+#         declared-prefix validation — plain calls route through the
+#         reworked guard, hand-promoted),
+#   15-19 BRAND-NEW in r12, closing EVERY remaining mode-matrix cell
+#         with a dedicated gate row (streaming_bitmap_keyed_windowed_
+#         ops — the exact-algebra triple composition;
+#         cms_keyed_windowed_counts + streaming twin — per-(day,
+#         user-segment) grids, shared CMS_KEYED_WINDOWED_ORACLE;
+#         mg_keyed_windowed_top_events + streaming twin — per-(day,
+#         segment) SpaceSaving summaries, shared
+#         MG_KEYED_WINDOWED_ORACLE),
+#   20    the last r6-evidence row (window_rank_lag — also
 #         strict-verified live by the r11 judge session),
-#   13-50 the first 38 of the 46 r7-evidence rows (alphabetical;
-#         sliding_window_1d_6h opens the r13 tail at position 51).
+#   21-50 the first 30 of the 46 r7-evidence rows (alphabetical;
+#         resample_1h_forward_fill opens the r13 tail at position 51).
 #
 # ROUND-13 ROTATION NOTE (positions 51+ are already in promotion
 # order — mechanically: everything outside the r12 head sorted by
-# (last driver round, name)): the 8 r7 leftovers at 51-58
-# (sliding_window_1d_6h … waiting_supplier_counts), then the r8, r9,
-# r10, and r11 blocks.  Promote 51-onward next round — r13's 50 slots
-# take the 8 r7 rows and the first 42 of the r8 block; any query
-# changed during round 13 jumps ahead of everything (changed always
-# first).  The guardrail test enforces this shape — re-sorting this
-# list IS the rotation.
+# (last driver round, name)): the 16 r7 leftovers at 51-66
+# (resample_1h_forward_fill … waiting_supplier_counts), then the r8,
+# r9, r10, and r11 blocks.  Promote 51-onward next round — r13's 50
+# slots take the 16 r7 rows and the first 34 of the r8 block; any
+# query changed during round 13 jumps ahead of everything (changed
+# always first).  The guardrail test enforces this shape — re-sorting
+# this list IS the rotation.
 _PRIORITY = [
-    # ---- 1-10: changed in r12 (see note above) ----
+    # ---- 1-14: changed in r12 (see note above) ----
     "bitmap_keyed_windowed_ops",
     "bitmap_segment_ops",
     "bitmap_windowed_retention",
@@ -77,11 +82,19 @@ _PRIORITY = [
     "streaming_kmv_keyed_windowed_distinct",
     "streaming_mg_heavy_hitters",
     "streaming_mg_windowed_top_events",
-    # ---- 11: BRAND-NEW in r12 ----
+    "cms_term_frequencies",
+    "cms_windowed_counts",
+    "streaming_cms_counts",
+    "streaming_cms_windowed_counts",
+    # ---- 15-19: BRAND-NEW in r12 (the matrix-closing rows) ----
     "streaming_bitmap_keyed_windowed_ops",
-    # ---- 12: the last r6-evidence row ----
+    "cms_keyed_windowed_counts",
+    "mg_keyed_windowed_top_events",
+    "streaming_cms_keyed_windowed_counts",
+    "streaming_mg_keyed_windowed_top_events",
+    # ---- 20: the last r6-evidence row ----
     "window_rank_lag",
-    # ---- 13-50: r7 rows, first 38 of 46 ----
+    # ---- 21-50: r7 rows, first 30 of 46 ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -112,6 +125,7 @@ _PRIORITY = [
     "quality_filter_flags",
     "range_join_price_bands",
     "repetition_signals",
+    # ---- 51-66: last 16 r7 rows (r13 opens here — see note) ----
     "resample_1h_forward_fill",
     "salted_skew_aggregation",
     "salted_skew_join",
@@ -120,7 +134,6 @@ _PRIORITY = [
     "session_window_dynamic_gap",
     "simhash_hamming_pairs",
     "sketch_quantiles_merged",
-    # ---- 51-58: last 8 r7 rows (r13 opens here — see note) ----
     "sliding_window_1d_6h",
     "small_quantity_revenue",
     "streaming_complete_topk",
@@ -129,12 +142,11 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 59-99: r8 rows ----
+    # ---- 67-105: r8 rows ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
     "chunk_retrieval_topk",
-    "cms_term_frequencies",
     "conversation_assembly",
     "count_window_blocks",
     "custom_pysource_events",
@@ -159,7 +171,6 @@ _PRIORITY = [
     "per_domain_cap",
     "positional_tokens",
     "promo_revenue_share",
-    "streaming_cms_counts",
     "streaming_interval_join",
     "streaming_session_window",
     "streaming_sliding_window",
@@ -171,7 +182,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 100-142: r9 rows ----
+    # ---- 106-148: r9 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -215,9 +226,8 @@ _PRIORITY = [
     "vocab_oov_rate",
     "winsorized_values",
     "zscore_standardized_values",
-    # ---- 143-187: r10 rows ----
+    # ---- 149-191: r10 rows ----
     "cheapest_supplier_per_type",
-    "cms_windowed_counts",
     "concentrated_suppliers",
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
@@ -251,7 +261,6 @@ _PRIORITY = [
     "simhash_docs",
     "sketch_quantiles_key_rollup",
     "stratified_sample",
-    "streaming_cms_windowed_counts",
     "streaming_sketch_quantiles_windowed",
     "streaming_static_join",
     "supplier_part_counts",
@@ -261,7 +270,7 @@ _PRIORITY = [
     "top_supplier_revenue",
     "union_rebalance",
     "unpivot_lineitem_metrics",
-    # ---- 188-234: r11 rows ----
+    # ---- 192-238: r11 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",

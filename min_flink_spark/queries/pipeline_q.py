@@ -2571,6 +2571,108 @@ def q_cms_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE ground truth for the keyed × windowed CMS shape (r12: the last
+# two deferred mode-matrix cells get dedicated gate rows): a 4×128
+# grid per (1-day window, user segment = user_id % 3), range Jan 8-14
+# merged per segment, per-(segment, type) estimates next to the exact
+# counts. The batch range-merge query and its streaming-state twin
+# (queries/streaming_q.py) both certify against THIS constant, which
+# replays segmenting, bucketing, hashing, merge, and min-probe
+# verbatim (cms_est ≥ exact_cnt always — one-sided error per segment).
+CMS_KEYED_WINDOWED_ORACLE = """
+    WITH e AS (
+      SELECT user_id % 3 AS seg, event_type FROM events
+      WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08'
+        AND time_bucket(INTERVAL '1 day', ts) < TIMESTAMP '2024-01-15'
+    ),
+    segs AS (SELECT DISTINCT user_id % 3 AS seg FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT seg, d,
+             CAST(('0x' || substr(md5(event_type || ':' || CAST(d AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 128 AS w,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM e, dd GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      SELECT seg, event_type, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM e GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT s.seg, t.event_type,
+             coalesce(x.exact_cnt, CAST(0 AS BIGINT)) AS exact_cnt,
+             dd.d,
+             CAST(('0x' || substr(md5(t.event_type || ':' || CAST(dd.d AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 128 AS w
+      FROM segs s CROSS JOIN types t
+      LEFT JOIN exact x ON x.seg = s.seg AND x.event_type = t.event_type
+      CROSS JOIN dd
+    )
+    SELECT p.seg, p.event_type, p.exact_cnt,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes p
+    LEFT JOIN cells c ON c.seg = p.seg AND c.d = p.d AND c.w = p.w
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("cms_keyed_windowed_counts", oracle=CMS_KEYED_WINDOWED_ORACLE)
+def q_cms_keyed_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED × WINDOWED CMS — the frequency family's dedicated gate
+    row for the composition the matrix footnote previously only argued
+    (VERDICT r11 item "What's missing" 3): per (1-day tumbling window,
+    user segment) a 4×128 grid is built from that day's partition
+    alone in ONE scan (count_min_sketch keys=["day", "seg"] — the
+    second retained key just widens the grid's grouping), STORED, and
+    the Jan 8-14 range answers per-SEGMENT frequency questions by
+    merging each segment's days (merge_cms keys=["seg"], counter
+    addition over range × segments × 512 rows) and probing per
+    (segment, type) (cms_estimate keys= — lookups join on
+    (seg, d, w)). The production shape: 'per-cohort event-type
+    frequencies over any date range' without rescanning history. All
+    arithmetic integer-exact; the shared oracle replays every stage
+    per segment (cms_est ≥ exact_cnt, one-sided)."""
+    from min_flink_spark.operators.pipeline import (
+        cms_estimate,
+        count_min_sketch,
+        merge_cms,
+    )
+
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(3)).alias("seg"),
+        "event_type",
+    )
+    # the stored per-(day, segment) partials (scan-once artifact)
+    grids = count_min_sketch(
+        ev, "event_type", depth=4, width=128, keys=["day", "seg"]
+    )
+    # range merge over the retained segment key: grid-sized, no rescan
+    merged = merge_cms(
+        grids.filter((F.col("day") >= lo) & (F.col("day") < hi)).drop("day"),
+        keys=["seg"],
+    )
+    # probe the full segments × types lattice (bounded: 3 × 6 rows —
+    # the zero path matters, an untouched (seg, type) must report 0)
+    segs = ev.select("seg").distinct()
+    types = ev.select("event_type").distinct()
+    est = cms_estimate(merged, segs.crossJoin(types), "event_type", keys=["seg"])
+    exact = (
+        ev.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        .groupBy("seg", "event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, ["seg", "event_type"], "left").select(
+        "seg",
+        "event_type",
+        F.coalesce(F.col("exact_cnt"), F.lit(0).cast("bigint")).alias("exact_cnt"),
+        "cms_est",
+    )
+
+
 # ONE ground truth for the windowed-bitmap retention shape: the batch
 # range-merge query and the streaming-state twin (queries/
 # streaming_q.py) emit the same pair table — both decorators reference
@@ -2820,6 +2922,72 @@ def q_mg_windowed_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select(F.col("rnk").cast("int").alias("rnk"), "item", "est")
+    )
+
+
+# ONE ground truth for the keyed × windowed MG shape (r12, the second
+# of the last two deferred matrix cells): per-(1-day window, user
+# segment) m=16 SpaceSaving summaries, range Jan 8-14 merged per
+# segment, top-3 per segment. Per-(day, seg) vocabulary (≤ 6 event
+# types) never exceeds m, so no subtraction fires at any level and
+# the merged per-segment summaries are provably EXACT — ranks, counts,
+# and tie-breaks replay bit-for-bit. Batch twin and streaming twin
+# (queries/streaming_q.py) both reference THIS constant.
+MG_KEYED_WINDOWED_ORACLE = """
+    WITH e AS (
+      SELECT user_id % 3 AS seg, event_type FROM events
+      WHERE time_bucket(INTERVAL '1 day', ts) >= TIMESTAMP '2024-01-08'
+        AND time_bucket(INTERVAL '1 day', ts) < TIMESTAMP '2024-01-15'
+    ),
+    exact AS (
+      SELECT seg, event_type AS item, CAST(count(*) AS BIGINT) AS est,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY count(*) DESC, event_type ASC) AS rnk
+      FROM e GROUP BY 1, 2
+    )
+    SELECT seg, CAST(rnk AS INT) AS rnk, item, est
+    FROM exact WHERE rnk <= 3
+    """
+
+
+@query("mg_keyed_windowed_top_events", oracle=MG_KEYED_WINDOWED_ORACLE)
+def q_mg_keyed_windowed_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED × WINDOWED Misra-Gries — the heavy-hitter family's
+    dedicated gate row for the composition the matrix footnote
+    previously only argued: per (1-day tumbling window, user segment)
+    an m=16 SpaceSaving summary of event types is built from that
+    day's partition alone in ONE scan (misra_gries_summary
+    keys=["day", "seg"] — the keys= widening), STORED, and the
+    Jan 8-14 range answers per-SEGMENT top-3 by merging each segment's
+    days (merge_mg_summaries keys=["seg"] — the mergeable-summaries
+    closure, summary-sized rows only). Small-vocab exactness holds per
+    segment (≤ 6 types < m at every level), so the oracle replays
+    ranks, counts, and tie-breaks bit-for-bit; above-m vocabularies
+    degrade to the same true − N/m band as the unkeyed rows."""
+    from min_flink_spark.operators.pipeline import (
+        merge_mg_summaries,
+        misra_gries_summary,
+    )
+
+    m = 16
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(3)).alias("seg"),
+        "event_type",
+    )
+    # the stored per-(day, segment) partials (scan-once artifact)
+    daily = misra_gries_summary(ev, "event_type", m=m, keys=["day", "seg"])
+    rng = daily.filter((F.col("day") >= lo) & (F.col("day") < hi))
+    merged = merge_mg_summaries(
+        rng.select("seg", "item", F.col("est").alias("cnt")), m, keys=["seg"]
+    )
+    w = Window.partitionBy("seg").orderBy(F.col("est").desc(), F.col("item").asc())
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("seg", F.col("rnk").cast("int").alias("rnk"), "item", "est")
     )
 
 

@@ -1465,6 +1465,147 @@ def q_streaming_bitmap_keyed_windowed_ops(
     return bitmap_pair_ops(merged, "event_type")
 
 
+from min_flink_spark.queries.pipeline_q import (
+    CMS_KEYED_WINDOWED_ORACLE,
+    MG_KEYED_WINDOWED_ORACLE,
+)
+
+
+@query("streaming_cms_keyed_windowed_counts", oracle=CMS_KEYED_WINDOWED_ORACLE)
+def q_streaming_cms_keyed_windowed_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING × KEYED × WINDOWED CMS — the frequency family's
+    triple composition (r12: with this row and its MG sibling every
+    cell of the five-family mode matrix carries a dedicated gate row):
+    a continuously-running stream maintains one 4×128 count-min grid
+    PER (1-day event-time window, user segment). The composite
+    (day, seg) key is just two grouping columns of the SAME
+    count_min_sketch hash-agg every other mode uses (keys= list — all
+    JVM state: windows-seen × segments × 512 counters at any stream
+    length). Per-cell streaming counts are cumulative, so emissions
+    collapse batch-count-invariantly by per-(day, seg, cell) MAX (the
+    streaming_cms_counts rule); the Jan 8-14 range then merges each
+    SEGMENT's grids by counter addition (merge_cms keys=) and probes
+    per (segment, type) — the batch twin's
+    (cms_keyed_windowed_counts) stored-partials path, certified
+    against the SAME shared oracle (CMS_KEYED_WINDOWED_ORACLE).
+    Reference parity: keyed ValueState over a keyed stream
+    (FC/api/common/state/KeyedStateStore.java:74), key composite."""
+    from min_flink_spark.operators.pipeline import (
+        cms_estimate,
+        count_min_sketch,
+        merge_cms,
+    )
+    from min_flink_spark.sources import load_table
+    from min_flink_spark.streaming.runner import shuffle_partitions
+
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    keyed = s.select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(3)).alias("seg"),
+        "event_type",
+    )
+    with shuffle_partitions(spark, 8):
+        emitted = run_to_completion(
+            count_min_sketch(
+                keyed, "event_type", depth=4, width=128, keys=["day", "seg"]
+            ),
+            output_mode="update",
+        )
+    # cumulative per-cell counts: MAX = the cell's final value
+    grids = emitted.groupBy("day", "seg", "d", "w").agg(F.max("cnt").alias("cnt"))
+    merged = merge_cms(
+        grids.filter((F.col("day") >= lo) & (F.col("day") < hi)).drop("day"),
+        keys=["seg"],
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(3)).alias("seg"),
+        "event_type",
+    )
+    segs = ev.select("seg").distinct()
+    types = ev.select("event_type").distinct()
+    est = cms_estimate(merged, segs.crossJoin(types), "event_type", keys=["seg"])
+    exact = (
+        ev.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        .groupBy("seg", "event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, ["seg", "event_type"], "left").select(
+        "seg",
+        "event_type",
+        F.coalesce(F.col("exact_cnt"), F.lit(0).cast("bigint")).alias("exact_cnt"),
+        "cms_est",
+    )
+
+
+@query("streaming_mg_keyed_windowed_top_events", oracle=MG_KEYED_WINDOWED_ORACLE)
+def q_streaming_mg_keyed_windowed_top_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING × KEYED × WINDOWED Misra-Gries — the heavy-hitter
+    family's triple composition, the LAST cell of the five-family
+    mode matrix to get a dedicated gate row: per (1-day event-time
+    window, user segment) an m=16 SpaceSaving summary of event types
+    lives as COMPOSITE-keyed streaming state
+    (streaming/sketches.MGFunction generalized to key lists exactly as
+    BottomKFunction was in r11 — each micro-batch applies the same
+    weighted update rule as the batch partition pass, so the
+    guarantees compose across batches as across partitions; state is
+    windows × segments × ≤ m counters at any stream length). MG
+    emissions are NOT monotone, so the collapse is LAST-WRITER by
+    state version per (day, seg) (latest_mg_emissions); the Jan 8-14
+    range then merges each segment's day summaries through
+    merge_mg_summaries keys= and ranks top-3 per segment — the batch
+    twin's (mg_keyed_windowed_top_events) stored-partials path,
+    certified against the SAME shared oracle. Small-vocab exactness
+    holds per (day, seg) state key (≤ 6 types < m), so the replay is
+    bit-for-bit. Reference parity: keyed ValueState running reduce
+    (StreamGroupedReduce.java:35-53), key composite, buffer m
+    counters."""
+    from min_flink_spark.operators.pipeline import merge_mg_summaries
+    from min_flink_spark.streaming.runner import shuffle_partitions
+    from min_flink_spark.streaming.sketches import (
+        latest_mg_emissions,
+        streaming_misra_gries,
+    )
+
+    from pyspark.sql import Window
+
+    m = 16
+    lo = F.lit("2024-01-08").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15").cast("timestamp_ntz")
+    s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
+    keyed = s.select(
+        F.window("ts", "1 day").getField("start").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(3)).alias("seg"),
+        "event_type",
+    )
+    with shuffle_partitions(spark, 8):
+        emitted = run_to_completion(
+            streaming_misra_gries(
+                keyed,
+                ["day", "seg"],
+                "day timestamp_ntz, seg bigint",
+                "event_type",
+                m=m,
+            ),
+            output_mode="update",
+        )
+    latest = latest_mg_emissions(emitted, ["day", "seg"])
+    rng = latest.filter((F.col("day") >= lo) & (F.col("day") < hi))
+    merged = merge_mg_summaries(rng.select("seg", "item", "cnt"), m, keys=["seg"])
+    w = Window.partitionBy("seg").orderBy(F.col("est").desc(), F.col("item").asc())
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("seg", F.col("rnk").cast("int").alias("rnk"), "item", "est")
+    )
+
+
 @query(
     "streaming_sketch_quantiles_windowed",
     oracle=sketch_quantiles_oracle(

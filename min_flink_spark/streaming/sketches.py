@@ -170,15 +170,20 @@ class MGFunction(KeyedProcessFunction):
     needs_full_group = True
     state_schema = "items array<string>, cnts array<bigint>, version bigint"
 
-    def __init__(self, m: int, key_col: str, key_ddl: str, item_col: str):
+    def __init__(
+        self, m: int, key_cols: "str | list[str]", key_ddl: str, item_col: str
+    ):
         self.m = m
-        self.key_col = key_col
+        # composite keys ride exactly as in BottomKFunction (r11/r12:
+        # the streaming × keyed × windowed matrix cells) — the DDL
+        # must name the key columns, in order
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self.item_col = item_col
         ddl_names = _ddl_field_names(key_ddl)
-        if ddl_names != [key_col]:
+        if ddl_names != self.key_cols:
             raise ValueError(
                 f"MGFunction: key_ddl names {ddl_names} must match "
-                f"key_col [{key_col!r}] exactly"
+                f"key_cols {self.key_cols} exactly (count and order)"
             )
         self.output_schema = f"{key_ddl}, version bigint, item string, cnt bigint"
 
@@ -194,7 +199,7 @@ class MGFunction(KeyedProcessFunction):
         n = len(counters)
         out = pd.DataFrame(
             {
-                self.key_col: [key[0]] * n,
+                **{c: [key[i]] * n for i, c in enumerate(self.key_cols)},
                 "version": [version] * n,
                 "item": list(counters),
                 "cnt": list(counters.values()),
@@ -210,30 +215,36 @@ class MGFunction(KeyedProcessFunction):
 
 def streaming_misra_gries(
     stream: DataFrame,
-    key_col: str,
+    key_cols: "str | list[str]",
     key_ddl: str,
     item_col: str,
     m: int,
 ) -> DataFrame:
-    """Maintain an m-counter MG summary per ``key_col`` over a keyed
-    stream; emits the refreshed per-key summary each micro-batch as
-    ``(key, version, item, cnt)``. Collapse with
+    """Maintain an m-counter MG summary per ``key_cols`` (one column
+    or a composite list — ``key_ddl`` must cover them in order) over a
+    keyed stream; emits the refreshed per-key summary each micro-batch
+    as ``(*keys, version, item, cnt)``. Collapse with
     ``latest_mg_emissions`` then merge across keys (or feed per-key
     summaries straight to certificates) — see MGFunction for why the
     last-writer collapse is exact at any batch count."""
-    fn = MGFunction(m, key_col, key_ddl, item_col)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    fn = MGFunction(m, keys, key_ddl, item_col)
     return process_keyed(
-        stream.select(key_col, item_col), [key_col], fn, output_mode="update"
+        stream.select(*keys, item_col), keys, fn, output_mode="update"
     )
 
 
-def latest_mg_emissions(emitted: DataFrame, key_col: str) -> DataFrame:
+def latest_mg_emissions(
+    emitted: DataFrame, key_cols: "str | list[str]"
+) -> DataFrame:
     """Keep only each key's max-version rows — the MG emission
     collapse (summaries supersede, they do not merge across versions
-    of the SAME key). Returns ``(key, item, cnt)``."""
-    w = Window.partitionBy(key_col)
+    of the SAME key; the key may be composite). Returns
+    ``(*keys, item, cnt)``."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys)
     return (
         emitted.withColumn("_vmax", F.max("version").over(w))
         .filter(F.col("version") == F.col("_vmax"))
-        .select(key_col, "item", "cnt")
+        .select(*keys, "item", "cnt")
     )

@@ -1059,6 +1059,19 @@ def test_cms_rejects_keyed_grid(spark):
         *[keyed.filter(F.col("day") == d).drop("day") for d in (0, 1)]
     )
     assert plain.count() <= 2 * 8
+    # r12: a DECLARED key is the other way in — merge/estimate operate
+    # per key, and the guard still rejects an undeclared or missing key
+    merged = merge_cms(keyed, keys=["day"])
+    probe2 = spark.createDataFrame([(0, "a"), (1, "a")], "day int, term string")
+    est = {
+        (r["day"], r["term"]): r["cms_est"]
+        for r in cms_estimate(
+            merged, probe2, "term", depth=2, width=8, keys=["day"]
+        ).collect()
+    }
+    assert est == {(0, "a"): 1, (1, "a"): 1}
+    with _pytest.raises(ValueError, match="keys="):
+        merge_cms(keyed, keys=["day", "ghost"])
 
 
 def test_bitmap_rejects_negative_ids(spark):

@@ -752,6 +752,68 @@ def test_streaming_mg_last_writer_collapse_holds_bounds(spark, tmp_path):
         assert est >= exact[item] - n / m
 
 
+def test_streaming_mg_composite_key_matches_batch(spark, tmp_path):
+    """COMPOSITE-key streaming Misra-Gries (r12: the heavy-hitter
+    family's streaming × keyed × windowed gate row): MGFunction keyed
+    on (day, seg) across two micro-batches, collapsed last-writer per
+    composite key, must equal the batch keyed summary of the union
+    when the per-key vocabulary stays under m (small-vocab exactness)
+    — including a key whose items straddle the batch boundary. Also
+    pins that every key column rides back out next to the summary."""
+    import collections
+    import glob as _glob
+
+    from min_flink_spark.streaming.runner import (
+        run_to_completion,
+        shuffle_partitions,
+        stream_parquet,
+    )
+    from min_flink_spark.streaming.sketches import (
+        latest_mg_emissions,
+        streaming_misra_gries,
+    )
+
+    schema = "day string, seg bigint, term string"
+    rows1 = (
+        [("d1", 0, "hot")] * 12
+        + [("d1", 0, "warm")] * 5
+        + [("d1", 1, "hot")] * 3
+        + [("d2", 0, "cold")] * 4
+    )
+    rows2 = (
+        [("d1", 0, "hot")] * 7  # straddles the boundary for (d1, 0)
+        + [("d1", 1, "mild")] * 6
+        + [("d2", 0, "cold")] * 2
+    )
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    flat = str(tmp_path / "mg_ck_flat")
+    os.makedirs(flat)
+    b1.coalesce(1).write.parquet(str(tmp_path / "cka"))
+    b2.coalesce(1).write.parquet(str(tmp_path / "ckb"))
+    for i, f in enumerate(
+        sorted(_glob.glob(str(tmp_path / "ck?") + "/**/*.parquet", recursive=True))
+    ):
+        os.link(f, os.path.join(flat, f"{i:02d}.parquet"))
+
+    m = 8  # vocab per (day, seg) is <= 2 < m: summaries are EXACT
+    s = stream_parquet(spark, flat, schema, max_files_per_trigger=1)
+    with shuffle_partitions(spark, 2):
+        emitted = run_to_completion(
+            streaming_misra_gries(
+                s, ["day", "seg"], "day string, seg bigint", "term", m=m
+            ),
+            output_mode="update",
+        )
+    assert emitted.columns == ["day", "seg", "version", "item", "cnt"]
+    got = {
+        (r["day"], r["seg"], r["item"]): r["cnt"]
+        for r in latest_mg_emissions(emitted, ["day", "seg"]).collect()
+    }
+    exact = collections.Counter((d, g, t) for d, g, t in rows1 + rows2)
+    assert got == dict(exact)
+
+
 def test_streaming_mg_state_recovers_across_restarts(spark, tmp_path):
     """MG state (counters + version) must survive a query RESTART from
     the checkpoint — the second run's summary reflects BOTH runs' data

@@ -113,6 +113,13 @@ EXPECTED_CROSS = {
                                   # as bitmap_segment_ops (event types²
                                   # ≈ dozens of rows), here fed from
                                   # range-merged per-day partials
+    # ---- added r12 (streaming twins excluded from the audit by
+    # design — plans exist only inside a running StreamingQuery) ----
+    "cms_keyed_windowed_counts",  # segments × types probe lattice
+                                  # (3 × 6 rows — distinct-value
+                                  # frames, bounded by the categorical
+                                  # domains, never SF-scaling) crossed
+                                  # to exercise the zero-probe path
 }
 # Adjudicated single-partition exchanges (VERDICT r7 item 3: this
 # channel is now FAIL-CLOSED like EXPECTED_CROSS — an unadjudicated
