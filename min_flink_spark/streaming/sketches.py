@@ -102,19 +102,37 @@ class BottomKFunction(KeyedProcessFunction):
         self.output_schema = f"{key_ddl}, pos int, hash bigint, id bigint"
 
     def process_element(self, key, rows: pd.DataFrame, state):
-        pairs = set(zip(rows["_h"].tolist(), rows["_id"].tolist()))
+        # VECTORIZED state transition (r12): the original built a
+        # Python set of (hash, id) tuples over every batch row — the
+        # measured 0.33 µs/row margin over a JVM streaming agg at 64M
+        # streamed rows (PERF.md r12), while the MG sibling (whose
+        # transition is a C-side value_counts) rode at control speed.
+        # Same semantics, numpy-side: lexsort by (hash, id), drop
+        # adjacent duplicates, keep the first k.
+        import numpy as np
+
+        h = rows["_h"].to_numpy()
+        i = rows["_id"].to_numpy()
         if state is not None:
-            pairs.update(zip(state[0], state[1]))
-        top = sorted(pairs)[: self.k]
+            h = np.concatenate([h, np.asarray(state[0], dtype=h.dtype)])
+            i = np.concatenate([i, np.asarray(state[1], dtype=i.dtype)])
+        order = np.lexsort((i, h))
+        h, i = h[order], i[order]
+        if len(h):
+            keep = np.ones(len(h), dtype=bool)
+            keep[1:] = (h[1:] != h[:-1]) | (i[1:] != i[:-1])
+            h, i = h[keep][: self.k], i[keep][: self.k]
+        hs, ids = [int(v) for v in h], [int(v) for v in i]
+        n = len(hs)
         out = pd.DataFrame(
             {
-                **{c: [key[i]] * len(top) for i, c in enumerate(self.key_cols)},
-                "pos": range(1, len(top) + 1),
-                "hash": [h for h, _ in top],
-                "id": [i for _, i in top],
+                **{c: [key[j]] * n for j, c in enumerate(self.key_cols)},
+                "pos": range(1, n + 1),
+                "hash": hs,
+                "id": ids,
             }
         )
-        return out, ([h for h, _ in top], [i for _, i in top])
+        return out, (hs, ids)
 
 
 def streaming_bottom_k(

@@ -15,10 +15,23 @@ Correctness methodology note: the check compares Spark vs DuckDB on
 the SAME parquet, so ANY deterministic data is a valid probe — the
 upsample only needs to keep schemas, value domains, and time ranges
 intact (it does: non-key attributes are copied verbatim, so the
-2024-01 event window and every categorical domain survive). The one
-deliberate perturbation: copy i adds i/1000 to each embedding's first
-component, so cosine scores never tie across copies and top-k id
-lists stay order-deterministic in both engines.
+2024-01 event window and every categorical domain survive). Two
+deliberate perturbations:
+
+- copy i adds i/1000 to each embedding's first component, so cosine
+  scores never tie across copies and top-k id lists stay
+  order-deterministic in both engines;
+- copies 1-9 of each document get their WORDS deterministically
+  shuffled (md5-keyed sort, seeded by (doc_id, copy)). Verbatim
+  clones would make every document a 10-way near-duplicate — the
+  first full-registry sweep ground to a halt INSIDE THE DUCKDB
+  ORACLES of the near-dup family (2+ GB spill on quadratic
+  in-bucket pair replays), while the Spark side's banded joins were
+  never the problem. Shuffling destroys the shingle sets (so
+  cross-copy near-dup pairs vanish) but preserves the exact word
+  multiset per document — token counts, vocabularies, per-lang
+  frequencies, and every MG small-vocab exactness argument survive
+  untouched.
 
 Usage:  python tools/make_sf1.py [/tmp/sf1]
 Then:   python tools/check_oracle.py --strict /tmp/sf1 <queries...>
@@ -72,6 +85,21 @@ def main() -> None:
         for c in cols:
             if c in keys:
                 sel.append(f"{c} + i * {OFF} AS {c}")
+            elif t == "documents" and c == "text":
+                # copies 1-9: md5-keyed word shuffle, seeded by
+                # (doc_id, copy) — deterministic in any engine, word
+                # multiset preserved, shingle sets destroyed (see
+                # module docstring)
+                sel.append(
+                    "CASE WHEN i = 0 THEN text ELSE list_aggregate("
+                    "  list_transform("
+                    "    list_sort(list_transform(string_split(text, ' '),"
+                    "      (x, j) -> md5(CAST(doc_id AS VARCHAR) || ':' ||"
+                    "                    CAST(i AS VARCHAR) || ':' ||"
+                    "                    CAST(j AS VARCHAR)) || '|' || x)),"
+                    "    x -> string_split(x, '|')[2]),"
+                    "  'string_agg', ' ') END AS text"
+                )
             elif t == "embeddings" and c == "embedding":
                 # deterministic tie-breaker: copy i shifts component 1
                 # by i/1000 (FLOAT-exact for i <= 9), so cosine top-k

@@ -642,6 +642,56 @@ def shapes(spark, rows: int):
 
     yield "streaming_kmv_keyed_windowed", _streaming_kmv_keyed_windowed
 
+    # r12 sibling: the SECOND Python-stateful composite-key path —
+    # MGFunction keyed on (day, user-segment) (the
+    # streaming_mg_keyed_windowed_top_events shape). Differs from the
+    # KMV leg in the state transition (dict counter merge vs sorted
+    # bottom-k) and the emission collapse (last-writer by version),
+    # so its slope pins the Python-stateful family from a second
+    # angle. Same rows/5 sizing, same 8 state partitions.
+    def _streaming_mg_keyed_windowed():
+        from min_flink_spark.operators.pipeline import merge_mg_summaries
+        from min_flink_spark.streaming.runner import (
+            run_to_completion,
+            shuffle_partitions,
+        )
+        from min_flink_spark.streaming.sketches import (
+            latest_mg_emissions,
+            streaming_misra_gries,
+        )
+
+        n = max(rows // 5, 200_000)
+        s = (
+            spark.readStream.format("synthetic_events")
+            .option("rows", str(n))
+            .option("partitions", "32")
+            .load()
+            .select(
+                F.window("ts", "1 day").getField("start").alias("day"),
+                F.pmod(F.col("user_id"), F.lit(3)).alias("seg"),
+                "event_type",
+            )
+        )
+        with shuffle_partitions(spark, 8):
+            emitted = run_to_completion(
+                streaming_misra_gries(
+                    s,
+                    ["day", "seg"],
+                    "day timestamp_ntz, seg bigint",
+                    "event_type",
+                    m=16,
+                ),
+                output_mode="update",
+                timeout_sec=600,
+            )
+        latest = latest_mg_emissions(emitted, ["day", "seg"])
+        merged = merge_mg_summaries(
+            _in_range(latest).select("seg", "item", "cnt"), 16, keys=["seg"]
+        )
+        return merged.agg(F.sum("est")).collect()
+
+    yield "streaming_mg_keyed_windowed", _streaming_mg_keyed_windowed
+
 
 def main() -> None:
     args = sys.argv[1:]
