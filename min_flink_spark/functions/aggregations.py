@@ -76,7 +76,36 @@ def keyed_agg_first_record(
         return out.select(*sel)
 
     others = [c for c in df.columns if c not in keys and c != field]
-    aggs = [_AGG[op](field).alias(field)]
+    agg_field = _AGG[op](field)
+    if (
+        op == "sum"
+        and order_by is not None
+        and dict(df.dtypes).get(field) in ("float", "double")
+    ):
+        # ORDERED left fold for floating sums (r12, caught by the sf1
+        # leg): a plain F.sum adds partial aggregates in partition
+        # order, so the result drifts by ULPs with the physical split
+        # (3,634 of 15,000 groups off by ~5e-13 at sf1). The reference
+        # semantics are a RUNNING sum in arrival order
+        # (StreamGroupedReduce.java:35-53 + SumAggregator), so fold the
+        # group's values in order_by order — deterministic at any
+        # partitioning, and the oracle replays the identical fold
+        # (list_reduce over list(... ORDER BY ...); the 0.0 seed is
+        # exact: 0.0 + v == v for every non-(-0.0) double). Scale
+        # caveat: the fold materializes the group as an array, so it
+        # suits arrival-ordered reproducibility on bounded keys — at
+        # 100 TB with unbounded hot keys, accept ULP drift with F.sum
+        # by passing order_by=None. Integer sums stay on F.sum (exact
+        # under any order).
+        pairs = F.array_sort(
+            F.collect_list(F.struct(F.col(order_by).alias("_o"), F.col(field).alias("_v")))
+        )
+        agg_field = F.aggregate(
+            pairs,
+            F.lit(0.0).cast(dict(df.dtypes)[field]),
+            lambda acc, x: acc + x["_v"],
+        )
+    aggs = [agg_field.alias(field)]
     if others:
         aggs.append(_first_record_struct(others, order_by).alias("_first"))
     out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)

@@ -416,6 +416,87 @@ def chunk_text(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    aliases: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles per key via VALUE-AT-RANK —
+    ``(*keys, *aliases)``, one row per key.
+
+    Replaces Spark's ``percentile()`` aggregate in the registry's
+    exact-percentile queries for two measured reasons (r12):
+
+    - **determinism**: Spark's percentile() interpolates as
+      ``lo + (hi − lo)·frac`` while DuckDB's quantile_cont evaluates
+      ``(⌈pos⌉ − pos)·lo + (pos − ⌊pos⌋)·hi`` — algebraically equal,
+      ULP-different (first seen at sf1: a group of 198,100 values put
+      pos at frac 0.95 inside a run of equal values, 2.52 vs
+      2.5200000000000005). This operator evaluates the quantile_cont
+      op tree, so results are bit-identical to the SQL replay at any
+      group size;
+    - **scale**: percentile()'s aggregation buffer holds EVERY group
+      value in one task (the single-reducer hazard the funnel query
+      retired in r6). Here each group is range-sorted by one window
+      (rows stay distributed), only the ≤ 2·len(qs) rows AT the
+      needed ranks survive into a keys-sized final aggregate.
+
+    Null values are ignored (as both percentile() and quantile_cont
+    do); a group whose values are ALL null produces no row — callers
+    that must preserve such groups left-join the result.
+    """
+    keys = keys or []
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    wk = Window.partitionBy(*keys)
+    ranked = (
+        df.select(*keys, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+    )
+
+    def pos(q: float):
+        return F.lit(q) * (F.col("_n") - 1).cast("double")
+
+    def lo_rank(q: float):
+        return F.floor(pos(q)).cast("bigint") + 1
+
+    def hi_rank(q: float):
+        return F.ceil(pos(q)).cast("bigint") + 1
+
+    cond = F.lit(False)
+    for q in qs:
+        cond = cond | (F.col("_rk") == lo_rank(q)) | (F.col("_rk") == hi_rank(q))
+    needed = ranked.filter(cond)
+    aggs = [F.max("_n").alias("_n")]
+    for j, q in enumerate(qs):
+        aggs.append(
+            F.max(F.when(F.col("_rk") == lo_rank(q), F.col(value_col))).alias(
+                f"_vlo{j}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("_rk") == hi_rank(q), F.col(value_col))).alias(
+                f"_vhi{j}"
+            )
+        )
+    out = needed.groupBy(*keys).agg(*aggs) if keys else needed.agg(*aggs)
+    sel = [F.col(k) for k in keys]
+    for j, (q, name) in enumerate(zip(qs, aliases)):
+        p = F.lit(q) * (F.col("_n") - 1).cast("double")
+        sel.append(
+            F.when(F.ceil(p) == F.floor(p), F.col(f"_vlo{j}"))
+            .otherwise(
+                (F.ceil(p).cast("double") - p) * F.col(f"_vlo{j}")
+                + (p - F.floor(p).cast("double")) * F.col(f"_vhi{j}")
+            )
+            .alias(name)
+        )
+    return out.select(*sel)
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,
@@ -429,21 +510,27 @@ def winsorize(
     treatment before computing means/z-scores on heavy-tailed signals
     (doc lengths, quality scores, request latencies).
 
-    Plan: ONE aggregation computes the exact interpolated cut points
-    (per group or global), joined back (a per-group cuts table is
-    group-cardinality-sized — AQE broadcasts it while small), then a
-    codegen clamp. The aggregation is the only shuffle. At 100 TB
-    swap ``percentile`` for ``approx_percentile`` (t-digest, one pass,
-    mergeable) — the operator shape is unchanged.
+    Plan: the cut points come from :func:`exact_percentiles`
+    (value-at-rank — distributed sort per group, never a
+    single-reducer percentile buffer; its op tree is bit-identical to
+    DuckDB quantile_cont, r12), LEFT-joined back (a per-group cuts
+    table is group-cardinality-sized — AQE broadcasts it while
+    small), then a codegen clamp. At 100 TB swap in
+    ``approx_percentile`` (t-digest, one pass, mergeable) — the
+    operator shape is unchanged.
     """
     _require_free_columns(df, ("_lo", "_hi"), "winsorize")
     out = out_col or value_col
-    aggs = [
-        F.expr(f"percentile({value_col}, {lower})").alias("_lo"),
-        F.expr(f"percentile({value_col}, {upper})").alias("_hi"),
-    ]
-    cuts = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
-    joined = _join_group_cuts(df, cuts, group_cols)
+    cuts = exact_percentiles(
+        df, value_col, [lower, upper], ["_lo", "_hi"], keys=group_cols
+    )
+    # LEFT join: a group whose values are all NULL has no cuts row but
+    # must keep its rows (values pass through the null branch below)
+    if group_cols:
+        cond = [df[c].eqNullSafe(cuts[c]) for c in group_cols]
+        joined = df.join(cuts, cond, "left").drop(*[cuts[c] for c in group_cols])
+    else:
+        joined = df.crossJoin(F.broadcast(cuts))
     # least/greatest SKIP nulls, which would impute NULL values to the
     # lower cut — preserve them explicitly
     clamped = F.when(

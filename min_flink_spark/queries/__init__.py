@@ -27,51 +27,52 @@ from min_flink_spark.queries import windows  # noqa: F401
 # ROUND-12 PREFIX (positions 1-50), executing the r11 verdict item 1
 # (the written r12 rotation) with r12's own changed/new queries
 # jumping ahead (changed always first):
-#   1-14  changed in r12 (the whole bitmap family: bitmap_index
-#         widened to composite keys= lists — bitmap_keyed_windowed_ops
-#         moved to the widened form and its inline oracle became the
-#         shared BITMAP_KEYED_WINDOWED_ORACLE constant its new
-#         streaming twin certifies against (decorator + plan change);
-#         bitmap_segment_ops / bitmap_windowed_retention and their
-#         streaming twins: single-key calls now route through the
-#         keys-list path — operator change invisible to the source
-#         hash, promoted by hand as in r7-r11, results invariant;
-#         streaming_kmv_distinct / streaming_kmv_keyed_windowed_
-#         distinct: memory-sink self-join rework onto the canonical
-#         fresh_attrs helper (hash-visible); streaming_kmv_windowed_
-#         distinct: BottomKFunction key-DDL validation now parses
-#         top-level commas only (ADVICE r11), hand-promoted;
-#         streaming_mg_heavy_hitters / streaming_mg_windowed_top_
-#         events: MGFunction generalized to COMPOSITE state keys +
-#         latest_mg_emissions key-list aware — results invariant for
-#         their single-key calls; the four CMS rows: merge_cms /
-#         cms_estimate gained keys= and the plain-grid guard became
-#         declared-prefix validation — plain calls route through the
-#         reworked guard, hand-promoted),
-#   15-19 BRAND-NEW in r12, closing EVERY remaining mode-matrix cell
+#   1-18  changed in r12 — three groups:
+#         (a) the bitmap family: bitmap_index widened to composite
+#         keys= lists (bitmap_keyed_windowed_ops also moved its
+#         inline oracle into the shared BITMAP_KEYED_WINDOWED_ORACLE
+#         constant — decorator + plan change; the four single-key
+#         bitmap rows route through the keys-list path, hand-promoted
+#         as in r7-r11, results invariant);
+#         (b) the streaming sketch stack: streaming_kmv_distinct /
+#         streaming_kmv_keyed_windowed_distinct reworked onto the
+#         canonical fresh_attrs helper (hash-visible),
+#         streaming_kmv_windowed_distinct rides the BottomKFunction
+#         key-DDL top-level-comma parse (ADVICE r11) AND the r12
+#         VECTORIZED state transition (numpy lexsort replaces the
+#         per-row Python set — PERF.md r12, results invariant),
+#         streaming_mg_* ride MGFunction's composite-key
+#         generalization, the four CMS rows ride merge_cms /
+#         cms_estimate keys= + the reworked grid guard;
+#         (c) float-determinism fixes FOUND BY THE SF1 LEG:
+#         keyed_sum_first_record now folds its float sum in arrival
+#         order on both sides (plain sum() ULP-drifts with partition
+#         count), winsorized_values / value_percentiles /
+#         median_and_central_tendency moved off Spark's percentile()
+#         onto exact_percentiles (value-at-rank on quantile_cont's op
+#         tree — Spark's interpolation formula is ULP-different at
+#         fractional ranks, and percentile() buffers whole groups in
+#         one task),
+#   19-23 BRAND-NEW in r12, closing EVERY remaining mode-matrix cell
 #         with a dedicated gate row (streaming_bitmap_keyed_windowed_
-#         ops — the exact-algebra triple composition;
-#         cms_keyed_windowed_counts + streaming twin — per-(day,
-#         user-segment) grids, shared CMS_KEYED_WINDOWED_ORACLE;
-#         mg_keyed_windowed_top_events + streaming twin — per-(day,
-#         segment) SpaceSaving summaries, shared
-#         MG_KEYED_WINDOWED_ORACLE),
-#   20    the last r6-evidence row (window_rank_lag — also
-#         strict-verified live by the r11 judge session),
-#   21-50 the first 30 of the 46 r7-evidence rows (alphabetical;
-#         resample_1h_forward_fill opens the r13 tail at position 51).
+#         ops; cms_keyed_windowed_counts + streaming twin, shared
+#         CMS_KEYED_WINDOWED_ORACLE; mg_keyed_windowed_top_events +
+#         streaming twin, shared MG_KEYED_WINDOWED_ORACLE),
+#   24    the last r6-evidence row (window_rank_lag),
+#   25-50 the first 26 of the 46 r7-evidence rows (alphabetical;
+#         quality_filter_flags opens the r13 tail at position 51).
 #
 # ROUND-13 ROTATION NOTE (positions 51+ are already in promotion
 # order — mechanically: everything outside the r12 head sorted by
-# (last driver round, name)): the 16 r7 leftovers at 51-66
-# (resample_1h_forward_fill … waiting_supplier_counts), then the r8,
-# r9, r10, and r11 blocks.  Promote 51-onward next round — r13's 50
-# slots take the 16 r7 rows and the first 34 of the r8 block; any
-# query changed during round 13 jumps ahead of everything (changed
-# always first).  The guardrail test enforces this shape — re-sorting
-# this list IS the rotation.
+# (last driver round, name)): the 20 r7 leftovers at 51-70
+# (quality_filter_flags … waiting_supplier_counts), then the r8, r9,
+# r10, and r11 blocks.  Promote 51-onward next round — r13's 50 slots
+# take the 20 r7 rows and the first 30 of the r8 block; any query
+# changed during round 13 jumps ahead of everything (changed always
+# first).  The guardrail test enforces this shape — re-sorting this
+# list IS the rotation.
 _PRIORITY = [
-    # ---- 1-14: changed in r12 (see note above) ----
+    # ---- 1-18: changed in r12 (see note above) ----
     "bitmap_keyed_windowed_ops",
     "bitmap_segment_ops",
     "bitmap_windowed_retention",
@@ -86,15 +87,19 @@ _PRIORITY = [
     "cms_windowed_counts",
     "streaming_cms_counts",
     "streaming_cms_windowed_counts",
-    # ---- 15-19: BRAND-NEW in r12 (the matrix-closing rows) ----
+    "keyed_sum_first_record",
+    "winsorized_values",
+    "value_percentiles",
+    "median_and_central_tendency",
+    # ---- 19-23: BRAND-NEW in r12 (the matrix-closing rows) ----
     "streaming_bitmap_keyed_windowed_ops",
     "cms_keyed_windowed_counts",
     "mg_keyed_windowed_top_events",
     "streaming_cms_keyed_windowed_counts",
     "streaming_mg_keyed_windowed_top_events",
-    # ---- 20: the last r6-evidence row ----
+    # ---- 24: the last r6-evidence row ----
     "window_rank_lag",
-    # ---- 21-50: r7 rows, first 30 of 46 ----
+    # ---- 25-50: r7 rows, first 26 of 46 ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -118,14 +123,13 @@ _PRIORITY = [
     "kmv_segment_overlap",
     "length_bucketed_batches",
     "media_frame_sampling",
-    "median_and_central_tendency",
     "paragraph_dedup",
     "pii_redaction",
     "prototype_label_agreement",
+    # ---- 51-70: last 20 r7 rows (r13 opens here — see note) ----
     "quality_filter_flags",
     "range_join_price_bands",
     "repetition_signals",
-    # ---- 51-66: last 16 r7 rows (r13 opens here — see note) ----
     "resample_1h_forward_fill",
     "salted_skew_aggregation",
     "salted_skew_join",
@@ -142,7 +146,7 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 67-105: r8 rows ----
+    # ---- 70-108: r8 rows ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -182,7 +186,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 106-148: r9 rows ----
+    # ---- 109-150: r9 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -224,9 +228,8 @@ _PRIORITY = [
     "unigram_surprisal_score",
     "variant_json_stats",
     "vocab_oov_rate",
-    "winsorized_values",
     "zscore_standardized_values",
-    # ---- 149-191: r10 rows ----
+    # ---- 151-192: r10 rows ----
     "cheapest_supplier_per_type",
     "concentrated_suppliers",
     "embedding_near_dup_pairs",
@@ -237,7 +240,6 @@ _PRIORITY = [
     "keyed_max_by_record",
     "keyed_min_by_record_last",
     "keyed_min_first_record",
-    "keyed_sum_first_record",
     "language_id",
     "levenshtein_rerank",
     "map_filter_project",
@@ -270,7 +272,7 @@ _PRIORITY = [
     "top_supplier_revenue",
     "union_rebalance",
     "unpivot_lineitem_metrics",
-    # ---- 192-238: r11 rows ----
+    # ---- 193-238: r11 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -314,7 +316,6 @@ _PRIORITY = [
     "temporal_table_join",
     "trend_slope_by_type",
     "triangle_counts_copurchase",
-    "value_percentiles",
     "video_mp4_stats",
     "volume_shipping",
     "weekly_active_growth",

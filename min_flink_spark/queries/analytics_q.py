@@ -49,17 +49,26 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    `quantile_cont`). Exact percentile sorts per group — at 100 TB
-    switch to `approx_percentile` (t-digest, mergeable, one pass),
-    exposed below as the rows-only twin."""
+    """Exact interpolated percentiles via operators/pipeline.
+    exact_percentiles — value-at-rank evaluating DuckDB
+    quantile_cont's op tree, NOT Spark's percentile() aggregate
+    (r12: the two interpolation formulas are ULP-different at
+    fractional ranks — first caught by the sf1 leg — and percentile()
+    buffers every group value in one task, the single-reducer hazard).
+    At 100 TB the same shape holds (distributed range sort per group)
+    or switch to `approx_percentile` (t-digest, mergeable), exposed
+    below as the certificate twin."""
+    from min_flink_spark.operators.pipeline import exact_percentiles
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.9)").alias("p90"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
+    pct = exact_percentiles(
+        ev, "value", [0.5, 0.9, 0.99], ["p50", "p90", "p99"], keys=["event_type"]
+    )
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return pct.join(ext, "event_type").select(
+        "event_type", "p50", "p90", "p99", "vmin", "vmax"
     )
 
 
@@ -248,15 +257,24 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """median (interpolated — Spark median == DuckDB quantile_cont; note
-    DuckDB's own median() is DISCrete for even counts) and mode (tie-free
-    on this data by construction). Single-op selections/interpolations on
-    identical inputs — bit-stable."""
+    """median via operators/pipeline.exact_percentiles (value-at-rank
+    on quantile_cont's op tree — Spark's median()/percentile()
+    interpolate as lo + (hi − lo)·frac, ULP-different from the oracle
+    at even counts, r12; note DuckDB's own median() is DISCrete for
+    even counts, hence quantile_cont in the oracle) and mode (tie-free
+    on this data by construction)."""
+    from min_flink_spark.operators.pipeline import exact_percentiles
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.median("value").alias("median_value"),
+    med = exact_percentiles(
+        ev, "value", [0.5], ["median_value"], keys=["event_type"]
+    )
+    rest = ev.groupBy("event_type").agg(
         F.mode("event_type").alias("modal_type"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return med.join(rest, "event_type").select(
+        "event_type", "median_value", "modal_type", "n"
     )
 
 

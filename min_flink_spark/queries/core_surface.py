@@ -64,12 +64,19 @@ def q_flatmap_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "keyed_sum_first_record",
+    # value replays the engine's ORDERED fold (r12): a bare sum(value)
+    # adds in scan order, ULP-drifting from Spark's partial-aggregate
+    # order once groups span partitions (first seen at sf1);
+    # list_reduce over the event_id-ordered list IS the running sum in
+    # arrival order — the reference's actual semantics — and matches
+    # the Spark fold bit-for-bit (0.0 seed exact).
     oracle="""
     SELECT min_by(event_id, event_id) AS event_id,
            min_by(ts, event_id)       AS ts,
            user_id,
            min_by(event_type, event_id) AS event_type,
-           sum(value)                 AS value,
+           list_reduce(list(value ORDER BY event_id), (a, b) -> a + b)
+                                      AS value,
            min_by(props, event_id)    AS props
     FROM events GROUP BY user_id
     """,
@@ -77,7 +84,9 @@ def q_flatmap_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_keyed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """keyBy().sum() with the reference's field-replace semantics:
     non-aggregated fields come from the first-seen record
-    (SumAggregator.java:68-76); arrival order = event_id."""
+    (SumAggregator.java:68-76); arrival order = event_id. The float
+    sum folds in arrival order on BOTH sides (see oracle note +
+    functions/aggregations.keyed_agg_first_record)."""
     return (
         Stream(load_table(spark, sf_dir, "events"))
         .key_by("user_id")
