@@ -121,3 +121,33 @@ def test_max_by_tie_first_timestamp_order(spark):
     assert first["tag"] == "early"
     last = keyed_extremal_record(df, ["k"], "v", "min", "ts", first=False).collect()[0]
     assert last["tag"] == "late"
+
+
+def test_keyed_float_sum_is_partition_invariant(spark):
+    """r12 (found by the sf1 leg): a plain F.sum(double) adds partial
+    aggregates in partition order, so the result ULP-drifts with the
+    physical split. The ordered-fold path must return bit-identical
+    sums at ANY partitioning — and equal the arrival-order running sum
+    (the reference's StreamGroupedReduce semantics)."""
+    from functools import reduce
+
+    from min_flink_spark.functions.aggregations import keyed_agg_first_record
+
+    vals = [0.1 * i + 0.07 for i in range(200)]
+    rows = [(i % 3, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, oid bigint, v double")
+    outs = []
+    for parts in (1, 7, 32):
+        out = keyed_agg_first_record(
+            df.repartition(parts), ["k"], "v", "sum", "oid"
+        )
+        outs.append({r["k"]: r["v"] for r in out.collect()})
+    assert outs[0] == outs[1] == outs[2]
+    # equals the sequential left fold in oid order, bit-for-bit
+    for k in (0, 1, 2):
+        seq = reduce(
+            lambda acc, r: acc + r[2],
+            sorted((r for r in rows if r[0] == k), key=lambda r: r[1]),
+            0.0,
+        )
+        assert repr(outs[0][k]) == repr(seq)

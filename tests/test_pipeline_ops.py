@@ -195,6 +195,48 @@ def test_winsorize_preserves_nulls_and_null_groups(spark):
         winsorize(df.withColumn("_lo", F.lit(1)), "value")
 
 
+def test_exact_percentiles_matches_quantile_cont_bitwise(spark):
+    """r12 (found by the sf1 leg): Spark's percentile() interpolates
+    lo + (hi − lo)·frac while DuckDB's quantile_cont evaluates
+    (⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi — ULP-different at fractional
+    ranks, INCLUDING inside a run of equal values (lo == hi == 2.52
+    with frac 0.95 returns 2.52 vs 2.5200000000000005).
+    exact_percentiles must reproduce quantile_cont bit-for-bit on
+    exactly that regime, per key."""
+    import duckdb
+
+    from min_flink_spark.operators.pipeline import exact_percentiles
+
+    # 21 equal values then a tail: p05 pos = 0.05*(n-1) lands at a
+    # fractional rank whose bracketing order statistics are EQUAL
+    rows = [("a", 2.52)] * 21 + [("a", float(v)) for v in range(3, 10)]
+    rows += [("b", 1.1), ("b", 2.52), ("b", 3.7), ("b", 9.9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["p05"], r["p50"], r["p95"])
+        for r in exact_percentiles(
+            df, "v", [0.05, 0.5, 0.95], ["p05", "p50", "p95"], keys=["g"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{g}', {v!r}::DOUBLE)" for g, v in rows)
+        + ") s(g, v)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT g, quantile_cont(v, 0.05), quantile_cont(v, 0.5),"
+            " quantile_cont(v, 0.95) FROM t GROUP BY g"
+        ).fetchall()
+    }
+    for g in want:
+        assert all(
+            repr(a) == repr(b) for a, b in zip(got[g], want[g])
+        ), (g, got[g], want[g])
+
+
 def test_cap_per_group_rejects_working_column_collision(spark, sf_dir):
     import pytest as _pytest
 
