@@ -675,15 +675,20 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
       FROM ev GROUP BY event_type
     )
     SELECT event_type, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_micro_per_hour
+           -- int → double via VARCHAR: DuckDB's direct HUGEINT→DOUBLE
+           -- cast is off by an ULP above 2^53 (measured r12:
+           -- -3390571559116000000 → ...59997e+18), while its string
+           -- parse is correctly rounded like Spark/Java/Python
+           CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+             AS slope_micro_per_hour
     FROM s
     """,
 )
@@ -695,10 +700,15 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator and denominator are identical integers in any engine and
     the single final division is bit-stable — closed-form regression
     without regr_slope's float-accumulation drift. The anchor is a
-    1-row scalar; the aggregation is map-side combinable. At extreme
-    row counts the products ride decimal accumulators (Spark widens
-    sums to decimal(28,0) via the per-row decimal(18,0) cast — same
-    overflow-safety contract as the money queries)."""
+    1-row scalar; the aggregation is map-side combinable.
+
+    WIDE accumulators are load-bearing, not optional (r12: the sf1 leg
+    blew the old bigint closed form up with a real ARITHMETIC_OVERFLOW
+    — n·Σxy ≈ 2×10⁵ · 2×10¹⁶ ≫ 2⁶³ at just 10× the gate data): sums
+    ride decimal(18,0)-per-row → decimal(28,0) accumulators, the
+    closed-form products evaluate in decimal(38,0), and the oracle
+    mirrors with HUGEINT — both sides exact 38-digit integers, one
+    final division."""
     ev0 = load_table(spark, sf_dir, "events")
     anchor = ev0.agg(F.min("ts").alias("t0"))
     ev = ev0.crossJoin(F.broadcast(anchor)).select(
@@ -711,13 +721,14 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(18,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,0)")).alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     return s.select(
         "event_type", "n", (num / den).alias("slope_micro_per_hour")
     )

@@ -1617,13 +1617,17 @@ def q_incremental_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_stats_merge: per-source HLL sketches built on two
     disjoint corpus slices are UNIONED (hll_union_agg) and the merged
     estimate is certified against the exact distinct count
-    (|est − exact| ≤ 2% or 2 absolute, the DataSketches HLL error at
-    lgk=12 with wide margin). The driver-visible output carries the
-    EXACT count plus the boolean certificate, so a broken merge (e.g.
-    double-counting, sketch truncation) flips a hashed value while the
-    estimate's inherent wobble cannot. At 100 TB this is how distinct
-    counts stay current per delta: sketches are tiny, associative, and
-    never rescan the corpus."""
+    (|est − exact| ≤ 8% or 2 absolute — ≈ 5σ of the lgk=12
+    DataSketches RSE of 1.04/√4096 ≈ 1.63%; r12 NOTE: the original 2%
+    bound was only ~1.25σ and a routine excursion tripped it at sf1 —
+    src10 estimated 2449/2500 = 2.04% off with a bit-identical
+    one-shot estimate, i.e. the merge was perfect and the BOUND was
+    statistically wrong). The driver-visible output carries the EXACT
+    count plus the boolean certificate, so a broken merge (e.g.
+    register truncation, zeroing — shifts estimates tens of percent)
+    flips a hashed value while the estimate's inherent wobble cannot.
+    At 100 TB this is how distinct counts stay current per delta:
+    sketches are tiny, associative, and never rescan the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 5 != 0).groupBy("source").agg(
         F.hll_sketch_agg("doc_id").alias("sk"),
@@ -1647,7 +1651,7 @@ def q_incremental_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact"),
         (
             F.abs(est - F.col("n_exact"))
-            <= F.greatest(F.lit(2.0), F.col("n_exact") * 0.02)
+            <= F.greatest(F.lit(2.0), F.col("n_exact") * 0.08)
         ).alias("est_ok"),
     )
 

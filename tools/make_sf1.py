@@ -81,10 +81,24 @@ def main() -> None:
                 f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
             ).fetchall()
         ]
+        # embeddings keep a DENSE id space: vec_id offsets by the
+        # source row count, so ids stay exactly [0, 10·n) — the
+        # contrastive sampler's negative_pair_sample CONTRACT requires
+        # dense ids (its fail-loud guard caught the sparse 10^7
+        # offsets at sf1, r12). Other tables keep the wide offset
+        # (nothing requires density there, and wide keys exercise the
+        # 64-bit paths).
+        off = (
+            con.execute(
+                f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchone()[0]
+            if t == "embeddings"
+            else OFF
+        )
         sel = []
         for c in cols:
             if c in keys:
-                sel.append(f"{c} + i * {OFF} AS {c}")
+                sel.append(f"{c} + i * {off} AS {c}")
             elif t == "documents" and c == "text":
                 # copies 1-9: md5-keyed word shuffle, seeded by
                 # (doc_id, copy) — deterministic in any engine, word
