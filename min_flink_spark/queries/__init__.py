@@ -27,7 +27,7 @@ from min_flink_spark.queries import windows  # noqa: F401
 # ROUND-12 PREFIX (positions 1-50), executing the r11 verdict item 1
 # (the written r12 rotation) with r12's own changed/new queries
 # jumping ahead (changed always first):
-#   1-18  changed in r12 — three groups:
+#   1-20  changed in r12 — three groups:
 #         (a) the bitmap family: bitmap_index widened to composite
 #         keys= lists (bitmap_keyed_windowed_ops also moved its
 #         inline oracle into the shared BITMAP_KEYED_WINDOWED_ORACLE
@@ -44,35 +44,38 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         streaming_mg_* ride MGFunction's composite-key
 #         generalization, the four CMS rows ride merge_cms /
 #         cms_estimate keys= + the reworked grid guard;
-#         (c) float-determinism fixes FOUND BY THE SF1 LEG:
-#         keyed_sum_first_record now folds its float sum in arrival
-#         order on both sides (plain sum() ULP-drifts with partition
-#         count), winsorized_values / value_percentiles /
+#         (c) fixes FOUND BY THE SF1 LEG (PERF.md r12):
+#         keyed_sum_first_record folds its float sum in arrival order
+#         on both sides (plain sum() ULP-drifts with partition
+#         count); winsorized_values / value_percentiles /
 #         median_and_central_tendency moved off Spark's percentile()
 #         onto exact_percentiles (value-at-rank on quantile_cont's op
-#         tree — Spark's interpolation formula is ULP-different at
-#         fractional ranks, and percentile() buffers whole groups in
-#         one task),
-#   19-23 BRAND-NEW in r12, closing EVERY remaining mode-matrix cell
+#         tree); trend_slope_by_type's closed form now rides
+#         decimal(38)/HUGEINT accumulators (real int64 overflow at
+#         10× data) with the oracle's int→double cast routed through
+#         VARCHAR (DuckDB's HUGEINT→DOUBLE is off by an ULP above
+#         2^53); incremental_hll_merge's certificate widened from a
+#         ~1.25σ bound a routine HLL excursion tripped to 5σ,
+#   21-25 BRAND-NEW in r12, closing EVERY remaining mode-matrix cell
 #         with a dedicated gate row (streaming_bitmap_keyed_windowed_
 #         ops; cms_keyed_windowed_counts + streaming twin, shared
 #         CMS_KEYED_WINDOWED_ORACLE; mg_keyed_windowed_top_events +
 #         streaming twin, shared MG_KEYED_WINDOWED_ORACLE),
-#   24    the last r6-evidence row (window_rank_lag),
-#   25-50 the first 26 of the 46 r7-evidence rows (alphabetical;
-#         quality_filter_flags opens the r13 tail at position 51).
+#   26    the last r6-evidence row (window_rank_lag),
+#   27-50 the first 24 of the 46 r7-evidence rows (alphabetical;
+#         pii_redaction opens the r13 tail at position 51).
 #
 # ROUND-13 ROTATION NOTE (positions 51+ are already in promotion
 # order — mechanically: everything outside the r12 head sorted by
-# (last driver round, name)): the 20 r7 leftovers at 51-70
-# (quality_filter_flags … waiting_supplier_counts), then the r8, r9,
-# r10, and r11 blocks.  Promote 51-onward next round — r13's 50 slots
-# take the 20 r7 rows and the first 30 of the r8 block; any query
-# changed during round 13 jumps ahead of everything (changed always
-# first).  The guardrail test enforces this shape — re-sorting this
-# list IS the rotation.
+# (last driver round, name)): the 22 r7 leftovers at 51-72
+# (pii_redaction … waiting_supplier_counts), then the r8, r9, r10,
+# and r11 blocks.  Promote 51-onward next round — r13's 50 slots take
+# the 22 r7 rows and the first 28 of the r8 block; any query changed
+# during round 13 jumps ahead of everything (changed always first).
+# The guardrail test enforces this shape — re-sorting this list IS
+# the rotation.
 _PRIORITY = [
-    # ---- 1-18: changed in r12 (see note above) ----
+    # ---- 1-20: changed in r12 (see note above) ----
     "bitmap_keyed_windowed_ops",
     "bitmap_segment_ops",
     "bitmap_windowed_retention",
@@ -91,15 +94,17 @@ _PRIORITY = [
     "winsorized_values",
     "value_percentiles",
     "median_and_central_tendency",
-    # ---- 19-23: BRAND-NEW in r12 (the matrix-closing rows) ----
+    "trend_slope_by_type",
+    "incremental_hll_merge",
+    # ---- 21-25: BRAND-NEW in r12 (the matrix-closing rows) ----
     "streaming_bitmap_keyed_windowed_ops",
     "cms_keyed_windowed_counts",
     "mg_keyed_windowed_top_events",
     "streaming_cms_keyed_windowed_counts",
     "streaming_mg_keyed_windowed_top_events",
-    # ---- 24: the last r6-evidence row ----
+    # ---- 26: the last r6-evidence row ----
     "window_rank_lag",
-    # ---- 25-50: r7 rows, first 26 of 46 ----
+    # ---- 27-50: r7 rows, first 24 of 46 ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -124,9 +129,9 @@ _PRIORITY = [
     "length_bucketed_batches",
     "media_frame_sampling",
     "paragraph_dedup",
+    # ---- 51-72: last 22 r7 rows (r13 opens here — see note) ----
     "pii_redaction",
     "prototype_label_agreement",
-    # ---- 51-70: last 20 r7 rows (r13 opens here — see note) ----
     "quality_filter_flags",
     "range_join_price_bands",
     "repetition_signals",
@@ -146,7 +151,7 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 70-108: r8 rows ----
+    # ---- 72-110: r8 rows ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -186,7 +191,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 109-150: r9 rows ----
+    # ---- 111-152: r9 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -229,7 +234,7 @@ _PRIORITY = [
     "variant_json_stats",
     "vocab_oov_rate",
     "zscore_standardized_values",
-    # ---- 151-192: r10 rows ----
+    # ---- 153-194: r10 rows ----
     "cheapest_supplier_per_type",
     "concentrated_suppliers",
     "embedding_near_dup_pairs",
@@ -272,7 +277,7 @@ _PRIORITY = [
     "top_supplier_revenue",
     "union_rebalance",
     "unpivot_lineitem_metrics",
-    # ---- 193-238: r11 rows ----
+    # ---- 195-238: r11 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -292,7 +297,6 @@ _PRIORITY = [
     "funnel_time_to_convert",
     "group_aware_split",
     "image_header_dims",
-    "incremental_hll_merge",
     "incremental_stats_merge",
     "k_anonymity_report",
     "kmv_keyed_windowed_distinct",
@@ -314,7 +318,6 @@ _PRIORITY = [
     "streaming_pysource_counts",
     "streaming_side_outputs",
     "temporal_table_join",
-    "trend_slope_by_type",
     "triangle_counts_copurchase",
     "video_mp4_stats",
     "volume_shipping",
