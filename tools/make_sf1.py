@@ -81,18 +81,22 @@ def main() -> None:
                 f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
             ).fetchall()
         ]
-        # embeddings keep a DENSE id space: vec_id offsets by the
-        # source row count, so ids stay exactly [0, 10·n) — the
-        # contrastive sampler's negative_pair_sample CONTRACT requires
-        # dense ids (its fail-loud guard caught the sparse 10^7
-        # offsets at sf1, r12). Other tables keep the wide offset
-        # (nothing requires density there, and wide keys exercise the
-        # 64-bit paths).
+        # embeddings and documents keep a DENSE id space (offset =
+        # source row count, ids stay [0, 10·n)): the contrastive
+        # sampler's negative_pair_sample CONTRACT requires dense
+        # vec_ids (its fail-loud guard caught the sparse 10^7 offsets
+        # at sf1, r12), and the incremental-dedup queries mint batch
+        # ids as doc_id + 100000 with the oracle classifying
+        # new-vs-corpus by that sentinel — sparse 10^7 doc_ids
+        # masquerade as batch members on the oracle side only
+        # (measured: 46,441 vs 46,069 pairs). Other tables keep the
+        # wide offset (nothing requires density there, and wide keys
+        # exercise the 64-bit paths).
         off = (
             con.execute(
                 f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
             ).fetchone()[0]
-            if t == "embeddings"
+            if t in ("embeddings", "documents")
             else OFF
         )
         sel = []
