@@ -33,8 +33,19 @@ deliberate perturbations:
   frequencies, and every MG small-vocab exactness argument survive
   untouched.
 
-Usage:  python tools/make_sf1.py [/tmp/sf1]
+Usage:  python tools/make_sf1.py [/tmp/sf1] [--copies N]
 Then:   python tools/check_oracle.py --strict /tmp/sf1 <queries...>
+
+``--copies 100`` produces an sf10-equivalent fact volume (60M
+lineitem / 10M events) for the r12 100x-real-data scale leg.  The
+documents/embeddings corpus is CAPPED at 10 copies regardless: the
+near-dup family's +100000 id sentinel (SQL_CORPUS_NEAR, the
+incremental-dedup batch ids) needs the dense doc id space to stay
+below 100000, which 10 copies x 5000 docs/sf0.1 exactly respects —
+100 dense copies would alias corpus ids into the sentinel range and
+silently corrupt those queries' semantics, so the corpus scale story
+stays owned by the sf1 sweep while the TPC-H/events fact tables carry
+the 100x point.
 """
 
 from __future__ import annotations
@@ -46,6 +57,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
+CORPUS_COPIES_CAP = 10  # see module docstring: +100000 sentinel headroom
 OFF = 10_000_000  # > every key in sf0.1 by 10x; keys stay BIGINT-tiny
 
 # table -> columns to offset per copy (entity/foreign keys move
@@ -64,10 +76,20 @@ DIMS = ["region", "nation"]
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    args = list(sys.argv[1:])
+    copies = COPIES
+    if "--copies" in args:
+        k = args.index("--copies")
+        copies = int(args[k + 1])
+        del args[k : k + 2]
+    out = args[0] if args else "/tmp/sf1"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"CREATE TABLE copies AS SELECT unnest(range({COPIES})) AS i")
+    con.execute(f"CREATE TABLE copies AS SELECT unnest(range({copies})) AS i")
+    con.execute(
+        "CREATE TABLE corpus_copies AS SELECT unnest(range("
+        f"{min(copies, CORPUS_COPIES_CAP)})) AS i"
+    )
     for t in DIMS:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
@@ -128,9 +150,12 @@ def main() -> None:
                 )
             else:
                 sel.append(c)
+        copies_tbl = (
+            "corpus_copies" if t in ("embeddings", "documents") else "copies"
+        )
         con.execute(
             f"COPY (SELECT {', '.join(sel)} "
-            f"FROM read_parquet('{SRC}/{t}.parquet') CROSS JOIN copies "
+            f"FROM read_parquet('{SRC}/{t}.parquet') CROSS JOIN {copies_tbl} "
             f"ORDER BY i, {keys[0]}) "
             f"TO '{out}/{t}.parquet' (FORMAT parquet)"
         )
