@@ -1,11 +1,23 @@
 """Skew mitigation: salted two-phase aggregation and salted joins.
 
-AQE's skew-join splitting handles most skew at runtime, but a hot KEY
-in an aggregation (one key = 30% of all rows) still funnels into one
-reducer. Salting splits each key into ``salts`` sub-keys for the
-partial aggregate, then combines partials in a second (tiny) agg —
-classic two-phase rebalancing, results bit-equal to the direct plan
-for decomposable aggregates (sum/count/min/max).
+MEASURED guidance (tools/skew_smoke.py, 200M rows with one key owning
+30%, 2M-key dim past the broadcast threshold; PERF.md round 12):
+
+- JOIN skew is real and the toolkit earns its keep: the straggler
+  baseline ran 43.2s; AQE's skew split at DEFAULT thresholds barely
+  moved it (41.5s — the 256MB threshold/64MB advisory left most of
+  the hot partition intact on this layout); ``salted_join`` cut it to
+  31.9s with no engine-config change, and AQE with tuned thresholds
+  (64MB/32MB/factor 2) reached 29.9s. Portable fix vs config fix —
+  comparable outcomes, measured.
+- AGGREGATION skew over DECOMPOSABLE ops is already absorbed by
+  Spark's map-side partial aggregation: the hot key reaches the
+  reducer as <= n_partitions partial rows, not 0.3*N rows. Plain
+  ``groupBy().sum()`` ran 4.1s where ``salted_agg`` paid 22.3s for
+  its extra shuffle-sized grouping. Use ``salted_agg`` ONLY where the
+  per-group partial state is itself huge (exact per-key distinct via
+  two-level groupBy, array/set building) — never for plain
+  sum/count/min/max.
 
 The salt is md5-derived from a stable column (NOT rand()): identical
 results on retry/replay, which matters for exactly-once sinks.
@@ -44,6 +56,14 @@ def salted_agg(
     ``aggs`` maps output name → (op, column); ``salt_col`` is any
     stable, roughly-uniform column (e.g. the row's id). Decomposable
     ops only — avg must be expressed as sum/count by the caller.
+
+    SCOPE (measured, see module docstring): for these decomposable
+    ops Spark's map-side partial aggregation already neutralizes key
+    skew, and this operator is ~5x SLOWER than the plain groupBy at
+    200M rows/30% hot key. It exists for callers whose first-phase
+    groups carry large intermediate state (the exact-distinct
+    two-level groupBy pattern, where the "salt" is the distinct value
+    itself) — reach for plain ``groupBy`` first.
     """
     if "_salt" in keys:
         raise ValueError(
