@@ -97,7 +97,14 @@ def run_to_completion(
     row per key per batch; with a single input batch the result equals
     the batch answer. Pass ``checkpoint_dir`` to resume offsets/state/
     watermark across successive bounded runs (the reference has no
-    checkpointing at all — SURVEY §0 — so this is strictly stronger)."""
+    checkpointing at all — SURVEY §0 — so this is strictly stronger).
+
+    Heap note (measured, PERF.md r12 sf10 leg): the memory sink keeps
+    every emitted row in the driver JVM — ~10M update-mode emissions
+    OOM the default 8g driver heap (set SPARK_GRAFT_DRIVER_MEM=32g for
+    big bounded replays). This is a TEST-HARNESS sink: production runs
+    use foreachBatch into a durable sink (see exactly_once_sink) and
+    never route data through the driver."""
     name = table or f"mem_{uuid.uuid4().hex[:8]}"
     w = (
         df.writeStream.format("memory")
