@@ -65,6 +65,12 @@ from min_flink_spark.queries import windows  # noqa: F401
 #   27-50 the first 24 of the 46 r7-evidence rows (alphabetical;
 #         pii_redaction opens the r13 tail at position 51).
 #
+# (Round-12 continuation: the sf1 staged-replay certificates, the
+# sf10 leg, and the measured perf smokes changed NO query plan or
+# oracle SQL — the prefix above remains exact as written; the only
+# engine-source diffs were docstrings in operators/skew.py and
+# streaming/runner.py.)
+#
 # ROUND-13 ROTATION NOTE (positions 51+ are already in promotion
 # order — mechanically: everything outside the r12 head sorted by
 # (last driver round, name)): the 22 r7 leftovers at 51-72
