@@ -27,6 +27,20 @@ from pyspark.sql import functions as F
 
 _AGG = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count, "avg": F.avg}
 
+# Ceiling for the arrival-ordered float fold below (r13, verdict r12
+# item 2): the fold materializes each group as a sorted array of
+# (order, value) structs inside one aggregation buffer, so a group of
+# n rows costs O(n) executor memory — ~24 bytes/row puts 20M rows
+# around 480 MB, comfortably inside a task heap, while an unbounded
+# hot key would progress from GC pressure to an executor OOM whose
+# stack names collect_list, not the real culprit. The guard turns
+# that into a loud, named failure: any group past the bound raises
+# with the remediation spelled out (order_by=None → plain F.sum with
+# ULP drift, or the fixed-point micro-unit integer sum that
+# streaming_running_reduce proved bit-exact at 10M rows). Pass
+# fold_max_group_rows=None to waive the guard knowingly.
+FOLD_MAX_GROUP_ROWS = 20_000_000
+
 
 def _first_record_struct(cols: list[str], order_by: str | None) -> Column:
     rec = F.struct(*[F.col(c) for c in cols])
@@ -38,7 +52,12 @@ def _first_record_struct(cols: list[str], order_by: str | None) -> Column:
 
 
 def keyed_agg_first_record(
-    df: DataFrame, keys: list[str], field: str | int, op: str, order_by: str | None
+    df: DataFrame,
+    keys: list[str],
+    field: str | int,
+    op: str,
+    order_by: str | None,
+    fold_max_group_rows: int | None = FOLD_MAX_GROUP_ROWS,
 ) -> DataFrame:
     """groupBy(keys) → first-seen record with `field` := op(field).
 
@@ -97,14 +116,49 @@ def keyed_agg_first_record(
         # 100 TB with unbounded hot keys, accept ULP drift with F.sum
         # by passing order_by=None. Integer sums stay on F.sum (exact
         # under any order).
+        #
+        # GROUP-SIZE GUARD (r13): the fold's memory is O(group), so
+        # groups past fold_max_group_rows raise loudly with the
+        # remediation named instead of degrading toward an executor
+        # OOM. The raise sits in the post-aggregation projection — a
+        # group in the 20M–~80M band still builds its array and then
+        # fails with the message; far past that, the OOM itself is
+        # the failure mode the bound exists to keep you away from.
         pairs = F.array_sort(
             F.collect_list(F.struct(F.col(order_by).alias("_o"), F.col(field).alias("_v")))
         )
-        agg_field = F.aggregate(
+        fold = F.aggregate(
             pairs,
             F.lit(0.0).cast(dict(df.dtypes)[field]),
             lambda acc, x: acc + x["_v"],
         )
+        if fold_max_group_rows is not None:
+            agg_field = F.when(
+                F.count(F.col(field)) <= F.lit(fold_max_group_rows), fold
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "keyed_agg_first_record: arrival-ordered float "
+                            "fold refused a group of "
+                        ),
+                        F.count(F.col(field)).cast("string"),
+                        F.lit(
+                            f" rows (> fold_max_group_rows="
+                            f"{fold_max_group_rows}); the fold buffers the "
+                            "whole group in one task. Remediation: pass "
+                            "order_by=None to accept partition-order ULP "
+                            "drift with plain F.sum, sum fixed-point "
+                            "micro-units as bigint (exact under any "
+                            "order), or raise fold_max_group_rows / pass "
+                            "None if the executor heap truly fits the "
+                            "group."
+                        ),
+                    )
+                ).cast(dict(df.dtypes)[field])
+            )
+        else:
+            agg_field = fold
     aggs = [agg_field.alias(field)]
     if others:
         aggs.append(_first_record_struct(others, order_by).alias("_first"))

@@ -24,118 +24,45 @@ from min_flink_spark.queries import windows  # noqa: F401
 # the ledger (python tools/rotation_ledger.py --write) ONLY when
 # rearranging this list.
 #
-# ROUND-12 PREFIX (positions 1-50), executing the r11 verdict item 1
-# (the written r12 rotation) with r12's own changed/new queries
-# jumping ahead (changed always first):
-#   1-20  changed in r12 — three groups:
-#         (a) the bitmap family: bitmap_index widened to composite
-#         keys= lists (bitmap_keyed_windowed_ops also moved its
-#         inline oracle into the shared BITMAP_KEYED_WINDOWED_ORACLE
-#         constant — decorator + plan change; the four single-key
-#         bitmap rows route through the keys-list path, hand-promoted
-#         as in r7-r11, results invariant);
-#         (b) the streaming sketch stack: streaming_kmv_distinct /
-#         streaming_kmv_keyed_windowed_distinct reworked onto the
-#         canonical fresh_attrs helper (hash-visible),
-#         streaming_kmv_windowed_distinct rides the BottomKFunction
-#         key-DDL top-level-comma parse (ADVICE r11) AND the r12
-#         VECTORIZED state transition (numpy lexsort replaces the
-#         per-row Python set — PERF.md r12, results invariant),
-#         streaming_mg_* ride MGFunction's composite-key
-#         generalization, the four CMS rows ride merge_cms /
-#         cms_estimate keys= + the reworked grid guard;
-#         (c) fixes FOUND BY THE SF1 LEG (PERF.md r12):
-#         keyed_sum_first_record folds its float sum in arrival order
-#         on both sides (plain sum() ULP-drifts with partition
-#         count); winsorized_values / value_percentiles /
-#         median_and_central_tendency moved off Spark's percentile()
-#         onto exact_percentiles (value-at-rank on quantile_cont's op
-#         tree); trend_slope_by_type's closed form now rides
-#         decimal(38)/HUGEINT accumulators (real int64 overflow at
-#         10× data) with the oracle's int→double cast routed through
-#         VARCHAR (DuckDB's HUGEINT→DOUBLE is off by an ULP above
-#         2^53); incremental_hll_merge's certificate widened from a
-#         ~1.25σ bound a routine HLL excursion tripped to 5σ,
-#   21-25 BRAND-NEW in r12, closing EVERY remaining mode-matrix cell
-#         with a dedicated gate row (streaming_bitmap_keyed_windowed_
-#         ops; cms_keyed_windowed_counts + streaming twin, shared
-#         CMS_KEYED_WINDOWED_ORACLE; mg_keyed_windowed_top_events +
-#         streaming twin, shared MG_KEYED_WINDOWED_ORACLE),
-#   26    the last r6-evidence row (window_rank_lag),
-#   27-50 the first 24 of the 46 r7-evidence rows (alphabetical;
-#         pii_redaction opens the r13 tail at position 51).
+# ROUND-13 PREFIX (positions 1-50), executing the r12 verdict item 1
+# (the written r13 rotation: the 21 r7-evidence leftovers + the first
+# r8 rows) with r13's own changed/new queries jumping ahead (changed
+# always first):
+#   1     changed in r13: keyed_sum_first_record — its arrival-ordered
+#         float fold gained the FOLD_MAX_GROUP_ROWS group-size guard
+#         (verdict r12 item 2: the per-group collect_list array is
+#         O(group) executor memory; pathological hot keys now fail
+#         loudly with the remediation named instead of drifting into
+#         an opaque executor OOM). Results at gate scale invariant;
+#         the plan gains a count + guarded projection.
+#   2     BRAND-NEW in r13: exact_percentile_grid — the first-class
+#         contract pin for operators/pipeline.exact_percentiles
+#         (verdict r12 item 5): multi-q grid, nulls inside live
+#         groups, an all-null group preserved by the documented
+#         left-join composition, quantile_cont op-tree interpolation.
+#   3-23  the last 21 r7-evidence rows (pii_redaction …
+#         waiting_supplier_counts — alphabetical, mechanically sorted
+#         by (last driver round, name); this retires r7 from the
+#         staleness histogram),
+#   24-50 the first 27 of the 39 r8-evidence rows (ann_pq_topk …
+#         positional_tokens; promo_revenue_share opens the r14 tail
+#         at position 51).
 #
-# (Round-12 continuation: the sf1 staged-replay certificates, the
-# sf10 leg, and the measured perf smokes changed NO query plan or
-# oracle SQL — the prefix above remains exact as written; the only
-# engine-source diffs were docstrings in operators/skew.py and
-# streaming/runner.py.)
-#
-# ROUND-13 ROTATION NOTE (positions 51+ are already in promotion
-# order — mechanically: everything outside the r12 head sorted by
-# (last driver round, name)): the 22 r7 leftovers at 51-72
-# (pii_redaction … waiting_supplier_counts), then the r8, r9, r10,
-# and r11 blocks.  Promote 51-onward next round — r13's 50 slots take
-# the 22 r7 rows and the first 28 of the r8 block; any query changed
-# during round 13 jumps ahead of everything (changed always first).
+# ROUND-14 ROTATION NOTE (positions 51+ are already in promotion
+# order — mechanically: everything outside the r13 head sorted by
+# (last driver round, name)): the 12 r8 leftovers at 51-62
+# (promo_revenue_share … zorder_key_events), then the r9, r10, r11,
+# and r12 blocks.  Promote 51-onward next round — r14's 50 slots take
+# the 12 r8 rows and the first 38 of the r9 block; any query changed
+# during round 14 jumps ahead of everything (changed always first).
 # The guardrail test enforces this shape — re-sorting this list IS
 # the rotation.
 _PRIORITY = [
-    # ---- 1-20: changed in r12 (see note above) ----
-    "bitmap_keyed_windowed_ops",
-    "bitmap_segment_ops",
-    "bitmap_windowed_retention",
-    "streaming_bitmap_segment_ops",
-    "streaming_bitmap_windowed_retention",
-    "streaming_kmv_distinct",
-    "streaming_kmv_windowed_distinct",
-    "streaming_kmv_keyed_windowed_distinct",
-    "streaming_mg_heavy_hitters",
-    "streaming_mg_windowed_top_events",
-    "cms_term_frequencies",
-    "cms_windowed_counts",
-    "streaming_cms_counts",
-    "streaming_cms_windowed_counts",
+    # ---- 1: changed in r13 (see note above) ----
     "keyed_sum_first_record",
-    "winsorized_values",
-    "value_percentiles",
-    "median_and_central_tendency",
-    "trend_slope_by_type",
-    "incremental_hll_merge",
-    # ---- 21-25: BRAND-NEW in r12 (the matrix-closing rows) ----
-    "streaming_bitmap_keyed_windowed_ops",
-    "cms_keyed_windowed_counts",
-    "mg_keyed_windowed_top_events",
-    "streaming_cms_keyed_windowed_counts",
-    "streaming_mg_keyed_windowed_top_events",
-    # ---- 26: the last r6-evidence row ----
-    "window_rank_lag",
-    # ---- 27-50: r7 rows, first 24 of 46 ----
-    "array_function_sampler",
-    "audio_wav_stats",
-    "bfs_reach_copurchase",
-    "contamination_overlap",
-    "corpus_drift_report",
-    "cross_join_status_grid",
-    "csv_corrupt_record_quarantine",
-    "datetime_function_sampler",
-    "dedup_keep_best",
-    "disjunctive_predicate_revenue",
-    "domain_mix_sample",
-    "either_tagged_union",
-    "embedding_normalize_project",
-    "epoch_shuffle_index",
-    "explode_outer_tokens",
-    "global_sort_expensive_orders",
-    "grouping_sets_revenue",
-    "incremental_dedup",
-    "interevent_gap_histogram",
-    "kcore_copurchase",
-    "kmv_segment_overlap",
-    "length_bucketed_batches",
-    "media_frame_sampling",
-    "paragraph_dedup",
-    # ---- 51-72: last 22 r7 rows (r13 opens here — see note) ----
+    # ---- 2: BRAND-NEW in r13 (exact_percentiles contract pin) ----
+    "exact_percentile_grid",
+    # ---- 3-23: the last 21 r7-evidence rows ----
     "pii_redaction",
     "prototype_label_agreement",
     "quality_filter_flags",
@@ -157,7 +84,8 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 72-110: r8 rows ----
+    # ---- 24-50: first 27 of the 39 r8 rows (gate ends at 50;
+    #      promo_revenue_share opens the r14 tail at position 51) ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -185,6 +113,7 @@ _PRIORITY = [
     "part_value_concentration",
     "per_domain_cap",
     "positional_tokens",
+    # ---- 51-62: last 12 r8 rows (r14 opens here — see note) ----
     "promo_revenue_share",
     "streaming_interval_join",
     "streaming_session_window",
@@ -197,7 +126,7 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 111-152: r9 rows ----
+    # ---- r9 rows ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -240,7 +169,7 @@ _PRIORITY = [
     "variant_json_stats",
     "vocab_oov_rate",
     "zscore_standardized_values",
-    # ---- 153-194: r10 rows ----
+    # ---- r10 rows ----
     "cheapest_supplier_per_type",
     "concentrated_suppliers",
     "embedding_near_dup_pairs",
@@ -283,7 +212,7 @@ _PRIORITY = [
     "top_supplier_revenue",
     "union_rebalance",
     "unpivot_lineitem_metrics",
-    # ---- 195-238: r11 rows ----
+    # ---- r11 rows ----
     "bigram_lm_surprisal",
     "bpe_merge_training",
     "bpe_tokenized_lengths",
@@ -328,6 +257,56 @@ _PRIORITY = [
     "video_mp4_stats",
     "volume_shipping",
     "weekly_active_growth",
+    # ---- r12 rows ----
+    "array_function_sampler",
+    "audio_wav_stats",
+    "bfs_reach_copurchase",
+    "bitmap_keyed_windowed_ops",
+    "bitmap_segment_ops",
+    "bitmap_windowed_retention",
+    "cms_keyed_windowed_counts",
+    "cms_term_frequencies",
+    "cms_windowed_counts",
+    "contamination_overlap",
+    "corpus_drift_report",
+    "cross_join_status_grid",
+    "csv_corrupt_record_quarantine",
+    "datetime_function_sampler",
+    "dedup_keep_best",
+    "disjunctive_predicate_revenue",
+    "domain_mix_sample",
+    "either_tagged_union",
+    "embedding_normalize_project",
+    "epoch_shuffle_index",
+    "explode_outer_tokens",
+    "global_sort_expensive_orders",
+    "grouping_sets_revenue",
+    "incremental_dedup",
+    "incremental_hll_merge",
+    "interevent_gap_histogram",
+    "kcore_copurchase",
+    "kmv_segment_overlap",
+    "length_bucketed_batches",
+    "media_frame_sampling",
+    "median_and_central_tendency",
+    "mg_keyed_windowed_top_events",
+    "paragraph_dedup",
+    "streaming_bitmap_keyed_windowed_ops",
+    "streaming_bitmap_segment_ops",
+    "streaming_bitmap_windowed_retention",
+    "streaming_cms_counts",
+    "streaming_cms_keyed_windowed_counts",
+    "streaming_cms_windowed_counts",
+    "streaming_kmv_distinct",
+    "streaming_kmv_keyed_windowed_distinct",
+    "streaming_kmv_windowed_distinct",
+    "streaming_mg_heavy_hitters",
+    "streaming_mg_keyed_windowed_top_events",
+    "streaming_mg_windowed_top_events",
+    "trend_slope_by_type",
+    "value_percentiles",
+    "window_rank_lag",
+    "winsorized_values",
 ]
 
 

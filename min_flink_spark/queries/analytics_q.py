@@ -73,6 +73,71 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_percentile_grid",
+    # quantile_cont over a derived column that (a) carries nulls mixed
+    # into live groups (every 7th event_id) and (b) makes one whole
+    # group all-null ('error') — quantile_cont ignores nulls and
+    # returns NULL for an empty set, and GROUP BY keeps the all-null
+    # group, exactly matching the operator's left-join-preserve
+    # contract below.
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'error' OR event_id % 7 = 0
+                  THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_type,
+           quantile_cont(v, 0.05) AS p05,
+           quantile_cont(v, 0.25) AS p25,
+           quantile_cont(v, 0.50) AS p50,
+           quantile_cont(v, 0.75) AS p75,
+           quantile_cont(v, 0.95) AS p95,
+           CAST(count(v) AS BIGINT) AS n_vals
+    FROM v GROUP BY event_type
+    """,
+)
+def q_exact_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class pin of operators/pipeline.exact_percentiles'
+    FULL contract (verdict r12 item 5) — previously exercised only
+    through three queries that each used a narrow slice of it:
+
+    - a multi-q grid (p05/p25/p50/p75/p95) computed in ONE pass — one
+      distributed range sort per group, only rows AT the needed ranks
+      surviving into the keys-sized final aggregate (never Spark's
+      percentile(), whose buffer holds every group value in one task);
+    - nulls mixed into live groups (ignored, as quantile_cont does);
+    - an ALL-null group ('error'), which the operator drops and the
+      caller must left-join back — pinned here with NULL percentiles
+      and n_vals=0, the exact shape DuckDB's GROUP BY emits;
+    - interpolation at fractional ranks evaluating quantile_cont's op
+      tree ((⌈p⌉−p)·lo + (p−⌊p⌋)·hi), bit-identical to the replay.
+    """
+    from min_flink_spark.operators.pipeline import exact_percentiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(
+            (F.col("event_type") == "error") | (F.col("event_id") % 7 == 0),
+            F.lit(None),
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    grid = exact_percentiles(
+        ev, "v", [0.05, 0.25, 0.50, 0.75, 0.95],
+        ["p05", "p25", "p50", "p75", "p95"], keys=["event_type"],
+    )
+    counts = ev.groupBy("event_type").agg(F.count("v").alias("n_vals"))
+    # counts has every group (all-null included); grid lacks all-null
+    # groups — the documented left-join-preserve composition.
+    return counts.join(grid, "event_type", "left").select(
+        "event_type", "p05", "p25", "p50", "p75", "p95", "n_vals"
+    )
+
+
+@query(
     "approx_aggregates",
     oracle="""
     SELECT event_type,

@@ -86,7 +86,10 @@ def q_keyed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-aggregated fields come from the first-seen record
     (SumAggregator.java:68-76); arrival order = event_id. The float
     sum folds in arrival order on BOTH sides (see oracle note +
-    functions/aggregations.keyed_agg_first_record)."""
+    functions/aggregations.keyed_agg_first_record). r13: the fold now
+    carries a group-size guard (FOLD_MAX_GROUP_ROWS) — a pathological
+    hot key fails loudly with remediation named instead of drifting
+    into an executor OOM inside collect_list."""
     return (
         Stream(load_table(spark, sf_dir, "events"))
         .key_by("user_id")

@@ -151,3 +151,37 @@ def test_keyed_float_sum_is_partition_invariant(spark):
             0.0,
         )
         assert repr(outs[0][k]) == repr(seq)
+
+
+def test_ordered_float_fold_group_size_guard(spark):
+    """r13 (verdict r12 item 2): the arrival-ordered float fold
+    buffers each group as an array, so a group past
+    fold_max_group_rows must FAIL LOUDLY with the remediation named —
+    not degrade toward a collect_list executor OOM. At the bound it
+    still computes; past it, the raise carries the knob names."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from min_flink_spark.functions.aggregations import keyed_agg_first_record
+
+    rows = [(1, i, float(i)) for i in range(5)] + [(2, 0, 1.5)]
+    df = spark.createDataFrame(rows, "k int, oid bigint, v double")
+
+    # At the bound: group of 5 with bound 5 computes normally.
+    ok = keyed_agg_first_record(df, ["k"], "v", "sum", "oid", fold_max_group_rows=5)
+    got = {r["k"]: r["v"] for r in ok.collect()}
+    assert got == {1: 10.0, 2: 1.5}
+
+    # Past the bound: loud failure naming the bound and the outs.
+    import pytest
+
+    bad = keyed_agg_first_record(df, ["k"], "v", "sum", "oid", fold_max_group_rows=4)
+    with pytest.raises(SparkRuntimeException) as exc:
+        bad.collect()
+    msg = str(exc.value)
+    assert "fold_max_group_rows" in msg and "order_by=None" in msg
+
+    # Waived guard (None): computes regardless of group size.
+    waived = keyed_agg_first_record(
+        df, ["k"], "v", "sum", "oid", fold_max_group_rows=None
+    )
+    assert {r["k"]: r["v"] for r in waived.collect()} == {1: 10.0, 2: 1.5}

@@ -1069,3 +1069,67 @@ def test_bottom_k_keyed_range_merge_identity(spark, rows, k):
     assert sorted(
         map(tuple, merged.select("key", "pos", "hash", "id").collect())
     ) == sorted(map(tuple, direct.select("key", "pos", "hash", "id").collect()))
+
+
+# --- exact_percentiles ≡ quantile_cont op tree (verdict r12 item 5) ---
+#
+# The operator's contract is BIT-identity with DuckDB's quantile_cont
+# formula ((⌈p⌉−p)·lo + (p−⌊p⌋)·hi over 0-based pos = q·(n−1)), not
+# just closeness — the r12 sf1 fix exists because Spark percentile()'s
+# algebraically-equal formula differs by ULPs. Model the formula in
+# Python (same IEEE ops, same order) and require repr-equality.
+
+pct_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # group key
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+qs_strategy = st.lists(
+    st.sampled_from([0.0, 0.05, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0]),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+def _quantile_cont_model(vals, q):
+    import math
+
+    vs = sorted(v for v in vals if v is not None)
+    if not vs:
+        return None
+    p = q * float(len(vs) - 1)
+    lo, hi = vs[int(math.floor(p))], vs[int(math.ceil(p))]
+    if math.ceil(p) == math.floor(p):
+        return lo
+    return (math.ceil(p) - p) * lo + (p - math.floor(p)) * hi
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=pct_rows_strategy, qs=qs_strategy)
+def test_exact_percentiles_matches_quantile_cont_model(spark, rows, qs):
+    from min_flink_spark.operators.pipeline import exact_percentiles
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows], "k int, v double"
+    )
+    aliases = [f"q{j}" for j in range(len(qs))]
+    out = exact_percentiles(df, "v", qs, aliases, keys=["k"])
+    got = {r["k"]: [r[a] for a in aliases] for r in out.collect()}
+    for k in {k for k, _ in rows}:
+        vals = [v for kk, v in rows if kk == k]
+        want = [_quantile_cont_model(vals, q) for q in qs]
+        if all(w is None for w in want):
+            # all-null group: operator drops the row (documented)
+            assert k not in got
+            continue
+        assert [repr(x) for x in got[k]] == [repr(w) for w in want]

@@ -43,6 +43,7 @@ Usage:  python tools/sf1_hard_cert.py [/tmp/sf1]
 
 from __future__ import annotations
 
+import re
 import sys
 import time
 
@@ -60,8 +61,6 @@ from min_flink_spark.queries.analytics_q import (  # noqa: E402
 from min_flink_spark.queries.llm import SQL_CORPUS_NEAR, SQL_SHINGLES  # noqa: E402
 from min_flink_spark.session import get_spark  # noqa: E402
 from min_flink_spark.sources import TABLES  # noqa: E402
-
-check_oracle.STRICT = True  # the driver's gate does not round floats
 
 QUERIES = (
     "dedup_clusters",
@@ -271,9 +270,14 @@ def stage_kcore(con: duckdb.DuckDBPyConnection) -> str:
     )
     print(f"  staged e0 in {time.time() - t0:.1f}s", flush=True)
     for i in (1, 2, 3):
-        # _KCORE_ROUND is "e{i} AS (SELECT ...)" — reuse its body verbatim
-        body = _KCORE_ROUND.format(i=i, prev=i - 1).split("AS", 1)[1].strip()
-        con.execute(f"CREATE TEMP TABLE e{i} AS {body}")
+        # _KCORE_ROUND is "e{i} AS (SELECT ...)" — reuse its body
+        # verbatim. Split on the ANCHORED alias pattern, not a bare
+        # "AS" (ADVICE r12: any future 'AS' earlier in the template
+        # would silently corrupt the staged SQL).
+        formatted = _KCORE_ROUND.format(i=i, prev=i - 1)
+        parts = re.split(rf"\be{i} AS\b", formatted, maxsplit=1)
+        assert len(parts) == 2, f"_KCORE_ROUND lost its 'e{i} AS' anchor"
+        con.execute(f"CREATE TEMP TABLE e{i} AS {parts[1].strip()}")
     return (
         _KCORE_STATS.format(i=1)
         + " UNION ALL "
@@ -289,6 +293,10 @@ def stage_kcore(con: duckdb.DuckDBPyConnection) -> str:
 
 
 def main() -> int:
+    # ADVICE r12: set strict mode HERE, not at import — module import
+    # must not flip the shared check_oracle module for the rest of a
+    # pytest process (tests/test_tools_import.py imports this module).
+    check_oracle.STRICT = True  # the driver's gate does not round floats
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     import importlib
 

@@ -159,10 +159,18 @@ def main() -> int:
             salted_agg(fact, ["k"], {"s": ("sum", "v")}, F.col("v"), salts=salts)
         ),
     )
+    # ADVICE r12: the agg variants are evidence behind operators/skew's
+    # salted_agg guidance, so their results must be ASSERTED equal,
+    # not just printed (v is bigint — sums are exact, order-free).
+    sums["agg_naive"] = agg_checksum(fact.groupBy("k").agg(F.sum("v").alias("s")))
+    sums["agg_salted"] = agg_checksum(
+        salted_agg(fact, ["k"], {"s": ("sum", "v")}, F.col("v"), salts=salts)
+    )
 
     print("\n== result cross-check (all join variants must match) ==")
     print(sums)
     assert sums["join_naive"] == sums["join_aqe"] == sums["join_salted"], "variant results differ!"
+    assert sums["agg_naive"] == sums["agg_salted"], "agg variant results differ!"
 
     print("\n== min times ==")
     for k, v in results.items():
