@@ -32,14 +32,28 @@ that keeps improving while the median drifts up means the machine got
 lucky once, not that the code got faster — r4's embedding_cosine_topk
 "+15%" that r5 measured back at -14.6% is exactly the ambiguity the
 min+median pair resolves.
+
+SF1 LEG (r13, verdict r12 item 4): the frozen sf0.1 collect() block is
+box-noise-dominated (controls rode 0.82–1.22 across r11-r12 artifacts),
+so round-over-round trend needs a leg where compute dwarfs the noise
+floor.  ``python bench.py --sf /tmp/sf1 --sink parquet`` times the same
+15 headlines at 10× data with the durable-sink convention the sf10
+decomposition proved out (write.parquet to a scratch dir instead of
+collect() — the driver-transfer term vanishes exactly as it would on a
+cluster writing to distributed storage).  One artifact per round
+committed as BENCH_r{N}_sf1.json; the default invocation (sf0.1,
+collect) is byte-compatible with the BENCH_r1-r12 history and stays
+what the driver records.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -47,7 +61,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from min_flink_spark.queries import QUERIES  # noqa: E402
 from min_flink_spark.session import get_spark  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+def _cli_arg(args: list[str], flag: str, default: str) -> str:
+    if flag in args:
+        i = args.index(flag)
+        v = args[i + 1]
+        del args[i : i + 2]
+        return v
+    return default
+
+
+_ARGS = sys.argv[1:]
+SF_DIR = _cli_arg(
+    _ARGS, "--sf", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+)
+SINK = _cli_arg(_ARGS, "--sink", "collect")  # collect | parquet
+if SINK not in ("collect", "parquet"):
+    raise SystemExit(f"--sink must be collect|parquet, got {SINK}")
 
 # Headline set: one per operator family — scan/agg, star join, join+topk,
 # analytic windows, event-time windows (incl. session), text flatMap,
@@ -95,6 +125,20 @@ def main() -> None:
     spark = get_spark(app_name="min-flink-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    sink_dir = tempfile.mkdtemp(prefix="bench_sink_") if SINK == "parquet" else None
+
+    def materialize(df, name: str) -> None:
+        # collect: the r1-compatible convention (driver transfer is part
+        # of the number). parquet: the cluster-shaped convention — the
+        # result lands in a distributed-writable sink, so the timing
+        # covers scan → shuffle → write, not a single-process driver
+        # merge (the sf10 decomposition measured 147 s of pure
+        # collect() transfer on a 15M-row output that writes in 3 s).
+        if SINK == "collect":
+            assert df.collect() is not None
+        else:
+            df.write.mode("overwrite").parquet(os.path.join(sink_dir, name))
+
     # warmup: run the same plans at the sibling sf0.001 to absorb JIT/
     # codegen/worker startup (see module docstring); skipped when it
     # would re-run the EXACT timed inputs (benching sf0.001 itself) or
@@ -107,7 +151,7 @@ def main() -> None:
         and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR)
     ):
         for name in HEADLINE:
-            QUERIES[name](spark, warm_dir).collect()
+            materialize(QUERIES[name](spark, warm_dir), f"_warm_{name}")
     if not cold:  # scan pre-touch belongs to warm mode only — in cold
         # mode it would pre-warm the FS cache/reader for every
         # lineitem-based query, contradicting the cold request
@@ -119,9 +163,8 @@ def main() -> None:
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
+            materialize(fn(spark, SF_DIR), name)
             samples[name].append(round(time.perf_counter() - t0, 3))
-            assert rows is not None
     times = {name: min(s) for name, s in samples.items()}
     medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
 
@@ -139,7 +182,7 @@ def main() -> None:
     controls_ratio = None
     controls_ratio_median = None
     value_controls_normalized = None
-    if sf_val == 0.1 and not cold:
+    if sf_val == 0.1 and not cold and SINK == "collect":
         controls_ratio = {
             name: round(times[name] / pin, 3)
             for name, pin in CONTROL_PINS_SF01.items()
@@ -168,12 +211,15 @@ def main() -> None:
                 "queries_median": medians,
                 "reps": reps,
                 "sf": sf_val,
+                "sink": SINK,
                 "controls_ratio_vs_r8era": controls_ratio,
                 "controls_ratio_median": controls_ratio_median,
                 "value_controls_normalized": value_controls_normalized,
             }
         )
     )
+    if sink_dir is not None:
+        shutil.rmtree(sink_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

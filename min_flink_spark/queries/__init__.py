@@ -28,41 +28,48 @@ from min_flink_spark.queries import windows  # noqa: F401
 # (the written r13 rotation: the 21 r7-evidence leftovers + the first
 # r8 rows) with r13's own changed/new queries jumping ahead (changed
 # always first):
-#   1     changed in r13: keyed_sum_first_record — its arrival-ordered
-#         float fold gained the FOLD_MAX_GROUP_ROWS group-size guard
-#         (verdict r12 item 2: the per-group collect_list array is
-#         O(group) executor memory; pathological hot keys now fail
-#         loudly with the remediation named instead of drifting into
-#         an opaque executor OOM). Results at gate scale invariant;
-#         the plan gains a count + guarded projection.
-#   2     BRAND-NEW in r13: exact_percentile_grid — the first-class
+#   1-2   changed in r13:
+#         (a) keyed_sum_first_record — its arrival-ordered float fold
+#         gained the FOLD_MAX_GROUP_ROWS group-size guard (verdict
+#         r12 item 2: the per-group collect_list array is O(group)
+#         executor memory; pathological hot keys now fail loudly with
+#         the remediation named instead of drifting into an opaque
+#         executor OOM). Results at gate scale invariant; the plan
+#         gains a count + guarded projection.
+#         (b) mg_per_lang_top_terms — contract redesigned from
+#         bit-exact-because-vocab≤m (a toy-data argument) to the
+#         containment/bound certificate mg_heavy_hitters carries
+#         (m 64→128), which holds at ANY vocabulary — unblocking the
+#         r13 few-thousand-word sf1 corpus (verdict r12 item 3).
+#   3     BRAND-NEW in r13: exact_percentile_grid — the first-class
 #         contract pin for operators/pipeline.exact_percentiles
 #         (verdict r12 item 5): multi-q grid, nulls inside live
 #         groups, an all-null group preserved by the documented
 #         left-join composition, quantile_cont op-tree interpolation.
-#   3-23  the last 21 r7-evidence rows (pii_redaction …
+#   4-24  the last 21 r7-evidence rows (pii_redaction …
 #         waiting_supplier_counts — alphabetical, mechanically sorted
 #         by (last driver round, name); this retires r7 from the
 #         staleness histogram),
-#   24-50 the first 27 of the 39 r8-evidence rows (ann_pq_topk …
-#         positional_tokens; promo_revenue_share opens the r14 tail
-#         at position 51).
+#   25-50 the first 26 of the 39 r8-evidence rows (ann_pq_topk …
+#         per_domain_cap; positional_tokens opens the r14 tail at
+#         position 51).
 #
 # ROUND-14 ROTATION NOTE (positions 51+ are already in promotion
 # order — mechanically: everything outside the r13 head sorted by
-# (last driver round, name)): the 12 r8 leftovers at 51-62
-# (promo_revenue_share … zorder_key_events), then the r9, r10, r11,
+# (last driver round, name)): the 13 r8 leftovers at 51-63
+# (positional_tokens … zorder_key_events), then the r9, r10, r11,
 # and r12 blocks.  Promote 51-onward next round — r14's 50 slots take
-# the 12 r8 rows and the first 38 of the r9 block; any query changed
+# the 13 r8 rows and the first 37 of the r9 block; any query changed
 # during round 14 jumps ahead of everything (changed always first).
 # The guardrail test enforces this shape — re-sorting this list IS
 # the rotation.
 _PRIORITY = [
-    # ---- 1: changed in r13 (see note above) ----
+    # ---- 1-2: changed in r13 (see note above) ----
     "keyed_sum_first_record",
-    # ---- 2: BRAND-NEW in r13 (exact_percentiles contract pin) ----
+    "mg_per_lang_top_terms",
+    # ---- 3: BRAND-NEW in r13 (exact_percentiles contract pin) ----
     "exact_percentile_grid",
-    # ---- 3-23: the last 21 r7-evidence rows ----
+    # ---- 4-24: the last 21 r7-evidence rows ----
     "pii_redaction",
     "prototype_label_agreement",
     "quality_filter_flags",
@@ -84,8 +91,8 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 24-50: first 27 of the 39 r8 rows (gate ends at 50;
-    #      promo_revenue_share opens the r14 tail at position 51) ----
+    # ---- 25-50: first 26 of the 39 r8 rows (gate ends at 50;
+    #      positional_tokens opens the r14 tail at position 51) ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -112,8 +119,8 @@ _PRIORITY = [
     "null_semantics_sampler",
     "part_value_concentration",
     "per_domain_cap",
+    # ---- 51-63: last 13 r8 rows (r14 opens here — see note) ----
     "positional_tokens",
-    # ---- 51-62: last 12 r8 rows (r14 opens here — see note) ----
     "promo_revenue_share",
     "streaming_interval_join",
     "streaming_session_window",
@@ -146,7 +153,6 @@ _PRIORITY = [
     "embedding_cosine_topk",
     "lpa_communities_copurchase",
     "mg_heavy_hitters",
-    "mg_per_lang_top_terms",
     "pagerank_copurchase",
     "recency_decay_weights",
     "recursive_event_chains",

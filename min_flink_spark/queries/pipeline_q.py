@@ -2822,12 +2822,13 @@ def q_bitmap_keyed_windowed_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, unnest({SQL_TOKS}) AS term FROM documents
     ),
     exact AS (
-      SELECT lang, term, CAST(count(*) AS BIGINT) AS est,
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS exact_cnt,
              row_number() OVER (PARTITION BY lang
                                 ORDER BY count(*) DESC, term ASC) AS rnk
       FROM tok GROUP BY 1, 2
     )
-    SELECT lang, CAST(rnk AS INT) AS rnk, term, est
+    SELECT lang, CAST(rnk AS INT) AS rnk, term, exact_cnt,
+           TRUE AS in_summary, TRUE AS within_bound
     FROM exact WHERE rnk <= 3
     """,
 )
@@ -2835,35 +2836,60 @@ def q_mg_per_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYED Misra-Gries — one m-counter summary PER KEY out of a
     single scan (operators/pipeline.misra_gries_summary keys=; the
     key-rides-the-sketch discipline of count_min_sketch/
-    bottom_k_sketch): top-3 tokens per document language from per-lang
-    SpaceSaving summaries at m=64. The testdata vocabulary is ≤ 31
-    distinct tokens per language at every SF, so m=64 means no
-    subtraction EVER fires (partition pass or merge) and the keyed
-    summary is provably EXACT — the small-vocab guarantee the oracle
-    replays literally: ranks, counts, and tie-breaks must match the
-    exact per-lang frequency table bit-for-bit. At 100 TB the same
-    plan is bounded by keys-in-partition × m counters in the one
-    Python stage and a keys-partitioned summary-sized merge window —
-    no global funnel anywhere."""
+    bottom_k_sketch): per-language SpaceSaving summaries at m=128,
+    certified against the exact per-lang top-3.
+
+    r13 CONTRACT REDESIGN (with the richer sf1 corpus, verdict r12
+    item 3): the old contract demanded the summary match the exact
+    per-lang frequency table bit-for-bit, which is only provable when
+    the per-lang vocabulary fits inside m — a toy-data argument (the
+    driver testdata's 31 words) that a few-thousand-word corpus
+    rightly breaks. The honest contract at ANY vocabulary is the same
+    containment/bound certificate mg_heavy_hitters carries: each exact
+    per-lang top-3 term must appear in that lang's summary
+    (containment holds whenever its frequency > N_lang/(m+1); the sf1
+    corpus pins rank-3 ≥ ~2% of lang tokens vs the 0.78% threshold,
+    margin ≈ 2.7×) and its estimate must satisfy
+    true − N_lang/m ≤ est ≤ true (mergeable-summaries accounting,
+    unconditional). At gate scale the 31-word vocabulary keeps the
+    summary exact, so the booleans are trivially TRUE there too. At
+    100 TB the plan is bounded by keys-in-partition × m counters in
+    the one Python stage and a keys-partitioned summary-sized merge
+    window — no global funnel anywhere."""
     from min_flink_spark.operators.pipeline import misra_gries_summary
 
     docs = load_table(spark, sf_dir, "documents")
     from min_flink_spark.functions.text import tokens as _toks
 
+    m = 128
     tok = docs.select("lang", F.explode(_toks(F.col("text"))).alias("term"))
-    summary = misra_gries_summary(tok, "term", m=64, keys=["lang"])
-    w = Window.partitionBy("lang").orderBy(
-        F.col("est").desc(), F.col("item").asc()
+    summary = misra_gries_summary(tok, "term", m=m, keys=["lang"])
+    counts = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
     )
-    return (
-        summary.withColumn("rnk", F.row_number().over(w))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("exact_cnt").desc(), F.col("term").asc()
+    )
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select(
-            "lang",
-            F.col("rnk").cast("int").alias("rnk"),
-            F.col("item").alias("term"),
-            "est",
-        )
+    )
+    # N per lang rides the vocab-sized counts frame (no third scan)
+    n_lang = counts.groupBy("lang").agg(F.sum("exact_cnt").alias("_n"))
+    checked = top.join(
+        summary.withColumnRenamed("item", "term"), ["lang", "term"], "left"
+    ).join(n_lang, "lang")
+    return checked.select(
+        "lang",
+        F.col("rnk").cast("int").alias("rnk"),
+        "term",
+        "exact_cnt",
+        F.col("est").isNotNull().alias("in_summary"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("exact_cnt"))
+            & (F.col("est") >= F.col("exact_cnt") - F.col("_n") / F.lit(m))
+        ).alias("within_bound"),
     )
 
 
