@@ -37,6 +37,27 @@ Expected honest outcomes (verify, then write them into PERF.md):
 
 Usage: python tools/skew_smoke.py [--rows 40000000] [--keys 2000000]
            [--hot-share 0.3] [--salts 16] [--reps 2]
+
+NATURAL-SKEW MODE (r13, verdict r12 item 6): ``--natural <sf_dir>``
+runs the same variant matrix on REAL parquet instead of the synthetic
+hostile distribution — orders ⋈ customer on o_custkey for the join
+leg, events groupBy(user_id) for the agg leg — and FIRST computes the
+decision inputs the "measure before salting" recipe needs: the
+hottest key's row count, estimated bytes (rows × bytes/row from table
+stats), and the AQE skew thresholds it would have to cross
+(max(spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes —
+default 256MB, factor 5 × median partition) before the split kicks
+in). The printed verdict is the recipe applied: hot-partition MB
+under the threshold → DO NOTHING (salting pays its overhead for no
+straggler to kill); over it → AQE split first, salt where AQE can't
+see the shuffle. The expected honest outcome on TPC-H-shaped data is
+the negative branch — natural orders-per-customer / events-per-user
+skew is orders of magnitude below the threshold, and the measured
+variant times should show salting as pure overhead, the mirror image
+of the synthetic leg's 30%-hot-key positive branch.
+
+Usage: python tools/skew_smoke.py --natural /tmp/sf10 [--salts 16]
+           [--reps 2]
 """
 
 from __future__ import annotations
@@ -93,8 +114,146 @@ def timed(label: str, reps: int, fn) -> float:
     return best
 
 
+def natural_leg(spark, sf_dir: str, salts: int, reps: int) -> int:
+    """The variant matrix on real parquet + the decision-threshold
+    numbers (module docstring, NATURAL-SKEW MODE)."""
+    import os
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    print(f"== decision inputs ({sf_dir}) ==", flush=True)
+    decisions = []
+    for label, df, key, path in (
+        ("orders.o_custkey", orders, "o_custkey", "orders.parquet"),
+        ("events.user_id", events, "user_id", "events.parquet"),
+    ):
+        n = df.count()
+        stats = (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.max("c").alias("hot"),
+                F.count(F.lit(1)).alias("nkeys"),
+                F.expr("percentile_approx(c, 0.5)").alias("med"),
+            )
+            .collect()[0]
+        )
+        fsize = sum(
+            os.path.getsize(os.path.join(sf_dir, path, f))
+            for f in os.listdir(os.path.join(sf_dir, path))
+        ) if os.path.isdir(os.path.join(sf_dir, path)) else os.path.getsize(
+            os.path.join(sf_dir, path)
+        )
+        bytes_per_row = fsize / n
+        hot_mb = stats["hot"] * bytes_per_row / 1e6
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        median_part_mb = fsize / parts / 1e6
+        threshold_mb = max(256.0, 5 * median_part_mb)
+        decisions.append(hot_mb > threshold_mb)
+        print(
+            f"{label}: rows={n} keys={stats['nkeys']} hot_key_rows={stats['hot']} "
+            f"median_key_rows={stats['med']} bytes/row~{bytes_per_row:.1f} "
+            f"hot_partition~{hot_mb:.2f}MB vs AQE split threshold "
+            f"max(256MB, 5x median partition {median_part_mb:.1f}MB)="
+            f"{threshold_mb:.0f}MB -> "
+            + ("SALT/SPLIT territory" if hot_mb > threshold_mb else "DO NOTHING"),
+            flush=True,
+        )
+
+    # exact-integer value so every variant's checksum is order-free
+    fact_j = orders.select(
+        F.col("o_custkey").alias("k"), (F.col("o_orderkey") % 1000).alias("v")
+    )
+    dim = customer.select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("w")
+    )
+    fact_a = events.select(
+        F.col("user_id").alias("k"), (F.col("event_id") % 1000).alias("v")
+    )
+
+    def checksum(df: DataFrame):
+        r = df.agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+        return (r["s"], r["n"])
+
+    def agg_checksum(df: DataFrame):
+        r = df.agg(F.sum("s").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+        return (r["s"], r["n"])
+
+    results: dict[str, float] = {}
+    sums: dict[str, tuple] = {}
+
+    def run_join(skew_split: bool):
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(skew_split).lower()
+        )
+        try:
+            return checksum(fact_j.join(dim, "k", "inner"))
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    results["join_naive_noaqe_split"] = timed(
+        "join-naive (AQE skew split off)", reps, lambda: run_join(False)
+    )
+    sums["join_naive"] = run_join(False)
+    results["join_aqe"] = timed(
+        "join-aqe (default thresholds)", reps, lambda: run_join(True)
+    )
+    sums["join_aqe"] = run_join(True)
+    results["join_salted"] = timed(
+        f"join-salted (salts={salts})",
+        reps,
+        lambda: checksum(salted_join(fact_j, dim, ["k"], F.col("v"), salts=salts)),
+    )
+    sums["join_salted"] = checksum(
+        salted_join(fact_j, dim, ["k"], F.col("v"), salts=salts)
+    )
+    results["agg_naive"] = timed(
+        "agg-naive (plain groupBy sum)",
+        reps,
+        lambda: agg_checksum(fact_a.groupBy("k").agg(F.sum("v").alias("s"))),
+    )
+    results["agg_salted"] = timed(
+        f"agg-salted (salts={salts})",
+        reps,
+        lambda: agg_checksum(
+            salted_agg(fact_a, ["k"], {"s": ("sum", "v")}, F.col("v"), salts=salts)
+        ),
+    )
+    sums["agg_naive"] = agg_checksum(fact_a.groupBy("k").agg(F.sum("v").alias("s")))
+    sums["agg_salted"] = agg_checksum(
+        salted_agg(fact_a, ["k"], {"s": ("sum", "v")}, F.col("v"), salts=salts)
+    )
+
+    print("\n== result cross-check ==")
+    print(sums)
+    assert sums["join_naive"] == sums["join_aqe"] == sums["join_salted"], (
+        "join variant results differ!"
+    )
+    assert sums["agg_naive"] == sums["agg_salted"], "agg variant results differ!"
+    print("\n== min times ==")
+    for k, v in results.items():
+        print(f"{k}: {v:.2f}s")
+    print(
+        "\nverdict:",
+        "salting justified on at least one table"
+        if any(decisions)
+        else "natural skew below every threshold — the recipe says DO NOTHING; "
+        "the variant times above price what ignoring it would cost",
+    )
+    return 0
+
+
 def main() -> int:
     args = list(sys.argv[1:])
+    natural = _arg(args, "--natural", None, str)
+    if natural is not None:
+        salts = _arg(args, "--salts", 16, int)
+        reps = _arg(args, "--reps", 2, int)
+        spark = get_spark(app_name="skew-smoke-natural")
+        spark.sparkContext.setLogLevel("ERROR")
+        return natural_leg(spark, natural, salts, reps)
     rows = _arg(args, "--rows", 40_000_000, int)
     n_keys = _arg(args, "--keys", 2_000_000, int)
     hot_share = _arg(args, "--hot-share", 0.3, float)
