@@ -232,11 +232,25 @@ def compact_parquet(
         from min_flink_spark.functions.hashing import zorder_key
 
         a, b = zorder_by
+
+        def _numeric(col: str):
+            # Timestamps (incl. TIMESTAMP_NTZ, which Spark 4 refuses to
+            # cast to double) are numeric-ized ORDER-PRESERVINGLY via
+            # epoch micros — ts × entity-id is the canonical Z-order
+            # pair, so this must not require a caller-side derived
+            # column (r13).
+            dt = dict(df.dtypes)[col]
+            if dt.startswith("timestamp"):
+                return F.unix_micros(F.col(col).cast("timestamp")).cast(
+                    "double"
+                )
+            return F.col(col).cast("double")
+
         stats = df.agg(
-            F.min(F.col(a).cast("double")).alias("amin"),
-            F.max(F.col(a).cast("double")).alias("amax"),
-            F.min(F.col(b).cast("double")).alias("bmin"),
-            F.max(F.col(b).cast("double")).alias("bmax"),
+            F.min(_numeric(a)).alias("amin"),
+            F.max(_numeric(a)).alias("amax"),
+            F.min(_numeric(b)).alias("bmin"),
+            F.max(_numeric(b)).alias("bmax"),
         ).first()
 
         import math as _math
@@ -256,9 +270,7 @@ def compact_parquet(
         def _scaled(col: str, lo, hi):
             if _degenerate(lo, hi):
                 return F.lit(0).cast("bigint")
-            v = F.coalesce(
-                F.nanvl(F.col(col).cast("double"), F.lit(lo)), F.lit(lo)
-            )
+            v = F.coalesce(F.nanvl(_numeric(col), F.lit(lo)), F.lit(lo))
             return F.floor((v - lo) * 65535.0 / (hi - lo)).cast("bigint")
 
         zk = zorder_key(

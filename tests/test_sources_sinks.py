@@ -353,3 +353,38 @@ def test_invalidate_table_cache_refreshes_registered_views(spark, tmp_path):
     invalidate_table_cache(spark, sf_dir=sf, name="events")
     assert spark.sql("SELECT count(*) c FROM events").first()["c"] == 2
     spark.catalog.dropTempView("events")
+
+
+def test_compact_parquet_zorder_timestamp_dimension(spark, tmp_path):
+    """r13: a TIMESTAMP_NTZ zorder column must be numeric-ized
+    order-preservingly (epoch micros) — Spark 4 refuses
+    cast(ntz AS double), and ts × entity-id is the canonical Z-order
+    pair. Each written file's ts span must be sub-global."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from min_flink_spark.sources import compact_parquet
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(0, 4096).selectExpr(
+        "id % 64 AS a",
+        "CAST(timestamp_ntz'2024-01-01 00:00:00' + make_interval("
+        "0, 0, 0, 0, 0, 0, CAST(id / 64 AS INT) * 3600) AS TIMESTAMP_NTZ)"
+        " AS ts",
+        "id",
+    ).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_mb=1, zorder_by=("a", "ts"))
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) >= 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 4096
+    spans = []
+    for f in files:
+        col = pq.read_table(f, columns=["ts"])["ts"].to_pylist()
+        if col:
+            spans.append((max(col) - min(col)).total_seconds())
+    global_span = 63 * 3600.0
+    if len(files) > 1:
+        assert sum(spans) / len(spans) < global_span

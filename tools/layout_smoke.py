@@ -27,6 +27,17 @@ meaningful at this volume — at 100 TB the default 128MB groups give
 the same files-to-data ratio.
 
 Usage: python tools/layout_smoke.py [sf_dir] [--reps 2]
+           [--dims user_event|user_ts]
+
+``--dims user_ts`` (r13) swaps the second dimension from event_id to
+``ts``: event_id moves WITH user_id at every copy offset in the
+upsampled data (the r12 caveat — correlated dimensions flatter
+single-column sort because pruning one column accidentally prunes the
+other), while ts is copied VERBATIM across copies, so (user_id, ts)
+are genuinely independent there — and ts × entity-id is the canonical
+real-world Z-order pair anyway. Expected honest outcome: on the
+independent pair, single-column sort keeps its user_id pruning but
+does ~nothing for the ts probe, while Z-order prunes both.
 """
 
 from __future__ import annotations
@@ -51,6 +62,13 @@ def main() -> int:
         k = args.index("--reps")
         reps = int(args[k + 1])
         del args[k : k + 2]
+    dims = "user_event"
+    if "--dims" in args:
+        k = args.index("--dims")
+        dims = args[k + 1]
+        del args[k : k + 2]
+    if dims not in ("user_event", "user_ts"):
+        raise SystemExit(f"--dims must be user_event|user_ts, got {dims}")
     sf_dir = args[0] if args else "/tmp/sf10"
 
     spark = get_spark(
@@ -68,7 +86,41 @@ def main() -> int:
     # same-region slices intersect — the realistic z-order workload is
     # exactly such correlated dimensions (ts x entity id)
     u1, u2 = (int(x) for x in ev.approxQuantile("user_id", [0.40, 0.41], 0.001))
-    e1, e2 = (int(x) for x in ev.approxQuantile("event_id", [0.40, 0.41], 0.001))
+    if dims == "user_ts":
+        # ts is TIMESTAMP_NTZ — quantile on epoch micros, predicate as
+        # NTZ literals so parquet min/max pruning sees the raw column
+        import datetime
+
+        tsm = ev.select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("m")
+        )
+        m1, m2 = (
+            int(x) for x in tsm.approxQuantile("m", [0.40, 0.41], 0.001)
+        )
+        s1, s2 = (
+            datetime.datetime.utcfromtimestamp(m / 1e6).strftime(
+                "%Y-%m-%d %H:%M:%S.%f"
+            )
+            for m in (m1, m2)
+        )
+        dim2_col = "ts"
+
+        def dim2_pred(df):
+            return (F.col("ts") >= F.expr(f"TIMESTAMP_NTZ '{s1}'")) & (
+                F.col("ts") < F.expr(f"TIMESTAMP_NTZ '{s2}'")
+            )
+
+    else:
+        e1, e2 = (
+            int(x)
+            for x in ev.approxQuantile("event_id", [0.40, 0.41], 0.001)
+        )
+        dim2_col = "event_id"
+
+        def dim2_pred(df):
+            return (F.col("event_id") >= e1) & (F.col("event_id") < e2)
+
+    print(f"dims: (user_id, {dim2_col})", flush=True)
 
     # hostile ingest layout: hash-shuffle into 500 files
     print("building layouts...", flush=True)
@@ -85,7 +137,7 @@ def main() -> int:
     t0 = time.time()
     compact_parquet(
         spark, f"{BASE}/scattered", f"{BASE}/zordered", target_file_mb=256,
-        zorder_by=("user_id", "event_id"),
+        zorder_by=("user_id", dim2_col),
     )
     t_z = time.time() - t0
     print(
@@ -103,14 +155,13 @@ def main() -> int:
         "user_range": lambda df: df.filter(
             (F.col("user_id") >= u1) & (F.col("user_id") < u2)
         ).agg(F.count(F.lit(1))).collect()[0],
-        "event_range": lambda df: df.filter(
-            (F.col("event_id") >= e1) & (F.col("event_id") < e2)
-        ).agg(F.count(F.lit(1))).collect()[0],
+        "dim2_range": lambda df: df.filter(dim2_pred(df)).agg(
+            F.count(F.lit(1))
+        ).collect()[0],
         "both_ranges": lambda df: df.filter(
             (F.col("user_id") >= u1)
             & (F.col("user_id") < u2)
-            & (F.col("event_id") >= e1)
-            & (F.col("event_id") < e2)
+            & dim2_pred(df)
         ).agg(F.count(F.lit(1))).collect()[0],
     }
 
@@ -166,14 +217,11 @@ def main() -> int:
             "user_range": lambda df: df.filter(
                 (F.col("user_id") >= u1) & (F.col("user_id") < u2)
             ),
-            "event_range": lambda df: df.filter(
-                (F.col("event_id") >= e1) & (F.col("event_id") < e2)
-            ),
+            "dim2_range": lambda df: df.filter(dim2_pred(df)),
             "both_ranges": lambda df: df.filter(
                 (F.col("user_id") >= u1)
                 & (F.col("user_id") < u2)
-                & (F.col("event_id") >= e1)
-                & (F.col("event_id") < e2)
+                & dim2_pred(df)
             ),
         }.items():
             row = pname.ljust(14)
