@@ -147,10 +147,10 @@ def main() -> int:
             release_backing(sdf)
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark error: {e}", flush=True)
             continue
         if name not in oracles:
-            print(f"rows-only  {name}: {len(srows)} rows")
+            print(f"rows-only  {name}: {len(srows)} rows", flush=True)
             continue
         try:
             cur = con.execute(oracles[name])
@@ -166,7 +166,7 @@ def main() -> int:
             ]
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: duckdb error: {e}", flush=True)
             continue
         problems = []
         if len(srows) != len(orows):
@@ -179,7 +179,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
-            print(f"ok    {name} ({len(srows)} rows)")
+            print(f"ok    {name} ({len(srows)} rows)", flush=True)
 
     ran = [n for n in qs if not only or n in only]
     print(f"\n{len(ran) - len(failures)}/{len(ran)} ok")
