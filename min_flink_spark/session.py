@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's legacy default) carries NO usable row-group
+        # statistics — a time-range predicate on an INT96 column scans
+        # every row group (measured r13: 1M rows scanned vs 65k with
+        # MICROS on the identical sorted layout). At 100 TB that is the
+        # difference between pruning a time-partitioned scan and
+        # reading the lake. NB the reader-side twin limitation:
+        # TIMESTAMP_NTZ columns never stats-prune in Spark 4 regardless
+        # of physical type — keep prune-relevant event time as
+        # TIMESTAMP (UTC) or epoch bigint in stored layouts.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")

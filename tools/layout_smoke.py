@@ -38,6 +38,18 @@ are genuinely independent there — and ts × entity-id is the canonical
 real-world Z-order pair anyway. Expected honest outcome: on the
 independent pair, single-column sort keeps its user_id pruning but
 does ~nothing for the ts probe, while Z-order prunes both.
+
+MEASURED PREREQUISITE (r13, found by this leg's first run): Spark 4's
+parquet reader never evaluates row-group min/max statistics for
+TIMESTAMP_NTZ columns — a pushed ts predicate scanned all 10M rows on
+a perfectly ts-clustered layout — and the INT96 physical type Spark
+writes TIMESTAMP as BY DEFAULT carries no usable stats either
+(measured on a 1M-row sorted layout: NTZ scans 1M, INT96 scans 1M,
+TIMESTAMP-as-MICROS scans 65k). So the user_ts leg stores event time
+the way a prune-able lakehouse layout must: cast to TIMESTAMP (UTC
+session, order-preserving) and written as TIMESTAMP_MICROS (now the
+engine session default, min_flink_spark/session.py). The probe
+predicates are plain TIMESTAMP literals on the raw column.
 """
 
 from __future__ import annotations
@@ -87,13 +99,13 @@ def main() -> int:
     # exactly such correlated dimensions (ts x entity id)
     u1, u2 = (int(x) for x in ev.approxQuantile("user_id", [0.40, 0.41], 0.001))
     if dims == "user_ts":
-        # ts is TIMESTAMP_NTZ — quantile on epoch micros, predicate as
-        # NTZ literals so parquet min/max pruning sees the raw column
+        # the prune-able event-time encoding (see docstring): NTZ →
+        # TIMESTAMP under the UTC session (order-preserving), written
+        # as TIMESTAMP_MICROS by the session default
         import datetime
 
-        tsm = ev.select(
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("m")
-        )
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        tsm = ev.select(F.unix_micros(F.col("ts")).alias("m"))
         m1, m2 = (
             int(x) for x in tsm.approxQuantile("m", [0.40, 0.41], 0.001)
         )
@@ -106,8 +118,8 @@ def main() -> int:
         dim2_col = "ts"
 
         def dim2_pred(df):
-            return (F.col("ts") >= F.expr(f"TIMESTAMP_NTZ '{s1}'")) & (
-                F.col("ts") < F.expr(f"TIMESTAMP_NTZ '{s2}'")
+            return (F.col("ts") >= F.expr(f"TIMESTAMP '{s1}'")) & (
+                F.col("ts") < F.expr(f"TIMESTAMP '{s2}'")
             )
 
     else:
