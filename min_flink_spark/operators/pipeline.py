@@ -422,40 +422,104 @@ def exact_percentiles(
     qs: list[float],
     aliases: list[str],
     keys: list[str] | None = None,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per key via VALUE-AT-RANK —
     ``(*keys, *aliases)``, one row per key.
 
     Replaces Spark's ``percentile()`` aggregate in the registry's
-    exact-percentile queries for two measured reasons (r12):
+    exact-percentile queries for a measured reason (r12):
+    **determinism** — Spark's percentile() interpolates as
+    ``lo + (hi − lo)·frac`` while DuckDB's quantile_cont evaluates
+    ``(⌈pos⌉ − pos)·lo + (pos − ⌊pos⌋)·hi`` — algebraically equal,
+    ULP-different (first seen at sf1: a group of 198,100 values put
+    pos at frac 0.95 inside a run of equal values, 2.52 vs
+    2.5200000000000005). Both paths below evaluate the quantile_cont
+    op tree, so results are bit-identical to the SQL replay at any
+    group size and under either path.
 
-    - **determinism**: Spark's percentile() interpolates as
-      ``lo + (hi − lo)·frac`` while DuckDB's quantile_cont evaluates
-      ``(⌈pos⌉ − pos)·lo + (pos − ⌊pos⌋)·hi`` — algebraically equal,
-      ULP-different (first seen at sf1: a group of 198,100 values put
-      pos at frac 0.95 inside a run of equal values, 2.52 vs
-      2.5200000000000005). This operator evaluates the quantile_cont
-      op tree, so results are bit-identical to the SQL replay at any
-      group size;
-    - **scale**: percentile()'s aggregation buffer holds EVERY group
-      value in one task (the single-reducer hazard the funnel query
-      retired in r6). Here each group is range-sorted by one window
-      (rows stay distributed), only the ≤ 2·len(qs) rows AT the
-      needed ranks survive into a keys-sized final aggregate.
+    TWO physical strategies (r13 — measured at sf10, correcting the
+    r12 docstring's claim that the window form "keeps rows
+    distributed"; a per-group window sort funnels each WHOLE group
+    through one task, same O(group)-in-one-task class as
+    percentile()'s buffer, just spillable):
+
+    - ``distributed=False`` (default when ``keys`` are given): one
+      window sort per group. Right when groups are numerous and
+      individually modest — measured 8.4 s vs percentile()'s 2.1 s at
+      10M rows / 5 groups (percentile() wins small groups; use this
+      form when you need oracle-bit-exactness, not raw speed).
+    - ``distributed=True`` (default when ungrouped): TRUE distributed
+      value-at-rank — range-repartition on (keys, value), per-slice
+      local ranks (each task handles ~group/n_partitions rows), a
+      partition-count frame (≤ n_partitions × groups rows) turned
+      into global rank offsets by a tiny cumulative window, broadcast
+      back. No task ever holds a whole group. Measured at 60M
+      ungrouped values: the r12 window form took 66 s through ONE
+      task (and percentile() GC-thrashed to death on its 60M-value
+      buffer); this path sorts 32 range slices in parallel. Tie
+      caveat: range partitioning cannot split equal values, so the
+      per-task bound degrades to the multiplicity of the most
+      repeated value.
 
     Null values are ignored (as both percentile() and quantile_cont
     do); a group whose values are ALL null produces no row — callers
     that must preserve such groups left-join the result.
     """
     keys = keys or []
-    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
-    wk = Window.partitionBy(*keys)
-    ranked = (
-        df.select(*keys, value_col)
-        .filter(F.col(value_col).isNotNull())
-        .withColumn("_rk", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(wk))
-    )
+    if distributed is None:
+        # ungrouped = everything in one "group": the window form would
+        # be a single-task global sort — always go distributed there
+        distributed = not keys
+    vals = df.select(*keys, value_col).filter(F.col(value_col).isNotNull())
+    if distributed:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        s = vals.repartitionByRange(
+            n_parts, *[F.col(k) for k in keys], F.col(value_col)
+        ).withColumn("_pid", F.spark_partition_id())
+        # local rank within the (range-slice, key) cell: the window
+        # hash-shuffles on (_pid, keys), so each task holds one SLICE
+        # of a group, never the group
+        wloc = Window.partitionBy("_pid", *keys).orderBy(
+            F.col(value_col).asc()
+        )
+        local = s.withColumn("_lrk", F.row_number().over(wloc))
+        counts = local.groupBy("_pid", *keys).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        # offsets: cumulative count of strictly-earlier slices per key
+        # — the counts frame is ≤ n_parts × |groups| rows, so the
+        # single-partition window (when keys == []) is summary-sized
+        wcum = (
+            Window.partitionBy(*keys)
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wtot = Window.partitionBy(*keys)
+        offsets = counts.select(
+            "_pid",
+            *keys,
+            F.coalesce(F.sum("_c").over(wcum), F.lit(0)).alias("_off"),
+            F.sum("_c").over(wtot).alias("_n"),
+        )
+        # global rank = slice offset + local rank. Ties spanning slice
+        # boundaries get arbitrary rank ORDER but identical VALUES, so
+        # every value-at-rank is unchanged. Offsets frame is tiny →
+        # broadcast join.
+        ranked = local.join(F.broadcast(offsets), ["_pid", *keys]).select(
+            *keys,
+            value_col,
+            (F.col("_lrk") + F.col("_off")).alias("_rk"),
+            "_n",
+        )
+    else:
+        w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+        wk = Window.partitionBy(*keys)
+        ranked = vals.withColumn("_rk", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wk)
+        )
 
     def pos(q: float):
         return F.lit(q) * (F.col("_n") - 1).cast("double")

@@ -125,9 +125,14 @@ def q_exact_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("v"),
     )
+    # distributed=True: this gate row pins the r13 TRUE-distributed
+    # value-at-rank path (range-repartition + per-slice local ranks +
+    # offset broadcast — no task ever holds a whole group); the three
+    # older percentile queries pin the per-group window path.
     grid = exact_percentiles(
         ev, "v", [0.05, 0.25, 0.50, 0.75, 0.95],
         ["p05", "p25", "p50", "p75", "p95"], keys=["event_type"],
+        distributed=True,
     )
     counts = ev.groupBy("event_type").agg(F.count("v").alias("n_vals"))
     # counts has every group (all-null included); grid lacks all-null

@@ -1114,16 +1114,23 @@ def _quantile_cont_model(vals, q):
     return (math.ceil(p) - p) * lo + (p - math.floor(p)) * hi
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=pct_rows_strategy, qs=qs_strategy)
-def test_exact_percentiles_matches_quantile_cont_model(spark, rows, qs):
+@pytest.mark.parametrize("distributed", [False, True])
+def test_exact_percentiles_matches_quantile_cont_model(spark, rows, qs, distributed):
+    """Both physical strategies (per-group window sort; r13
+    range-repartition + local-rank + offset-broadcast) must be
+    bit-identical to the quantile_cont model — the distributed path's
+    global ranks are exact, not approximate."""
     from min_flink_spark.operators.pipeline import exact_percentiles
 
     df = spark.createDataFrame(
         [(k, v) for k, v in rows], "k int, v double"
     )
     aliases = [f"q{j}" for j in range(len(qs))]
-    out = exact_percentiles(df, "v", qs, aliases, keys=["k"])
+    out = exact_percentiles(
+        df, "v", qs, aliases, keys=["k"], distributed=distributed
+    )
     got = {r["k"]: [r[a] for a in aliases] for r in out.collect()}
     for k in {k for k, _ in rows}:
         vals = [v for kk, v in rows if kk == k]
