@@ -28,7 +28,7 @@ from min_flink_spark.queries import windows  # noqa: F401
 # (the written r13 rotation: the 21 r7-evidence leftovers + the first
 # r8 rows) with r13's own changed/new queries jumping ahead (changed
 # always first):
-#   1-2   changed in r13:
+#   1-3   changed in r13:
 #         (a) keyed_sum_first_record — its arrival-ordered float fold
 #         gained the FOLD_MAX_GROUP_ROWS group-size guard (verdict
 #         r12 item 2: the per-group collect_list array is O(group)
@@ -41,35 +41,42 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         containment/bound certificate mg_heavy_hitters carries
 #         (m 64→128), which holds at ANY vocabulary — unblocking the
 #         r13 few-thousand-word sf1 corpus (verdict r12 item 3).
-#   3     BRAND-NEW in r13: exact_percentile_grid — the first-class
+#         (c) tfidf_top_terms — profiled at sf1: Catalyst's column
+#         pruning specialized the three tf-derived legs, ReuseExchange
+#         never fired, and the corpus was tokenized THREE times; the
+#         per-term df and per-doc length are now WINDOW aggregates
+#         over the single tf frame (one tokenize, zero joins, same
+#         shuffle budget; sf0.1 headline 1.39→1.00 s).
+#   4     BRAND-NEW in r13: exact_percentile_grid — the first-class
 #         contract pin for operators/pipeline.exact_percentiles
 #         (verdict r12 item 5): multi-q grid, nulls inside live
 #         groups, an all-null group preserved by the documented
 #         left-join composition, quantile_cont op-tree interpolation.
-#   4-24  the last 21 r7-evidence rows (pii_redaction …
+#   5-25  the last 21 r7-evidence rows (pii_redaction …
 #         waiting_supplier_counts — alphabetical, mechanically sorted
 #         by (last driver round, name); this retires r7 from the
 #         staleness histogram),
-#   25-50 the first 26 of the 39 r8-evidence rows (ann_pq_topk …
-#         per_domain_cap; positional_tokens opens the r14 tail at
-#         position 51).
+#   26-50 the first 25 of the 39 r8-evidence rows (ann_pq_topk …
+#         part_value_concentration; per_domain_cap opens the r14 tail
+#         at position 51).
 #
 # ROUND-14 ROTATION NOTE (positions 51+ are already in promotion
 # order — mechanically: everything outside the r13 head sorted by
-# (last driver round, name)): the 13 r8 leftovers at 51-63
-# (positional_tokens … zorder_key_events), then the r9, r10, r11,
-# and r12 blocks.  Promote 51-onward next round — r14's 50 slots take
-# the 13 r8 rows and the first 37 of the r9 block; any query changed
+# (last driver round, name)): the 14 r8 leftovers at 51-64
+# (per_domain_cap … zorder_key_events), then the r9, r10, r11, and
+# r12 blocks.  Promote 51-onward next round — r14's 50 slots take
+# the 14 r8 rows and the first 36 of the r9 block; any query changed
 # during round 14 jumps ahead of everything (changed always first).
 # The guardrail test enforces this shape — re-sorting this list IS
 # the rotation.
 _PRIORITY = [
-    # ---- 1-2: changed in r13 (see note above) ----
+    # ---- 1-3: changed in r13 (see note above) ----
     "keyed_sum_first_record",
     "mg_per_lang_top_terms",
-    # ---- 3: BRAND-NEW in r13 (exact_percentiles contract pin) ----
+    "tfidf_top_terms",
+    # ---- 4: BRAND-NEW in r13 (exact_percentiles contract pin) ----
     "exact_percentile_grid",
-    # ---- 4-24: the last 21 r7-evidence rows ----
+    # ---- 5-25: the last 21 r7-evidence rows ----
     "pii_redaction",
     "prototype_label_agreement",
     "quality_filter_flags",
@@ -91,8 +98,8 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 25-50: first 26 of the 39 r8 rows (gate ends at 50;
-    #      positional_tokens opens the r14 tail at position 51) ----
+    # ---- 26-50: first 25 of the 39 r8 rows (gate ends at 50;
+    #      per_domain_cap opens the r14 tail at position 51) ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -118,8 +125,8 @@ _PRIORITY = [
     "nested_field_sum_first_record",
     "null_semantics_sampler",
     "part_value_concentration",
+    # ---- 51-64: last 14 r8 rows (r14 opens here — see note) ----
     "per_domain_cap",
-    # ---- 51-63: last 13 r8 rows (r14 opens here — see note) ----
     "positional_tokens",
     "promo_revenue_share",
     "streaming_interval_join",
@@ -169,7 +176,6 @@ _PRIORITY = [
     "streaming_running_reduce",
     "substring_dedup",
     "text_chunking",
-    "tfidf_top_terms",
     "train_val_test_split",
     "unigram_surprisal_score",
     "variant_json_stats",

@@ -51,30 +51,33 @@ SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> leng
     """,
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document. Shuffle budget: one on
-    (doc, term), one on term (df), one on doc for the top-k window; the
-    document-count scalar rides a broadcast cross join, never a driver
-    collect. The df (per-term document frequency) join carries NO
-    broadcast hint: its cardinality is the vocabulary, which is
-    unbounded on a web corpus (10^8-10^9 terms at 100 TB) — a forced
-    hint would OOM every executor there. AQE broadcasts it when it
-    measures small, and otherwise shuffles on `term`, which is cheap
-    because tf is already hash-partitioned by (doc_id, term)."""
+    """Top-3 TF-IDF terms per document — ONE tokenize, window-derived
+    statistics (r13 restructure).
+
+    The r12 form derived doclen/df as three groupBys over the same tf
+    frame and leaned on ReuseExchange to dedupe the (doc, term)
+    shuffle; profiled at sf1 (PERF.md r13), Catalyst's column pruning
+    specializes each leg's aggregate (the df leg drops `cnt`
+    entirely), the exchanges stop being identical, reuse never fires,
+    and the corpus was TOKENIZED THREE TIMES — the regex explode over
+    2.7M tokens dominated the 5.7-6.9 s wall. Now the per-term
+    document frequency and per-doc length are WINDOW aggregates over
+    the single tf frame: same shuffle budget (one on (doc, term), one
+    on term, one on doc — the doc-length window and the top-k window
+    share one exchange), zero joins, and exactly one tokenize pass.
+    The document-count scalar still rides a broadcast cross join from
+    a column-pruned count scan, never a driver collect. No broadcast
+    hints anywhere: vocabulary cardinality is unbounded on a web
+    corpus (10^8-10^9 terms at 100 TB)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    # tf feeds THREE consumers (join leg, doclen, df). Deliberately NOT
-    # persisted: measured 1.2 s unpersisted vs 2.0 s persisted at sf0.1
-    # — the cache-write barrier costs more than re-running the map-side
-    # tokenize (which pipelines inside each consumer's stage), and AQE's
-    # ReuseExchange already dedupes the expensive (doc_id, term) shuffle.
-    # Revisit only if the corpus-side tokenize dominates (profile first).
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
     n = docs.agg(F.count(F.lit(1)).alias("total"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id")
     scored = (
-        tf.join(doclen, "doc_id")
-        .join(df_, "term")
+        tf.withColumn("n_docs", F.count(F.lit(1)).over(w_term))
+        .withColumn("len", F.sum("cnt").over(w_doc))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
