@@ -963,15 +963,34 @@ def bpe_train_merges(
     reference scan in ``tests/test_properties.py``. A naive
     single-space padded replace eats the shared separator and skips
     every alternating occurrence (``aaaa`` → ``aa a a``). The oracle
-    replays the same double-space replace in SQL. Fixed round count =
-    fixed plan depth; real trainers run ~30k rounds and would
-    localCheckpoint every few rounds like connected_components."""
+    replays the same double-space replace in SQL.
+
+    CHECKPOINT AT THE CORPUS BOUNDARY (r13 — found by a plan
+    scan-count audit, then MEASURED both ways): without any
+    materialization, lineage recomputation silently defeats the "one
+    corpus-scale pass" design — round r re-derives every earlier
+    round INCLUDING the corpus tokenize, and the final merge-list
+    union re-evaluates each round's chain (the executed
+    bpe_merge_training plan held SEVEN corpus scans; the apply-side
+    query NINE — at 100 TB each is a full-corpus pass). The fix is ONE
+    eager localCheckpoint of the word-TYPE table: everything after it
+    recomputes only vocabulary-sized work, so the corpus is scanned
+    exactly once no matter how rounds compound. Per-round
+    checkpointing was ALSO measured and rejected (sf1: 6.0-7.5 s vs
+    ~4.8 s — three materialization barriers cost more than recomputing
+    3 rounds of vocab-sized lineage; at ~30k real rounds you would
+    re-checkpoint every few hundred rounds, connected_components
+    style). The returned merge list reads the type checkpoint lazily
+    — it carries the handle via ``attach_backing`` so consumers free
+    the blocks after materializing."""
+    from min_flink_spark.core.ckpt import attach_backing
     from min_flink_spark.operators.relational import top_k
 
     w = words.select(
         F.concat_ws(" ", F.split(F.col(word_col), "")).alias("sym"),
         F.col(cnt_col).cast("bigint").alias("cnt"),
-    )
+    ).localCheckpoint(eager=True)
+    w_ckpt = w
     pairs_expr = F.expr(
         "CASE WHEN size(split(sym, ' ')) > 1 THEN "
         "transform(sequence(1, size(split(sym, ' ')) - 1), "
@@ -997,7 +1016,7 @@ def bpe_train_merges(
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out
+    return attach_backing(out, w_ckpt)
 
 
 def bpe_apply_merges(
@@ -1017,7 +1036,12 @@ def bpe_apply_merges(
     broadcast and applied as chained forward-scan replaces
     (``_merge_pair`` double-space rule — exact BPE application) via
     ``aggregate`` over the merge array — no per-merge join, one
-    projection regardless of model size."""
+    projection regardless of model size. The result CARRIES the merge
+    frame's checkpoint backing (``carry_backing``) — the model array
+    is derived lazily from ``bpe_train_merges``' checkpointed rounds,
+    so their blocks must outlive this result's materialization."""
+    from min_flink_spark.core.ckpt import carry_backing
+
     ordered = merges.agg(
         F.array_sort(
             F.array_agg(F.struct(F.col("merge_rank"), F.col("pair")))
@@ -1031,9 +1055,10 @@ def bpe_apply_merges(
         sym0,
         lambda acc, p: _merge_pair(acc, p),
     )
-    return df.crossJoin(F.broadcast(ordered)).withColumn(
+    result = df.crossJoin(F.broadcast(ordered)).withColumn(
         out_col, applied
     ).drop("_merges")
+    return carry_backing(result, merges)
 
 
 def compaction_plan(

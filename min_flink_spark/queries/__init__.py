@@ -28,7 +28,7 @@ from min_flink_spark.queries import windows  # noqa: F401
 # (the written r13 rotation: the 21 r7-evidence leftovers + the first
 # r8 rows) with r13's own changed/new queries jumping ahead (changed
 # always first):
-#   1-3   changed in r13:
+#   1-5   changed in r13:
 #         (a) keyed_sum_first_record — its arrival-ordered float fold
 #         gained the FOLD_MAX_GROUP_ROWS group-size guard (verdict
 #         r12 item 2: the per-group collect_list array is O(group)
@@ -47,36 +47,46 @@ from min_flink_spark.queries import windows  # noqa: F401
 #         per-term df and per-doc length are now WINDOW aggregates
 #         over the single tf frame (one tokenize, zero joins, same
 #         shuffle budget; sf0.1 headline 1.39→1.00 s).
-#   4     BRAND-NEW in r13: exact_percentile_grid — the first-class
+#         (d)+(e) bpe_merge_training / bpe_tokenized_lengths — the
+#         same scan-count audit found lineage recomputation multiplied
+#         the corpus tokenize 7×/9×; the word-type table is now
+#         localCheckpoint-ed at the corpus boundary (scans → 0/1 in
+#         the executed plans; per-round checkpoints measured and
+#         REJECTED — barriers cost more than vocab-sized recompute),
+#         with attach/carry/release backing discipline throughout.
+#   6     BRAND-NEW in r13: exact_percentile_grid — the first-class
 #         contract pin for operators/pipeline.exact_percentiles
 #         (verdict r12 item 5): multi-q grid, nulls inside live
 #         groups, an all-null group preserved by the documented
 #         left-join composition, quantile_cont op-tree interpolation.
-#   5-25  the last 21 r7-evidence rows (pii_redaction …
+#   7-27  the last 21 r7-evidence rows (pii_redaction …
 #         waiting_supplier_counts — alphabetical, mechanically sorted
 #         by (last driver round, name); this retires r7 from the
 #         staleness histogram),
-#   26-50 the first 25 of the 39 r8-evidence rows (ann_pq_topk …
-#         part_value_concentration; per_domain_cap opens the r14 tail
-#         at position 51).
+#   28-50 the first 23 of the 39 r8-evidence rows (ann_pq_topk …
+#         nested_field_sum_first_record; null_semantics_sampler opens
+#         the r14 tail at position 51).
 #
 # ROUND-14 ROTATION NOTE (positions 51+ are already in promotion
 # order — mechanically: everything outside the r13 head sorted by
-# (last driver round, name)): the 14 r8 leftovers at 51-64
-# (per_domain_cap … zorder_key_events), then the r9, r10, r11, and
-# r12 blocks.  Promote 51-onward next round — r14's 50 slots take
-# the 14 r8 rows and the first 36 of the r9 block; any query changed
-# during round 14 jumps ahead of everything (changed always first).
+# (last driver round, name)): the 16 r8 leftovers at 51-66
+# (null_semantics_sampler … zorder_key_events), then the r9, r10,
+# r11, and r12 blocks.  Promote 51-onward next round — r14's 50 slots
+# take the 16 r8 rows and the first 34 of the r9 block; any query
+# changed during round 14 jumps ahead of everything (changed always
+# first).
 # The guardrail test enforces this shape — re-sorting this list IS
 # the rotation.
 _PRIORITY = [
-    # ---- 1-3: changed in r13 (see note above) ----
+    # ---- 1-5: changed in r13 (see note above) ----
     "keyed_sum_first_record",
     "mg_per_lang_top_terms",
     "tfidf_top_terms",
-    # ---- 4: BRAND-NEW in r13 (exact_percentiles contract pin) ----
+    "bpe_merge_training",
+    "bpe_tokenized_lengths",
+    # ---- 6: BRAND-NEW in r13 (exact_percentiles contract pin) ----
     "exact_percentile_grid",
-    # ---- 5-25: the last 21 r7-evidence rows ----
+    # ---- 7-27: the last 21 r7-evidence rows ----
     "pii_redaction",
     "prototype_label_agreement",
     "quality_filter_flags",
@@ -98,8 +108,8 @@ _PRIORITY = [
     "streaming_event_time_timer",
     "streaming_sketch_quantiles",
     "waiting_supplier_counts",
-    # ---- 26-50: first 25 of the 39 r8 rows (gate ends at 50;
-    #      per_domain_cap opens the r14 tail at position 51) ----
+    # ---- 28-50: first 23 of the 39 r8 rows (gate ends at 50;
+    #      null_semantics_sampler opens the r14 tail at position 51) ----
     "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
@@ -123,9 +133,9 @@ _PRIORITY = [
     "map_function_sampler",
     "minmax_normalized_values",
     "nested_field_sum_first_record",
+    # ---- 51-66: last 16 r8 rows (r14 opens here — see note) ----
     "null_semantics_sampler",
     "part_value_concentration",
-    # ---- 51-64: last 14 r8 rows (r14 opens here — see note) ----
     "per_domain_cap",
     "positional_tokens",
     "promo_revenue_share",
@@ -226,8 +236,6 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     # ---- r11 rows ----
     "bigram_lm_surprisal",
-    "bpe_merge_training",
-    "bpe_tokenized_lengths",
     "bucketed_cobucket_join_stats",
     "char_entropy_quality",
     "cluster_sample_events",

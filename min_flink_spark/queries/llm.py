@@ -1286,16 +1286,28 @@ def q_bpe_tokenized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train_merges,
     )
 
+    from min_flink_spark.core.ckpt import carry_backing
+
     docs = load_table(spark, sf_dir, "documents")
     doc_words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     )
-    types = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # r13: the type table feeds BOTH the trainer and the apply leg —
+    # checkpoint it once so lineage recomputation can't multiply the
+    # corpus tokenize (the pre-fix executed plan held NINE text scans;
+    # now: one for this checkpoint + one for the per-token doc_words
+    # leg, which genuinely needs doc_id). Backing rides the result.
+    types = (
+        doc_words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     merges = bpe_train_merges(types, rounds=3)
-    typed = bpe_apply_merges(types.select("word"), merges).select(
+    applied = bpe_apply_merges(types.select("word"), merges)
+    typed = applied.select(
         "word", F.size(F.split(F.col("sym"), " ")).alias("n")
     )
-    return (
+    result = (
         doc_words.join(typed, "word")
         .groupBy("doc_id")
         .agg(
@@ -1303,6 +1315,10 @@ def q_bpe_tokenized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_bpe_syms"),
         )
     )
+    result = carry_backing(result, applied)
+    # the types checkpoint rides alongside the carried merge rounds
+    result._graft_backing.append(types)
+    return result
 
 
 @query(

@@ -50,6 +50,10 @@ ALLOWED_CONSTRUCTION_JOBS = {
     "semantic_dedup_survivors": "CC rounds over the embedding dup graph",
     "ann_ivf_topk": "k-means training iterations for the IVF centroids",
     "ann_pq_topk": "k-means training per PQ subspace",
+    "bpe_merge_training": "3 greedy merge rounds, checkpoint each "
+    "(r13: lineage recomputation multiplied the corpus tokenize 7x)",
+    "bpe_tokenized_lengths": "same trainer rounds + the type-table "
+    "checkpoint shared by the trainer and apply legs (was 9 scans)",
     "epoch_shuffle_index": "global_index: internal range checkpoint + "
     "#partitions-longs offset probe",
     # ---- write-then-read round trips ----

@@ -716,13 +716,17 @@ def test_bpe_train_merges_known_corpus(spark):
     symbols must participate in later rounds."""
     from min_flink_spark.operators.pipeline import bpe_train_merges
 
+    from min_flink_spark.core.ckpt import release_backing
+
     words = spark.createDataFrame(
         [("low", 5), ("lower", 2), ("newest", 6)], "word string, cnt bigint"
     )
+    trained = bpe_train_merges(words, rounds=3)
     got = [
         (r.merge_rank, r.pair, r.total)
-        for r in bpe_train_merges(words, rounds=3).orderBy("merge_rank").collect()
+        for r in trained.orderBy("merge_rank").collect()
     ]
+    release_backing(trained)  # free the type-table checkpoint (r13)
     # pair counts r1: 'l o'=7, 'o w'=7, 'e s'=6, 's t'=6, 'n e'=6, 'e w'=6,
     # 'w e'=8 ('lower' 2 + 'newest' 6) -> best 'w e'
     assert got[0] == (1, "w e", 8)

@@ -696,8 +696,12 @@ def test_bpe_apply_merges_rank_order_enforced(spark):
         [(2, "aa aa"), (1, "a a")], "merge_rank bigint, pair string"
     ).repartition(4)
     words = spark.createDataFrame([("aaaa",), ("aab",)], "word string")
-    out = {r.word: r.sym for r in bpe_apply_merges(words, merges).collect()}
+    applied = bpe_apply_merges(words, merges)
+    out = {r.word: r.sym for r in applied.collect()}
     assert out == {"aaaa": "aaaa", "aab": "aa b"}
+    from min_flink_spark.core.ckpt import release_backing
+
+    release_backing(applied)  # no-op here (hand-built merges), by contract
 
 
 # ---------------------------------------------------------------------------
