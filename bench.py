@@ -65,6 +65,10 @@ from min_flink_spark.session import get_spark  # noqa: E402
 def _cli_arg(args: list[str], flag: str, default: str) -> str:
     if flag in args:
         i = args.index(flag)
+        if i + 1 >= len(args):
+            raise SystemExit(
+                f"{flag} requires a value, e.g. `python bench.py {flag} <value>`"
+            )
         v = args[i + 1]
         del args[i : i + 2]
         return v

@@ -95,6 +95,29 @@ def carry_backing(result: DataFrame, *sources: DataFrame) -> DataFrame:
     return attach_backing(result, *frames)
 
 
+def add_backing(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Append ``frames`` to ``result``'s existing backing (creating it
+    when absent) — for operators that carry backing from sources AND
+    checkpoint frames of their own. Unlike reaching into
+    ``result._graft_backing`` directly (the ADVICE r13 finding), this
+    stays correct if the backing representation changes (single-frame
+    form) and refuses to resurrect a drained ``_Carried`` source."""
+    b = getattr(result, "_graft_backing", None)
+    if isinstance(b, _Carried):
+        raise RuntimeError(
+            "add_backing: target's backing was already carried away — "
+            "add to the RESULT of the carry, not the drained source"
+        )
+    existing: list[DataFrame]
+    if b is None:
+        existing = []
+    elif isinstance(b, DataFrame):
+        existing = [b]
+    else:
+        existing = list(b)
+    return attach_backing(result, *existing, *frames)
+
+
 class _Carried(list):
     """Marker left on a source after ``carry_backing`` moved its
     handle: falsy/iterable like the empty list it replaces (so

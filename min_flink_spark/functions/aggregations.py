@@ -124,6 +124,16 @@ def keyed_agg_first_record(
         # group in the 20M–~80M band still builds its array and then
         # fails with the message; far past that, the OOM itself is
         # the failure mode the bound exists to keep you away from.
+        #
+        # The guard counts TOTAL group rows, count(1), not count(field)
+        # (ADVICE r13): collect_list buffers a struct for EVERY row —
+        # struct() is never null even when `field` is — so a null-heavy
+        # group's buffered array is count(1)-sized and count(field)
+        # would under-guard it. The null VALUES deliberately stay in
+        # the fold (acc + NULL → NULL result), because that is exactly
+        # what the oracle's list_reduce(list(value ORDER BY …)) does —
+        # filtering them Spark-side would silently diverge from the
+        # replayed semantics.
         pairs = F.array_sort(
             F.collect_list(F.struct(F.col(order_by).alias("_o"), F.col(field).alias("_v")))
         )
@@ -134,7 +144,7 @@ def keyed_agg_first_record(
         )
         if fold_max_group_rows is not None:
             agg_field = F.when(
-                F.count(F.col(field)) <= F.lit(fold_max_group_rows), fold
+                F.count(F.lit(1)) <= F.lit(fold_max_group_rows), fold
             ).otherwise(
                 F.raise_error(
                     F.concat(
@@ -142,7 +152,7 @@ def keyed_agg_first_record(
                             "keyed_agg_first_record: arrival-ordered float "
                             "fold refused a group of "
                         ),
-                        F.count(F.col(field)).cast("string"),
+                        F.count(F.lit(1)).cast("string"),
                         F.lit(
                             f" rows (> fold_max_group_rows="
                             f"{fold_max_group_rows}); the fold buffers the "

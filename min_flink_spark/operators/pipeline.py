@@ -416,6 +416,19 @@ def chunk_text(
     )
 
 
+# Single-task row ceiling for exact_percentiles (r14, mirroring
+# FOLD_MAX_GROUP_ROWS in functions/aggregations.py): both physical
+# strategies below have a place where one task can end up holding an
+# unbounded row set — the windowed form funnels each WHOLE group
+# through one window-sort task, and the distributed form's range
+# slices degrade to the multiplicity of the most repeated value
+# (range partitioning cannot split equal values). Past ~20M rows a
+# task stops being "slow but spillable" and becomes the thing you
+# debug from an executor OOM stack — so both paths raise loudly with
+# the remediation named instead. Waive with max_single_task_rows=None.
+PCT_MAX_SINGLE_TASK_ROWS = 20_000_000
+
+
 def exact_percentiles(
     df: DataFrame,
     value_col: str,
@@ -423,6 +436,8 @@ def exact_percentiles(
     aliases: list[str],
     keys: list[str] | None = None,
     distributed: bool | None = None,
+    expected_max_group_rows: int | None = None,
+    max_single_task_rows: int | None = PCT_MAX_SINGLE_TASK_ROWS,
 ) -> DataFrame:
     """Exact interpolated percentiles per key via VALUE-AT-RANK —
     ``(*keys, *aliases)``, one row per key.
@@ -444,11 +459,17 @@ def exact_percentiles(
     through one task, same O(group)-in-one-task class as
     percentile()'s buffer, just spillable):
 
-    - ``distributed=False`` (default when ``keys`` are given): one
-      window sort per group. Right when groups are numerous and
-      individually modest — measured 8.4 s vs percentile()'s 2.1 s at
-      10M rows / 5 groups (percentile() wins small groups; use this
-      form when you need oracle-bit-exactness, not raw speed).
+    - ``distributed=False`` (default when ``keys`` are given and no
+      ``expected_max_group_rows`` hint says otherwise): one window
+      sort per group. Right when groups are numerous and individually
+      modest — measured 8.4 s vs percentile()'s 2.1 s at 10M rows / 5
+      groups (percentile() wins small groups; use this form when you
+      need oracle-bit-exactness, not raw speed). Guarded (r14): a
+      group past ``max_single_task_rows`` raises loudly naming
+      ``distributed=True`` — callers with few huge groups can no
+      longer fall silently into the single-task funnel. Like the
+      FOLD guard, the raise sits after the window sort (which is
+      spillable — the sort completes, then fails with the message).
     - ``distributed=True`` (default when ungrouped): TRUE distributed
       value-at-rank — range-repartition on (keys, value), per-slice
       local ranks (each task handles ~group/n_partitions rows), a
@@ -460,18 +481,54 @@ def exact_percentiles(
       buffer); this path sorts 32 range slices in parallel. Tie
       caveat: range partitioning cannot split equal values, so the
       per-task bound degrades to the multiplicity of the most
-      repeated value.
+      repeated value — guarded (r14): a slice past
+      ``max_single_task_rows`` raises naming the caveat (and the
+      shuffle-partition knob, the other way a slice gets that big).
+
+    Strategy auto-select (r14, verdict r13 item 3): grouped callers
+    pass ``expected_max_group_rows`` (a caller-known or sampled
+    stat); when it exceeds ``max_single_task_rows`` the distributed
+    path is chosen automatically. Without the hint the windowed
+    default is now failsafe rather than footgun: the guard converts
+    the silent single-task funnel into a named error.
+
+    ReuseExchange pin (r14, ADVICE r13 medium): the distributed
+    path's slice frame (`_pid`/`_lrk`) feeds TWO plan subtrees — the
+    offsets aggregation and the rank join probe. RangePartitioner
+    boundaries are SAMPLE-based per physical instance, so if Catalyst
+    ever duplicated the exchange instead of reusing it, the two
+    subtrees could see different _pid assignments and produce
+    silently wrong percentiles. The slice frame is therefore
+    ``localCheckpoint(eager=True)``-pinned — one physical evaluation
+    by construction, not by optimizer goodwill (the same round-13
+    tfidf audit showed ReuseExchange silently not firing once column
+    pruning specializes the legs). The checkpoint rides the result as
+    ``_graft_backing`` for the standard release discipline
+    (core/ckpt); derived frames must ``carry_backing``.
 
     Null values are ignored (as both percentile() and quantile_cont
     do); a group whose values are ALL null produces no row — callers
     that must preserve such groups left-join the result.
     """
+    from min_flink_spark.core.ckpt import attach_backing
+
     keys = keys or []
     if distributed is None:
-        # ungrouped = everything in one "group": the window form would
-        # be a single-task global sort — always go distributed there
-        distributed = not keys
+        if not keys:
+            # ungrouped = everything in one "group": the window form
+            # would be a single-task global sort — always distributed
+            distributed = True
+        elif expected_max_group_rows is not None:
+            threshold = (
+                max_single_task_rows
+                if max_single_task_rows is not None
+                else PCT_MAX_SINGLE_TASK_ROWS
+            )
+            distributed = expected_max_group_rows > threshold
+        else:
+            distributed = False
     vals = df.select(*keys, value_col).filter(F.col(value_col).isNotNull())
+    backing: DataFrame | None = None
     if distributed:
         n_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -485,7 +542,15 @@ def exact_percentiles(
         wloc = Window.partitionBy("_pid", *keys).orderBy(
             F.col(value_col).asc()
         )
-        local = s.withColumn("_lrk", F.row_number().over(wloc))
+        # eager checkpoint: pins _pid/_lrk to ONE physical evaluation
+        # (see docstring) — both the counts agg and the join probe
+        # below read this materialized frame, never a re-sampled
+        # duplicate range exchange
+        local = (
+            s.withColumn("_lrk", F.row_number().over(wloc))
+            .localCheckpoint(eager=True)
+        )
+        backing = local
         counts = local.groupBy("_pid", *keys).agg(
             F.count(F.lit(1)).alias("_c")
         )
@@ -498,10 +563,41 @@ def exact_percentiles(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         wtot = Window.partitionBy(*keys)
+        # tie-caveat guard (r14): a slice is one task's row count; the
+        # check rides the summary-sized counts frame — zero extra pass
+        if max_single_task_rows is not None:
+            slice_guard = F.when(
+                F.col("_c") <= F.lit(max_single_task_rows), F.lit(0)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "exact_percentiles: one range slice holds "
+                        ),
+                        F.col("_c").cast("string"),
+                        F.lit(
+                            f" rows (> max_single_task_rows="
+                            f"{max_single_task_rows}). Range partitioning "
+                            "cannot split equal values, so this usually "
+                            "means value cardinality is too low for the "
+                            "distributed path (the tie caveat) — use the "
+                            "windowed form (distributed=False) for "
+                            "low-cardinality values — or "
+                            "spark.sql.shuffle.partitions is too small "
+                            "for the data volume. Waive knowingly with "
+                            "max_single_task_rows=None."
+                        ),
+                    )
+                ).cast("bigint")
+            )
+        else:
+            slice_guard = F.lit(0)
         offsets = counts.select(
             "_pid",
             *keys,
-            F.coalesce(F.sum("_c").over(wcum), F.lit(0)).alias("_off"),
+            (
+                F.coalesce(F.sum("_c").over(wcum), F.lit(0)) + slice_guard
+            ).alias("_off"),
             F.sum("_c").over(wtot).alias("_n"),
         )
         # global rank = slice offset + local rank. Ties spanning slice
@@ -520,6 +616,39 @@ def exact_percentiles(
         ranked = vals.withColumn("_rk", F.row_number().over(w)).withColumn(
             "_n", F.count(F.lit(1)).over(wk)
         )
+        # single-task-funnel guard (r14): each group's window sort ran
+        # in ONE task; _n is already computed by that same window
+        # stage, so the check is free. Like FOLD_MAX_GROUP_ROWS the
+        # raise is post-hoc (the spillable sort completes first) —
+        # the point is a named failure instead of a mystery straggler
+        # or OOM at 100 TB.
+        if max_single_task_rows is not None:
+            ranked = ranked.withColumn(
+                "_n",
+                F.when(
+                    F.col("_n") <= F.lit(max_single_task_rows), F.col("_n")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "exact_percentiles: the windowed form "
+                                "funneled a group of "
+                            ),
+                            F.col("_n").cast("string"),
+                            F.lit(
+                                f" rows through one task (> "
+                                f"max_single_task_rows="
+                                f"{max_single_task_rows}). Pass "
+                                "distributed=True (range-sliced "
+                                "value-at-rank; no task ever holds a "
+                                "whole group) or expected_max_group_rows "
+                                "to auto-select, or waive knowingly with "
+                                "max_single_task_rows=None."
+                            ),
+                        )
+                    ).cast("bigint")
+                ),
+            )
 
     def pos(q: float):
         return F.lit(q) * (F.col("_n") - 1).cast("double")
@@ -558,7 +687,10 @@ def exact_percentiles(
             )
             .alias(name)
         )
-    return out.select(*sel)
+    result = out.select(*sel)
+    if backing is not None:
+        result = attach_backing(result, backing)
+    return result
 
 
 def winsorize(
@@ -600,7 +732,13 @@ def winsorize(
     clamped = F.when(
         F.col(value_col).isNull(), F.lit(None).cast("double")
     ).otherwise(F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")))
-    return joined.withColumn(out, clamped).drop("_lo", "_hi")
+    # cuts may carry a checkpoint backing (distributed path) — move it
+    # onto the result so the release discipline still reaches it
+    from min_flink_spark.core.ckpt import carry_backing
+
+    return carry_backing(
+        joined.withColumn(out, clamped).drop("_lo", "_hi"), cuts
+    )
 
 
 def cap_per_group(

@@ -24,116 +24,61 @@ from min_flink_spark.queries import windows  # noqa: F401
 # the ledger (python tools/rotation_ledger.py --write) ONLY when
 # rearranging this list.
 #
-# ROUND-13 PREFIX (positions 1-50), executing the r12 verdict item 1
-# (the written r13 rotation: the 21 r7-evidence leftovers + the first
-# r8 rows) with r13's own changed/new queries jumping ahead (changed
-# always first):
-#   1-5   changed in r13:
-#         (a) keyed_sum_first_record — its arrival-ordered float fold
-#         gained the FOLD_MAX_GROUP_ROWS group-size guard (verdict
-#         r12 item 2: the per-group collect_list array is O(group)
-#         executor memory; pathological hot keys now fail loudly with
-#         the remediation named instead of drifting into an opaque
-#         executor OOM). Results at gate scale invariant; the plan
-#         gains a count + guarded projection.
-#         (b) mg_per_lang_top_terms — contract redesigned from
-#         bit-exact-because-vocab≤m (a toy-data argument) to the
-#         containment/bound certificate mg_heavy_hitters carries
-#         (m 64→128), which holds at ANY vocabulary — unblocking the
-#         r13 few-thousand-word sf1 corpus (verdict r12 item 3).
-#         (c) tfidf_top_terms — profiled at sf1: Catalyst's column
-#         pruning specialized the three tf-derived legs, ReuseExchange
-#         never fired, and the corpus was tokenized THREE times; the
-#         per-term df and per-doc length are now WINDOW aggregates
-#         over the single tf frame (one tokenize, zero joins, same
-#         shuffle budget; sf0.1 headline 1.39→1.00 s).
-#         (d)+(e) bpe_merge_training / bpe_tokenized_lengths — the
-#         same scan-count audit found lineage recomputation multiplied
-#         the corpus tokenize 7×/9×; the word-type table is now
-#         localCheckpoint-ed at the corpus boundary (scans → 0/1 in
-#         the executed plans; per-round checkpoints measured and
-#         REJECTED — barriers cost more than vocab-sized recompute),
-#         with attach/carry/release backing discipline throughout.
-#   6     BRAND-NEW in r13: exact_percentile_grid — the first-class
-#         contract pin for operators/pipeline.exact_percentiles
-#         (verdict r12 item 5): multi-q grid, nulls inside live
-#         groups, an all-null group preserved by the documented
-#         left-join composition, quantile_cont op-tree interpolation.
-#   7-27  the last 21 r7-evidence rows (pii_redaction …
-#         waiting_supplier_counts — alphabetical, mechanically sorted
-#         by (last driver round, name); this retires r7 from the
+# ROUND-14 PREFIX (positions 1-50), executing the r13 verdict item 1
+# (the written r14 rotation: the 16 r8 leftovers + the first r9 rows)
+# with r14's own changed queries jumping ahead (changed always first):
+#   1-6   changed in r14:
+#         (a) exact_percentile_grid / value_percentiles /
+#         median_and_central_tendency / winsorized_values — all four
+#         route through operators/pipeline.exact_percentiles, which
+#         gained (verdict r13 item 3 + ADVICE r13 medium): a
+#         localCheckpoint PIN of the distributed path's slice frame
+#         (its _pid/_lrk fed TWO plan subtrees whose agreement
+#         silently depended on ReuseExchange firing — sample-based
+#         range boundaries re-evaluated per physical instance could
+#         mismatch), a single-task loud guard on the windowed form
+#         (max_single_task_rows, mirroring FOLD_MAX_GROUP_ROWS), a
+#         tie-caveat guard on distributed range slices, and
+#         expected_max_group_rows auto-selection. Values at gate
+#         scale invariant; plans gain the guard projections (+ the
+#         grid's LogicalRDD).
+#         (b) keyed_sum_first_record — the fold guard now counts
+#         TOTAL buffered rows, count(1), not count(field): collect_
+#         list buffers a struct for EVERY row (struct() is never
+#         null), so a null-heavy group could exceed the memory bound
+#         without tripping the old guard (ADVICE r13).
+#         (c) bpe_tokenized_lengths — backing handled via the public
+#         add_backing helper instead of a private-list append
+#         (ADVICE r13; Python-side only, plan unchanged — promoted
+#         conservatively since the ledger hash moved).
+#   7-22  the 16 remaining r8-evidence rows (null_semantics_sampler …
+#         zorder_key_events — alphabetical, mechanically sorted by
+#         (last driver round, name); this retires r8 from the
 #         staleness histogram),
-#   28-50 the first 23 of the 39 r8-evidence rows (ann_pq_topk …
-#         nested_field_sum_first_record; null_semantics_sampler opens
-#         the r14 tail at position 51).
+#   23-50 the first 28 of the 40 r9-evidence rows (ann_ivf_topk …
+#         streaming_bloom_filter_join; streaming_cep_absence opens
+#         the r15 tail at position 51).
 #
-# ROUND-14 ROTATION NOTE (positions 51+ are already in promotion
-# order — mechanically: everything outside the r13 head sorted by
-# (last driver round, name)): the 16 r8 leftovers at 51-66
-# (null_semantics_sampler … zorder_key_events), then the r9, r10,
-# r11, and r12 blocks.  Promote 51-onward next round — r14's 50 slots
-# take the 16 r8 rows and the first 34 of the r9 block; any query
-# changed during round 14 jumps ahead of everything (changed always
-# first).
+# ROUND-15 ROTATION NOTE (positions 51+ are already in promotion
+# order — mechanically: everything outside the r14 head sorted by
+# (last driver round, name)): the 12 r9 leftovers at 51-62
+# (streaming_cep_absence … zscore_standardized_values), then the r10,
+# r11, r12, and r13 blocks.  Promote 51-onward next round — r15's 50
+# slots take the 12 r9 rows and the first ~38 of the r10 block; any
+# query changed during round 15 jumps ahead of everything (changed
+# always first).
 # The guardrail test enforces this shape — re-sorting this list IS
 # the rotation.
 _PRIORITY = [
-    # ---- 1-5: changed in r13 (see note above) ----
-    "keyed_sum_first_record",
-    "mg_per_lang_top_terms",
-    "tfidf_top_terms",
-    "bpe_merge_training",
+    # ---- 1-6: changed in r14 (see note above) ----
     "bpe_tokenized_lengths",
-    # ---- 6: BRAND-NEW in r13 (exact_percentiles contract pin) ----
     "exact_percentile_grid",
-    # ---- 7-27: the last 21 r7-evidence rows ----
-    "pii_redaction",
-    "prototype_label_agreement",
-    "quality_filter_flags",
-    "range_join_price_bands",
-    "repetition_signals",
-    "resample_1h_forward_fill",
-    "salted_skew_aggregation",
-    "salted_skew_join",
-    "sequence_packing",
-    "session_window_4h",
-    "session_window_dynamic_gap",
-    "simhash_hamming_pairs",
-    "sketch_quantiles_merged",
-    "sliding_window_1d_6h",
-    "small_quantity_revenue",
-    "streaming_complete_topk",
-    "streaming_dedup",
-    "streaming_dedup_within_watermark",
-    "streaming_event_time_timer",
-    "streaming_sketch_quantiles",
-    "waiting_supplier_counts",
-    # ---- 28-50: first 23 of the 39 r8 rows (gate ends at 50;
-    #      null_semantics_sampler opens the r14 tail at position 51) ----
-    "ann_pq_topk",
-    "approx_aggregates",
-    "bigram_top_pairs",
-    "chunk_retrieval_topk",
-    "conversation_assembly",
-    "count_window_blocks",
-    "custom_pysource_events",
-    "customer_order_distribution",
-    "declining_streak_users",
-    "event_funnel_conversion",
-    "html_text_extraction",
-    "idle_rich_customers",
-    "incremental_near_dup_matches",
-    "json_props_stats",
-    "kmv_distinct_users",
-    "kmv_rollup_distinct",
-    "kmv_windowed_distinct",
-    "large_volume_customers",
-    "lateral_top2_orders",
-    "left_join_order_item_stats",
-    "map_function_sampler",
-    "minmax_normalized_values",
-    "nested_field_sum_first_record",
-    # ---- 51-66: last 16 r8 rows (r14 opens here — see note) ----
+    "keyed_sum_first_record",
+    "median_and_central_tendency",
+    "value_percentiles",
+    "winsorized_values",
+    # ---- 7-22: the 16 remaining r8-evidence rows (this retires r8
+    #      from the staleness histogram) ----
     "null_semantics_sampler",
     "part_value_concentration",
     "per_domain_cap",
@@ -150,7 +95,8 @@ _PRIORITY = [
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- r9 rows ----
+    # ---- 23-50: first 28 of the 40 r9-evidence rows (gate ends at
+    #      50; streaming_cep_absence opens the r15 tail at 51) ----
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anti_join_no_urgent_customers",
@@ -179,6 +125,7 @@ _PRIORITY = [
     "sketch_quantiles_windowed",
     "skew_report",
     "streaming_bloom_filter_join",
+    # ---- 51-62: last 12 r9 rows (r15 opens here — see note) ----
     "streaming_cep_absence",
     "streaming_cep_followed_by",
     "streaming_connect_coprocess",
@@ -277,7 +224,7 @@ _PRIORITY = [
     "video_mp4_stats",
     "volume_shipping",
     "weekly_active_growth",
-    # ---- r12 rows ----
+    # ---- r12 rows (minus the 3 promoted to the r14 head) ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
@@ -308,7 +255,6 @@ _PRIORITY = [
     "kmv_segment_overlap",
     "length_bucketed_batches",
     "media_frame_sampling",
-    "median_and_central_tendency",
     "mg_keyed_windowed_top_events",
     "paragraph_dedup",
     "streaming_bitmap_keyed_windowed_ops",
@@ -324,9 +270,55 @@ _PRIORITY = [
     "streaming_mg_keyed_windowed_top_events",
     "streaming_mg_windowed_top_events",
     "trend_slope_by_type",
-    "value_percentiles",
     "window_rank_lag",
-    "winsorized_values",
+    # ---- r13 rows (minus the 3 promoted; alphabetical) ----
+    "ann_pq_topk",
+    "approx_aggregates",
+    "bigram_top_pairs",
+    "bpe_merge_training",
+    "chunk_retrieval_topk",
+    "conversation_assembly",
+    "count_window_blocks",
+    "custom_pysource_events",
+    "customer_order_distribution",
+    "declining_streak_users",
+    "event_funnel_conversion",
+    "html_text_extraction",
+    "idle_rich_customers",
+    "incremental_near_dup_matches",
+    "json_props_stats",
+    "kmv_distinct_users",
+    "kmv_rollup_distinct",
+    "kmv_windowed_distinct",
+    "large_volume_customers",
+    "lateral_top2_orders",
+    "left_join_order_item_stats",
+    "map_function_sampler",
+    "mg_per_lang_top_terms",
+    "minmax_normalized_values",
+    "nested_field_sum_first_record",
+    "pii_redaction",
+    "prototype_label_agreement",
+    "quality_filter_flags",
+    "range_join_price_bands",
+    "repetition_signals",
+    "resample_1h_forward_fill",
+    "salted_skew_aggregation",
+    "salted_skew_join",
+    "sequence_packing",
+    "session_window_4h",
+    "session_window_dynamic_gap",
+    "simhash_hamming_pairs",
+    "sketch_quantiles_merged",
+    "sliding_window_1d_6h",
+    "small_quantity_revenue",
+    "streaming_complete_topk",
+    "streaming_dedup",
+    "streaming_dedup_within_watermark",
+    "streaming_event_time_timer",
+    "streaming_sketch_quantiles",
+    "tfidf_top_terms",
+    "waiting_supplier_counts",
 ]
 
 

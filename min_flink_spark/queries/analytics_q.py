@@ -136,9 +136,16 @@ def q_exact_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = ev.groupBy("event_type").agg(F.count("v").alias("n_vals"))
     # counts has every group (all-null included); grid lacks all-null
-    # groups — the documented left-join-preserve composition.
-    return counts.join(grid, "event_type", "left").select(
-        "event_type", "p05", "p25", "p50", "p75", "p95", "n_vals"
+    # groups — the documented left-join-preserve composition. The
+    # distributed path checkpoints its slice frame (r14 ReuseExchange
+    # pin) — carry the backing so the gate can release it.
+    from min_flink_spark.core.ckpt import carry_backing
+
+    return carry_backing(
+        counts.join(grid, "event_type", "left").select(
+            "event_type", "p05", "p25", "p50", "p75", "p95", "n_vals"
+        ),
+        grid,
     )
 
 

@@ -1286,7 +1286,7 @@ def q_bpe_tokenized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train_merges,
     )
 
-    from min_flink_spark.core.ckpt import carry_backing
+    from min_flink_spark.core.ckpt import add_backing, carry_backing
 
     docs = load_table(spark, sf_dir, "documents")
     doc_words = docs.select(
@@ -1317,8 +1317,8 @@ def q_bpe_tokenized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = carry_backing(result, applied)
     # the types checkpoint rides alongside the carried merge rounds
-    result._graft_backing.append(types)
-    return result
+    # (public helper, not a private-list append — ADVICE r13)
+    return add_backing(result, types)
 
 
 @query(

@@ -185,3 +185,49 @@ def test_ordered_float_fold_group_size_guard(spark):
         df, ["k"], "v", "sum", "oid", fold_max_group_rows=None
     )
     assert {r["k"]: r["v"] for r in waived.collect()} == {1: 10.0, 2: 1.5}
+
+
+def test_fold_guard_counts_buffered_rows_not_nonnull_values(spark):
+    """ADVICE r13: collect_list buffers a struct for EVERY group row —
+    struct() is never null even when the value is — so the guard must
+    compare TOTAL rows (count(1)) against fold_max_group_rows, not
+    count(field). A null-heavy group whose non-null count is under the
+    bound but whose row count is over it must still trip the guard:
+    that is exactly the memory the bound exists to cap."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from min_flink_spark.functions.aggregations import keyed_agg_first_record
+
+    # group 1: 6 rows, only 3 non-null values — bound 5 must trip on
+    # the 6 buffered rows, even though count(v) = 3 <= 5
+    rows = [(1, i, float(i) if i % 2 == 0 else None) for i in range(6)]
+    df = spark.createDataFrame(rows, "k int, oid bigint, v double")
+    bad = keyed_agg_first_record(
+        df, ["k"], "v", "sum", "oid", fold_max_group_rows=5
+    )
+    with pytest.raises(SparkRuntimeException) as exc:
+        bad.collect()
+    assert "6 rows" in str(exc.value)
+
+    # Bound 6 admits the group; the null VALUES stay in the fold and
+    # null the running sum — bit-identical to the oracle's
+    # list_reduce(list(value ORDER BY oid)) over a null-carrying list
+    # (deliberate: filtering them Spark-side would silently diverge
+    # from the replayed semantics).
+    import duckdb
+
+    ok = keyed_agg_first_record(
+        df, ["k"], "v", "sum", "oid", fold_max_group_rows=6
+    )
+    got = ok.collect()[0]["v"]
+    want = duckdb.connect().execute(
+        "SELECT list_reduce(list(v ORDER BY oid), (a, b) -> a + b) FROM ("
+        + "VALUES "
+        + ",".join(
+            f"({oid}, {'NULL' if v is None else repr(v)}::DOUBLE)"
+            for _, oid, v in rows
+        )
+        + ") s(oid, v)"
+    ).fetchone()[0]
+    assert got is None and want is None

@@ -274,6 +274,36 @@ def test_carry_backing_rejects_double_carry(spark):
     assert release_backing(out1) == 1
 
 
+def test_add_backing_appends_via_public_api(spark):
+    """ADVICE r13: operators that carry backing AND checkpoint frames
+    of their own must use add_backing, not reach into the private
+    list — it must extend an existing backing, create one when absent,
+    and refuse a drained (_Carried) target."""
+    import pytest
+
+    from min_flink_spark.core.ckpt import (
+        add_backing,
+        attach_backing,
+        carry_backing,
+        release_backing,
+    )
+
+    a = spark.range(4).localCheckpoint(eager=True)
+    b = spark.range(6).localCheckpoint(eager=True)
+    inter = attach_backing(a.filter("id > 0"), a)
+    out = carry_backing(inter.select("id"), inter)
+    out = add_backing(out, b)  # extend the carried backing
+    assert len(out._graft_backing) == 2
+    fresh = add_backing(
+        spark.range(2), spark.range(3).localCheckpoint(eager=True)
+    )  # create when absent
+    assert release_backing(fresh) == 1
+    with pytest.raises(RuntimeError, match="carried"):
+        add_backing(inter, b)  # drained source refuses
+    assert out.count() == 3
+    assert release_backing(out) == 2
+
+
 def test_label_propagation_frees_superseded_rounds(spark):
     """LPA must hold at most the current round's label checkpoint;
     after release of the final frame the registry is clean."""

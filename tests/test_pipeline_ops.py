@@ -237,6 +237,125 @@ def test_exact_percentiles_matches_quantile_cont_bitwise(spark):
         ), (g, got[g], want[g])
 
 
+def test_exact_percentiles_auto_select_and_checkpoint_pin(spark):
+    """r14 (verdict r13 item 3 + ADVICE medium): grouped callers with
+    an expected_max_group_rows hint above the single-task bound must
+    auto-select the distributed path; the distributed slice frame must
+    be checkpoint-pinned so its sample-based range boundaries and
+    partition ids are evaluated exactly ONCE (the offsets agg and the
+    rank join probe otherwise depend on ReuseExchange firing — fragile,
+    per the r13 tfidf audit); and the distributed result must still be
+    bit-identical to quantile_cont per key."""
+    import duckdb
+
+    from min_flink_spark.core.ckpt import checkpoint_rdd_ids, release_backing
+    from min_flink_spark.operators.pipeline import exact_percentiles
+
+    rows = [("a", 2.52)] * 21 + [("a", float(v)) for v in range(3, 10)]
+    rows += [("b", 1.1), ("b", 2.52), ("b", 3.7), ("b", 9.9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # hint above the bound → auto-distributed (observable: the
+    # checkpointed slice frame rides the result as backing, and the
+    # result's plan reads that LogicalRDD — single physical evaluation
+    # by construction)
+    out = exact_percentiles(
+        df,
+        "v",
+        [0.05, 0.5, 0.95],
+        ["p05", "p50", "p95"],
+        keys=["g"],
+        expected_max_group_rows=30_000_000,
+    )
+    assert getattr(out, "_graft_backing", None), "distributed path expected"
+    assert checkpoint_rdd_ids(out._graft_backing[0]), "slice frame not pinned"
+    got = {r["g"]: (r["p05"], r["p50"], r["p95"]) for r in out.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{g}', {v!r}::DOUBLE)" for g, v in rows)
+        + ") s(g, v)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT g, quantile_cont(v, 0.05), quantile_cont(v, 0.5),"
+            " quantile_cont(v, 0.95) FROM t GROUP BY g"
+        ).fetchall()
+    }
+    for g in want:
+        assert all(
+            repr(a) == repr(b) for a, b in zip(got[g], want[g])
+        ), (g, got[g], want[g])
+    assert release_backing(out) >= 1
+    # hint below the bound → windowed (no checkpoint backing)
+    win = exact_percentiles(
+        df, "v", [0.5], ["p50"], keys=["g"], expected_max_group_rows=100
+    )
+    assert not getattr(win, "_graft_backing", None)
+
+
+def test_exact_percentiles_single_task_guards(spark):
+    """r14: both strategies must fail LOUDLY (remediation named) when
+    one task would hold more than max_single_task_rows rows — the
+    windowed form on a whole group, the distributed form on a range
+    slice that ties prevent from splitting."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from min_flink_spark.operators.pipeline import exact_percentiles
+
+    rows = [("a", float(i)) for i in range(10)] + [("b", 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    # windowed form: group of 10 > bound 5 → named raise
+    bad = exact_percentiles(
+        df, "v", [0.5], ["p50"], keys=["g"], max_single_task_rows=5
+    )
+    with _pytest.raises(SparkRuntimeException) as exc:
+        bad.collect()
+    assert "distributed=True" in str(exc.value)
+
+    # at the bound: computes (group of exactly 10 admitted by bound 10)
+    ok = exact_percentiles(
+        df, "v", [0.5], ["p50"], keys=["g"], max_single_task_rows=10
+    )
+    assert {r["g"]: r["p50"] for r in ok.collect()} == {"a": 4.5, "b": 1.0}
+
+    # distributed form: 10 EQUAL values cannot range-split — one slice
+    # holds all 10 > bound 5 → named raise (the tie caveat)
+    ties = spark.createDataFrame(
+        [("a", 7.0)] * 10, "g string, v double"
+    )
+    badd = exact_percentiles(
+        ties,
+        "v",
+        [0.5],
+        ["p50"],
+        keys=["g"],
+        distributed=True,
+        max_single_task_rows=5,
+    )
+    with _pytest.raises(SparkRuntimeException) as exc2:
+        badd.collect()
+    assert "cardinality" in str(exc2.value)
+
+    # waiver: max_single_task_rows=None computes on both paths
+    for dist in (False, True):
+        waived = exact_percentiles(
+            df,
+            "v",
+            [0.5],
+            ["p50"],
+            keys=["g"],
+            distributed=dist,
+            max_single_task_rows=None,
+        )
+        assert {r["g"]: r["p50"] for r in waived.collect()} == {
+            "a": 4.5,
+            "b": 1.0,
+        }
+
+
 def test_cap_per_group_rejects_working_column_collision(spark, sf_dir):
     import pytest as _pytest
 

@@ -60,15 +60,38 @@ Usage:  python tools/make_sf1.py [/tmp/sf1] [--copies N]
 Then:   python tools/check_oracle.py --strict /tmp/sf1 <queries...>
 
 ``--copies 100`` produces an sf10-equivalent fact volume (60M
-lineitem / 10M events) for the r12 100x-real-data scale leg.  The
-documents/embeddings corpus is CAPPED at 10 copies regardless: the
-near-dup family's +100000 id sentinel (SQL_CORPUS_NEAR, the
-incremental-dedup batch ids) needs the dense doc id space to stay
-below 100000, which 10 copies x 5000 docs/sf0.1 exactly respects —
-100 dense copies would alias corpus ids into the sentinel range and
-silently corrupt those queries' semantics, so the corpus scale story
-stays owned by the sf1 sweep while the TPC-H/events fact tables carry
-the 100x point.
+lineitem / 10M events) for the r12 100x-real-data scale leg.
+
+Corpus id layout (r14, verdict r13 item 4 — previously the corpus was
+hard-CAPPED at 10 copies): the near-dup family's +100000 id sentinel
+(SQL_CORPUS_NEAR twins, the incremental-dedup batch ids, the ann
+query-vector ids) partitions the id space, so corpus ids must NEVER
+enter [100000, 200000) and twin ids must never alias other corpus
+rows. Dense packing past 10 copies x 5000 docs/sf0.1 would cross
+100000, so copies split into two bands:
+
+- copies 0-9: ``key + i*n`` — DENSE [0, 10n), byte-identical to the
+  r13 sf1 corpus (every sf1 oracle/bench artifact stays valid), and
+  required dense by negative_pair_sample's fail-loud contract;
+- copies 10+: ``10_000_000 + (i-10)*1_000_000 + key`` — a RESERVED
+  band far above the sentinel window. The 1M stride keeps each
+  copy's +100000 twins inside its own gap (key < n <= 100k twin
+  offset + n << 1M), so SQL_CORPUS_NEAR twin ids collide with
+  nothing at any copy count up to ~90 + 10 dense.
+
+What this buys: a 10x-sf1 corpus (500k docs / 500k embeddings at
+--copies 100) on which the provenance-free corpus queries (tfidf,
+minhash-LSH pairs, MG per-lang, text stats, cosine top-k…) replay
+strictly. Two query families still EXCLUDE themselves at >10 copies,
+by construction, and stay owned by the sf1 sweep:
+
+- the incremental-dedup pair (incremental_dedup,
+  incremental_near_dup_matches): their ORACLES classify new-vs-corpus
+  by ``doc_id >= 100000`` — rows in the reserved band would be
+  misclassified as batch members on the oracle side only (the Spark
+  side classifies by provenance and stays correct);
+- contrastive_negative_pairs: negative_pair_sample REQUIRES a dense
+  id space and fails loudly on the reserved band (the r12 guard).
 """
 
 from __future__ import annotations
@@ -80,7 +103,9 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
-CORPUS_COPIES_CAP = 10  # see module docstring: +100000 sentinel headroom
+DENSE_CORPUS_COPIES = 10  # copies 0-9 stay dense (see docstring)
+CORPUS_RESERVED_BASE = 10_000_000  # copies 10+ band (sentinel-safe)
+CORPUS_RESERVED_STRIDE = 1_000_000  # keeps +100000 twins in-gap
 OFF = 10_000_000  # > every key in sf0.1 by 10x; keys stay BIGINT-tiny
 
 # table -> columns to offset per copy (entity/foreign keys move
@@ -110,8 +135,7 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"CREATE TABLE copies AS SELECT unnest(range({copies})) AS i")
     con.execute(
-        "CREATE TABLE corpus_copies AS SELECT unnest(range("
-        f"{min(copies, CORPUS_COPIES_CAP)})) AS i"
+        f"CREATE TABLE corpus_copies AS SELECT unnest(range({copies})) AS i"
     )
     # HEAD vocabulary = the source corpus's own token set (the driver
     # generator's ~31 words), derived from the data — see docstring.
@@ -135,24 +159,34 @@ def main() -> None:
                 f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
             ).fetchall()
         ]
-        # embeddings and documents keep a DENSE id space (offset =
-        # source row count, ids stay [0, 10·n)): the contrastive
-        # sampler's negative_pair_sample CONTRACT requires dense
-        # vec_ids (its fail-loud guard caught the sparse 10^7 offsets
-        # at sf1, r12), and the incremental-dedup queries mint batch
-        # ids as doc_id + 100000 with the oracle classifying
-        # new-vs-corpus by that sentinel — sparse 10^7 doc_ids
-        # masquerade as batch members on the oracle side only
-        # (measured: 46,441 vs 46,069 pairs). Other tables keep the
-        # wide offset (nothing requires density there, and wide keys
-        # exercise the 64-bit paths).
+        # embeddings and documents: copies 0-9 keep the DENSE id space
+        # (offset = source row count, ids stay [0, 10·n)) that
+        # negative_pair_sample's contract and the +100000 sentinel
+        # queries need (its fail-loud guard caught the sparse 10^7
+        # offsets at sf1, r12; sparse doc_ids masquerade as batch
+        # members on the oracle side — measured: 46,441 vs 46,069
+        # pairs); copies 10+ move to the sentinel-safe RESERVED band
+        # (see module docstring). Other tables keep the wide offset
+        # (nothing requires density there, and wide keys exercise the
+        # 64-bit paths).
+        is_corpus = t in ("embeddings", "documents")
         off = (
             con.execute(
                 f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
             ).fetchone()[0]
-            if t in ("embeddings", "documents")
+            if is_corpus
             else OFF
         )
+
+        def key_expr(c: str) -> str:
+            if not is_corpus:
+                return f"{c} + i * {off} AS {c}"
+            return (
+                f"CASE WHEN i < {DENSE_CORPUS_COPIES} THEN {c} + i * {off} "
+                f"ELSE {CORPUS_RESERVED_BASE} "
+                f"+ (i - {DENSE_CORPUS_COPIES}) * {CORPUS_RESERVED_STRIDE} "
+                f"+ {c} END AS {c}"
+            )
         if t == "documents":
             # copies 1-9: SYNTHESIZED text — head/tail mixture over a
             # Zipfian few-thousand-word vocabulary, deterministic by
@@ -176,7 +210,7 @@ def main() -> None:
                 f"j -> {synth_word}), 'string_agg', ' ') END"
             )
             con.execute(
-                f"COPY (SELECT doc_id + i * {off} AS doc_id, text, lang, "
+                f"COPY (SELECT {key_expr('doc_id')}, text, lang, "
                 "source, CASE WHEN i = 0 THEN n_chars "
                 "ELSE CAST(length(text) AS BIGINT) END AS n_chars "
                 f"FROM (SELECT doc_id, i, {text_expr} AS text, lang, "
@@ -192,11 +226,12 @@ def main() -> None:
         sel = []
         for c in cols:
             if c in keys:
-                sel.append(f"{c} + i * {off} AS {c}")
+                sel.append(key_expr(c))
             elif t == "embeddings" and c == "embedding":
                 # deterministic tie-breaker: copy i shifts component 1
-                # by i/1000 (FLOAT-exact for i <= 9), so cosine top-k
-                # never ties across copies in either engine
+                # by i/1000, so cosine top-k never ties across copies;
+                # the shifted value is written to parquet ONCE, so both
+                # engines read identical floats at any copy count
                 sel.append(
                     "list_cat([CAST(embedding[1] + i * 0.001 AS FLOAT)],"
                     " embedding[2:]) AS embedding"
