@@ -16,13 +16,25 @@ Row counts are printed so the output-volume component of each slope
 is visible (e.g. mad_outlier_flags returns n rows — its collect cost
 IS the output, not the operator).
 
+Sink convention (r14, verdict r13 item 5): for result-proportional
+queries the collect() number is >=90% single-process driver transfer
+at sf10 (the r13 decomposition: left_join writes parquet in 3-17 s
+where collect takes 46-147 s), so the curve misread as engine
+behavior. ``--sink both`` times BOTH materializations per point —
+the parquet-sink number is the HEADLINE (cluster-shaped: scan ->
+shuffle -> distributed write) and collect stays as the annotated
+harness term. Default remains collect-only (the r12/r13-comparable
+convention).
+
 Usage:
     python tools/scale_curve.py --sfs /root/testdata/sf0.1,/tmp/sf1,/tmp/sf10 \
-        [--reps 2] [query ...]
+        [--reps 2] [--sink collect|parquet|both] [query ...]
 
 Defaults to the 15 bench headlines. Prints one JSON line per query:
-    {"query": ..., "points": {"<sf_dir>": {"sec": ..., "rows": ...}}}
-and a closing summary with per-query slopes between consecutive points.
+    {"query": ..., "points": {"<sf_dir>": {"sec": ..., "rows": ...,
+                                           "sink_sec": ...}}}
+and a closing summary with per-query slopes between consecutive points
+(slopes use the sink number when present — the engine term).
 """
 
 from __future__ import annotations
@@ -70,38 +82,75 @@ def main() -> int:
         k = args.index("--reps")
         reps = int(args[k + 1])
         del args[k : k + 2]
+    sink = "collect"
+    if "--sink" in args:
+        k = args.index("--sink")
+        sink = args[k + 1]
+        del args[k : k + 2]
+    if sink not in ("collect", "parquet", "both"):
+        raise SystemExit(f"--sink must be collect|parquet|both, got {sink}")
     queries = args or DEFAULT_QUERIES
 
     import importlib
+    import os
+    import tempfile
 
     entry = importlib.import_module("__spark_entry__")
     qs = entry.queries()
     spark = get_spark(app_name="scale-curve")
+    sink_dir = (
+        tempfile.mkdtemp(prefix="curve_sink_") if sink != "collect" else None
+    )
+
+    def timed(fn, sf_dir, to_parquet: bool, name: str):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        if to_parquet:
+            df.write.mode("overwrite").parquet(
+                os.path.join(sink_dir, name)
+            )
+            rows = None
+        else:
+            rows = len(df.collect())
+        took = time.time() - t0
+        release_backing(df)
+        return took, rows
 
     results = {}
     for name in queries:
         fn = qs[name]
         points = {}
         for sf_dir in sfs:
-            best, rows = None, None
-            for _ in range(reps):
-                t0 = time.time()
-                df = fn(spark, sf_dir)
-                out = df.collect()
-                took = time.time() - t0
-                release_backing(df)
-                rows = len(out)
-                best = took if best is None else min(best, took)
-            points[sf_dir] = {"sec": round(best, 3), "rows": rows}
-            print(
-                f"{name} @ {sf_dir}: {best:.3f}s ({rows} rows)", flush=True
-            )
+            point = {}
+            if sink in ("collect", "both"):
+                best, rows = None, None
+                for _ in range(reps):
+                    took, rows = timed(fn, sf_dir, False, name)
+                    best = took if best is None else min(best, took)
+                point["sec"] = round(best, 3)
+                point["rows"] = rows
+            if sink in ("parquet", "both"):
+                best = None
+                for _ in range(reps):
+                    took, _ = timed(fn, sf_dir, True, name)
+                    best = took if best is None else min(best, took)
+                point["sink_sec"] = round(best, 3)
+            points[sf_dir] = point
+            desc = []
+            if "sink_sec" in point:
+                desc.append(f"sink {point['sink_sec']:.3f}s")
+            if "sec" in point:
+                desc.append(f"collect {point['sec']:.3f}s ({point['rows']} rows)")
+            print(f"{name} @ {sf_dir}: " + ", ".join(desc), flush=True)
         results[name] = points
         print(json.dumps({"query": name, "points": points}), flush=True)
 
-    print("\n== slopes (time ratio between consecutive sf points) ==")
+    key = "sink_sec" if sink != "collect" else "sec"
+    print(
+        f"\n== slopes (ratio between consecutive sf points, on {key}) =="
+    )
     for name, points in results.items():
-        secs = [points[s]["sec"] for s in sfs]
+        secs = [points[s][key] for s in sfs]
         slopes = [
             f"{b / a:.2f}x" if a > 0 else "inf"
             for a, b in zip(secs, secs[1:])
