@@ -700,6 +700,7 @@ def winsorize(
     lower: float = 0.05,
     upper: float = 0.95,
     out_col: str | None = None,
+    expected_max_group_rows: int | None = None,
 ) -> DataFrame:
     """Clamp ``value_col`` to its [lower, upper] quantile band —
     per-group when ``group_cols`` is given — the standard outlier
@@ -718,7 +719,15 @@ def winsorize(
     _require_free_columns(df, ("_lo", "_hi"), "winsorize")
     out = out_col or value_col
     cuts = exact_percentiles(
-        df, value_col, [lower, upper], ["_lo", "_hi"], keys=group_cols
+        df,
+        value_col,
+        [lower, upper],
+        ["_lo", "_hi"],
+        keys=group_cols,
+        # forwarded so grouped callers with few huge groups reach the
+        # r14 auto-selected distributed path (and the single-task
+        # guard protects the default)
+        expected_max_group_rows=expected_max_group_rows,
     )
     # LEFT join: a group whose values are all NULL has no cuts row but
     # must keep its rows (values pass through the null branch below)

@@ -125,14 +125,17 @@ def q_exact_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("v"),
     )
-    # distributed=True: this gate row pins the r13 TRUE-distributed
-    # value-at-rank path (range-repartition + per-slice local ranks +
-    # offset broadcast — no task ever holds a whole group); the three
-    # older percentile queries pin the per-group window path.
+    # expected_max_group_rows above the single-task bound: this gate
+    # row pins the r13 TRUE-distributed value-at-rank path
+    # (range-repartition + per-slice local ranks + offset broadcast —
+    # no task ever holds a whole group) VIA the r14 auto-selection
+    # (hint > max_single_task_rows → distributed), so the strategy
+    # chooser itself sits under the driver gate; the three older
+    # percentile queries pin the per-group window path.
     grid = exact_percentiles(
         ev, "v", [0.05, 0.25, 0.50, 0.75, 0.95],
         ["p05", "p25", "p50", "p75", "p95"], keys=["event_type"],
-        distributed=True,
+        expected_max_group_rows=30_000_000,
     )
     counts = ev.groupBy("event_type").agg(F.count("v").alias("n_vals"))
     # counts has every group (all-null included); grid lacks all-null
