@@ -58,7 +58,12 @@ def test_k_core_keep_all_false_holds_at_most_two_frames(spark):
     expected = before | set(checkpoint_rdd_ids(edges)) | set(
         checkpoint_rdd_ids(frames[0])
     )
-    assert after == expected, f"leaked rounds: {sorted(after - expected)}"
+    # one-sided: Spark's async ContextCleaner may unpersist a GC'd
+    # frame from an EARLIER test between the two snapshots (seen in
+    # full-suite runs), so ids may legitimately VANISH from `before`;
+    # what this test pins is that k_core added no id beyond its
+    # returned frames — `after` must introduce nothing new.
+    assert not (after - expected), f"leaked rounds: {sorted(after - expected)}"
     # the survivor is the 5-clique (degree 4 >= 3), both directions
     assert frames[0].count() == 20
     unpersist_checkpoint(edges)
@@ -98,7 +103,10 @@ def test_bfs_hops_frees_superseded_rounds(spark):
     got = bfs_hops(edges, seeds, max_hops=5)
     after = _persistent_rdd_ids(_jsc(spark))
     expected = before | set(checkpoint_rdd_ids(got))
-    assert after == expected, f"leaked rounds: {sorted(after - expected)}"
+    # one-sided for the same ContextCleaner reason as the k_core test:
+    # earlier tests' GC'd checkpoints can vanish from `before`
+    # mid-test; bfs leaking a round would show up as a NEW id.
+    assert not (after - expected), f"leaked rounds: {sorted(after - expected)}"
     assert {r["node"]: r["hops"] for r in got.collect()} == {
         1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5
     }

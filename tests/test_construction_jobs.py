@@ -56,6 +56,10 @@ ALLOWED_CONSTRUCTION_JOBS = {
     "checkpoint shared by the trainer and apply legs (was 9 scans)",
     "epoch_shuffle_index": "global_index: internal range checkpoint + "
     "#partitions-longs offset probe",
+    "exact_percentile_grid": "distributed value-at-rank path: the range-"
+    "sliced frame is localCheckpoint(eager)-pinned at construction (r14 "
+    "ReuseExchange pin — _pid/_lrk must come from ONE physical sample; "
+    "release discipline tested in test_pipeline_ops)",
     # ---- write-then-read round trips ----
     "multi_format_roundtrip": "writes csv/json/orc before re-reading",
     "partitioned_pruned_read": "writes the partitioned table it prunes",
