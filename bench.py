@@ -186,9 +186,35 @@ def main() -> None:
     controls_ratio = None
     controls_ratio_median = None
     value_controls_normalized = None
+    control_times: dict[str, float] | None = None
     if sf_val == 0.1 and not cold and SINK == "collect":
+        control_times = times
+    elif not cold:
+        # r14: when benching another SF (the sf1 durable-sink trend
+        # leg), measure the four controls at THEIR pinned convention
+        # (sf0.1, collect, min over reps) in this same process — the
+        # r13->r14 sf1 comparison needed a separate sf0.1 bench run to
+        # adjudicate a +13% raw inflation as box drift (controls 0.928
+        # -> 1.074 across the two sessions); measuring them in-process
+        # makes every non-sf0.1 artifact self-adjudicating. ~2 s cost.
+        ctl_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        if os.path.basename(ctl_dir.rstrip("/")) != "sf0.1":
+            ctl_dir = "/root/testdata/sf0.1"
+        if os.path.isdir(ctl_dir):
+            ctl_samples: dict[str, list[float]] = {
+                n: [] for n in CONTROL_PINS_SF01
+            }
+            for _ in range(reps):
+                for name in CONTROL_PINS_SF01:
+                    t0 = time.perf_counter()
+                    assert QUERIES[name](spark, ctl_dir).collect() is not None
+                    ctl_samples[name].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+            control_times = {n: min(s) for n, s in ctl_samples.items()}
+    if control_times is not None:
         controls_ratio = {
-            name: round(times[name] / pin, 3)
+            name: round(control_times[name] / pin, 3)
             for name, pin in CONTROL_PINS_SF01.items()
         }
         controls_ratio_median = round(
