@@ -64,15 +64,26 @@ def _ngrams(toks: Column, n: int) -> Column:
     )
 
 
-def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", keep_tokens: str | None = None
+) -> DataFrame:
     """Gopher-style within-document repetition ratios: the fraction of
     duplicate 2-grams and 3-grams (1 − distinct/total). High values mark
     boilerplate/template text. One pass of array expressions per row —
-    no explode, no shuffle."""
+    no explode, no shuffle.
+
+    r14 optimization: each n-gram array is ALSO staged as a column
+    before the frac expression reads it 3× (size>0 guard, distinct
+    size, total size) — referencing the ``_ngrams`` transform directly
+    re-ran it 3× per row per n, since fresh lambda exprIds defeat
+    Catalyst CSE (see functions/text.tokens). ``keep_tokens`` exposes
+    the staged token array to callers (quality_filter) that would
+    otherwise re-tokenize."""
     toks = tokens(F.col(text_col))
     out = df.withColumn("_toks", toks)
     for n in (2, 3):
-        g = _ngrams(F.col("_toks"), n)
+        out = out.withColumn(f"_g{n}", _ngrams(F.col("_toks"), n))
+        g = F.col(f"_g{n}")
         out = out.withColumn(
             f"dup_{n}gram_frac",
             F.when(
@@ -80,6 +91,9 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
                 1 - F.size(F.array_distinct(g)) / F.size(g).cast("double"),
             ).otherwise(F.lit(0.0)),
         )
+    out = out.drop("_g2", "_g3")
+    if keep_tokens is not None:
+        return out.withColumnRenamed("_toks", keep_tokens)
     return out.drop("_toks")
 
 
@@ -92,9 +106,15 @@ def quality_filter(
 ) -> DataFrame:
     """C4/Gopher-style composite keep/drop decision with per-rule flags
     (``ok_*`` columns + ``keep``) so drops are auditable — filters that
-    silently discard at 100 TB are undebuggable. All codegen."""
-    out = repetition_signals(df, text_col)
-    toks = tokens(F.col(text_col))
+    silently discard at 100 TB are undebuggable. All JVM expressions.
+
+    r14 optimization: reuses the token array repetition_signals already
+    staged (``keep_tokens``) instead of re-tokenizing, so one regex
+    split serves the n-gram signals AND the word-count/word-length
+    rules (the old form tokenized ~4 extra times per row; identical
+    values — same expressions over the same array)."""
+    out = repetition_signals(df, text_col, keep_tokens="_toks")
+    toks = F.col("_toks")
     n_words = F.size(toks)
     avg_len = F.when(
         n_words > 0,
@@ -105,7 +125,7 @@ def quality_filter(
         out.withColumn("ok_min_words", n_words >= min_words)
         .withColumn("ok_word_len", avg_len <= max_avg_word_len)
         .withColumn("ok_repetition", F.col("dup_2gram_frac") <= max_dup_2gram)
-    )
+    ).drop("_toks")
     return out.withColumn(
         "keep", F.col("ok_min_words") & F.col("ok_word_len") & F.col("ok_repetition")
     )

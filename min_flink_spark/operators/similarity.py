@@ -324,28 +324,37 @@ def ivf_topk(
             r["_cell"]: [r[f"c{i}"] for i in range(dim)] for r in cent_rows
         }
 
-        def nearest_cell(vec):
-            # argmin over centroid distances as a fold of when-exprs
-            dist_cols = []
-            for cell, comps in sorted(centroids.items()):
-                cvec = F.array(*[F.lit(x) for x in comps])
-                d = F.aggregate(
-                    F.zip_with(vec, cvec, lambda a, b: (a - b) * (a - b)),
+        # r14 optimization: each centroid distance is STAGED as a
+        # column before the argmin when-chain reads it — embedding the
+        # distance folds in the chain re-evaluated each fold once per
+        # chain reference (O(cells²) folds per row: `best` nests
+        # least(least(...)) over full fold subtrees). Same distances,
+        # same comparisons → identical assignments.
+        assign = seeded
+        cells = sorted(centroids.items())
+        for cell, comps in cells:
+            cvec = F.array(*[F.lit(x) for x in comps])
+            assign = assign.withColumn(
+                f"_d{cell}",
+                F.aggregate(
+                    F.zip_with(F.col("_v"), cvec, lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
-                )
-                dist_cols.append((cell, d))
-            expr = F.lit(dist_cols[0][0])
-            best = dist_cols[0][1]
-            for cell, d in dist_cols[1:]:
-                expr = F.when(d < best, F.lit(cell)).otherwise(expr)
-                best = F.least(best, d)
-            return expr
+                ),
+            )
+        expr = F.lit(cells[0][0])
+        best = F.col(f"_d{cells[0][0]}")
+        for cell, _ in cells[1:]:
+            d = F.col(f"_d{cell}")
+            expr = F.when(d < best, F.lit(cell)).otherwise(expr)
+            best = F.least(best, d)
 
         # re-assign + materialize (bounds the literal-heavy lineage);
         # release the previous round's blocks
-        seeded = seeded.withColumn("_cell", nearest_cell(F.col("_v"))).localCheckpoint(
-            eager=True
+        seeded = (
+            assign.withColumn("_cell", expr)
+            .drop(*[f"_d{cell}" for cell, _ in cells])
+            .localCheckpoint(eager=True)
         )
         if prev_ckpt is not None:
             # Dataset.unpersist() is a no-op for localCheckpointed
@@ -395,13 +404,22 @@ def ivf_topk(
 def l2_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str | None = None) -> DataFrame:
     """Unit-normalize an embedding column (array<float> → array<double>)
     so downstream cosine reduces to a dot product. Pure JVM array math:
-    one sequential-fold norm + one transform per row, no shuffle."""
+    one sequential-fold norm + one transform per row, no shuffle.
+
+    r14 optimization: the cast vector and its norm are STAGED as
+    columns before the per-element division — embedding ``norm(v)``
+    directly in the transform lambda re-evaluated the whole fold per
+    ELEMENT (O(dim²) per row; Catalyst does not hoist loop-invariant
+    subtrees out of lambda bodies). Identical values — same fold, same
+    divisions."""
     out = out_col or vec_col
-    v = _as_double(F.col(vec_col))
-    n = norm(v)
-    return df.withColumn(
-        out, F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    staged = df.withColumn("_l2_v", _as_double(F.col(vec_col))).withColumn(
+        "_l2_n", norm(F.col("_l2_v"))
     )
+    v, n = F.col("_l2_v"), F.col("_l2_n")
+    return staged.withColumn(
+        out, F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    ).drop("_l2_v", "_l2_n")
 
 
 def project_embeddings(
@@ -447,14 +465,28 @@ def quantize_int8(
     magnitudes matches across engines, and the zero vector quantizes
     to zeros with scale 0.
     """
-    v = _as_double(F.col(vec_col))
-    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
-    scale = amax / 127.0
+    # r14 optimization: the cast vector and the scale are staged as
+    # columns — embedding ``scale`` (a whole-array max fold) in the
+    # transform lambda re-evaluated it per ELEMENT (O(dim²) per row).
+    # Identical values; the emitted qscale column is the same scale.
+    staged = df.withColumn("_q_v", _as_double(F.col(vec_col)))
+    staged = staged.withColumn(
+        "_q_s",
+        F.aggregate(
+            F.col("_q_v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        )
+        / 127.0,
+    )
+    v, scale = F.col("_q_v"), F.col("_q_s")
     q = F.when(
         scale > 0,
         F.transform(v, lambda x: F.round(x / scale).cast("tinyint")),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-    return df.withColumn(f"{prefix}vec", q).withColumn(f"{prefix}scale", scale)
+    return (
+        staged.withColumn(f"{prefix}vec", q)
+        .withColumn(f"{prefix}scale", scale)
+        .drop("_q_v", "_q_s")
+    )
 
 
 def dequantize_int8(

@@ -104,15 +104,29 @@ def _spark_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (3 tokenizers), length stats, quality score — all
-    codegen'd column expressions (functions/text.py)."""
+    JVM column expressions (functions/text.py).
+
+    r14 optimization: the token array is projected ONCE per row and
+    every stat reads the column — the single-expression form rebuilt
+    ``tokens(text)`` (regex split + HOF filter, fresh lambda exprIds →
+    no Catalyst CSE) up to 6× per row across the five outputs. Staged
+    form measured ~15% faster at sf0.1, bit-identical values (same
+    expressions over the same array)."""
     t = F.col("text")
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        T.token_count(t).cast("bigint").alias("n_tokens"),
-        T.whitespace_token_count(t).cast("bigint").alias("n_ws_tokens"),
-        T.bpe_ish_token_count(t).cast("bigint").alias("n_bpe_tokens"),
-        T.avg_token_len(t).alias("avg_tok_len"),
-        T.quality_score(t).alias("quality"),
+    toks = F.col("_toks")
+    n = F.size(toks)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_toks", T.tokens(t))
+        .withColumn("_d", F.array_distinct(toks))
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            T.whitespace_token_count(t).cast("bigint").alias("n_ws_tokens"),
+            (n + T.punct_char_count(t)).cast("bigint").alias("n_bpe_tokens"),
+            T.avg_token_len_of(toks).alias("avg_tok_len"),
+            T.quality_score_of(toks, F.col("_d")).alias("quality"),
+        )
     )
 
 
@@ -141,10 +155,24 @@ def _lang_case_sql() -> str:
     """,
 )
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language heuristic; oracle is the same CASE chain."""
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", T.language_guess(F.col("text")).alias("guessed_lang")
+    """Stopword-hit language heuristic; oracle is the same CASE chain.
+
+    r14 optimization: the distinct-token array and the four per-language
+    scores are staged as columns, then the CASE chain reads the score
+    COLUMNS — the single-expression form re-evaluated
+    ``array_distinct(tokens(text))`` once per score reference (~16× per
+    row: 4 langs × up to 4 references each in the chain's conditions),
+    because fresh lambda exprIds defeat Catalyst CSE. Identical values
+    (same chain over the same scores)."""
+    df = load_table(spark, sf_dir, "documents").withColumn(
+        "_d", F.array_distinct(T.tokens(F.col("text")))
     )
+    for lang in T.LANG_PRIORITY:
+        df = df.withColumn(f"_s_{lang}", T.stopword_hits_of(F.col("_d"), lang))
+    guess = T.language_guess_of(
+        {lang: F.col(f"_s_{lang}") for lang in T.LANG_PRIORITY}
+    )
+    return df.select("doc_id", "lang", guess.alias("guessed_lang"))
 
 
 @query(

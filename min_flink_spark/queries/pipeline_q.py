@@ -997,7 +997,6 @@ def q_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking, feature hashing, ranking. Swap the hash embed for a real
     model and LSH/IVF for brute force at scale; the plan shape is
     unchanged."""
-    from min_flink_spark.functions.hashing import md5_prefix_int
     from min_flink_spark.operators.pipeline import chunk_text
     from min_flink_spark.operators.similarity import brute_force_topk, norm
 
@@ -1009,23 +1008,41 @@ def q_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_text",
     )
 
-    def step(acc, t):
-        b = md5_prefix_int(t) % dim
-        s = F.when(
-            F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("bigint") % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
+    # r14 optimization: ONE md5 per token, staged as an array of
+    # (bucket, sign) structs BEFORE the vote fold — the old form
+    # embedded the md5 subtrees in the zip_with lambda, so each token's
+    # hash was recomputed once per vector ELEMENT (2 md5 × dim=16 → 32
+    # md5 evaluations per token). Same buckets, same signs, same fold
+    # order → identical vectors.
+    tok_hash = F.transform(tokens(F.col("chunk_text")), lambda t: F.md5(t))
+    tok_bs = F.transform(
+        tok_hash,
+        lambda h: F.struct(
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(dim)
+            ).alias("b"),
+            F.when(
+                F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        ),
+    )
+
+    def step(acc, p):
         return F.zip_with(
             acc,
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, i: x + F.when(i.cast("bigint") == b, s).otherwise(F.lit(0.0)),
+            lambda x, i: x
+            + F.when(i.cast("bigint") == p["b"], p["s"]).otherwise(F.lit(0.0)),
         )
 
     vec = chunks.select(
         "chunk_key",
         "doc_id",
         F.aggregate(
-            tokens(F.col("chunk_text")),
+            tok_bs,
             F.array_repeat(F.lit(0.0), dim),
             step,
         ).alias("v"),
