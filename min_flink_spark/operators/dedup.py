@@ -263,7 +263,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     df_cap: int | None = 1000,
-    persist_shingles: bool = False,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Jaccard similarity over shingle sets via inverted-index join;
     emits (doc_a, doc_b, jaccard) for pairs ≥ threshold.
@@ -278,11 +278,13 @@ def ngram_jaccard_pairs(
 
     ``persist_shingles``: the shingle table feeds THREE consumers (both
     self-join sides + the size agg), so the tokenize+explode re-runs ~3×
-    without it. Measured at sf0.1 the recompute is CHEAPER than the
-    cache-write barrier (same result as the tfidf experiment, PERF.md),
-    so the default is off; flip it on when corpus tokenization dominates
-    (very large docs / very large corpus) — the classic recompute-vs-
-    materialize knob, exposed rather than hardcoded. The cache entry is
+    without it. RE-MEASURED r14 on the Zipfian sf0.1 corpus: persist now
+    WINS (min 5.0 s vs 6.4 s noop-sink — the r13 corpus rewrite made
+    shingling ~3× costlier than the 31-word corpus this knob was
+    originally measured on), so the default flipped to ON; recompute
+    remains the right call only when the shingle table outsizes cluster
+    storage — the classic recompute-vs-materialize knob, exposed rather
+    than hardcoded. The cache entry is
     held by Spark's CacheManager for the session (it is NOT freed when
     the result is dropped); callers running many corpora in one session
     should ``spark.catalog.clearCache()`` between runs, same as the
@@ -335,7 +337,15 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash per doc: token hash = first 8 md5 hex digits;
     bit b of the result = sign of Σ_tokens (±1 per bit b). One explode +
-    one agg; bit votes are ``bits`` agg columns (no bit-table join)."""
+    one agg; bit votes are ``bits`` agg columns (no bit-table join).
+
+    NB (r14 optimization round, measured): the 32 vote columns share one
+    ``md5_prefix_int(tok)`` subtree each, and codegen subexpression
+    elimination DOES merge them (plain deterministic expressions are
+    semanticEquals across separately-built copies — unlike the
+    lambda-bearing HOF trees fixed elsewhere this round). Staging the
+    hash behind an extra Project measured SLOWER (1.79 vs 1.32 s at
+    sf0.1), so the inline form stays."""
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
@@ -543,6 +553,16 @@ def simhash_hamming_pairs(
     banded = sigs.select(
         F.col(id_col), F.col("simhash"), F.explode(slices).alias("s")
     ).select(id_col, "simhash", F.col("s.band").alias("band"), F.col("s.key").alias("key"))
+    # r14 optimization: materialize the banded signatures before the
+    # self-join — exchange reuse does not fire across the aliased join
+    # sides, so without this the whole tokenize+simhash pipeline (the
+    # dominant cost) executed TWICE. Same contract as minhash_lsh_pairs'
+    # persist_bands: the table is narrow (id, sig, band, key), spills to
+    # disk if needed; callers running many corpora in one session can
+    # clearCache() between runs. Measured at sf0.1: 13.1 s → ~7 s.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "key"
     )

@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from min_flink_spark.registry import query
 from min_flink_spark.streaming.runner import (
+    STREAM_STATE_PARTITIONS,
     fresh_attrs,
+    shuffle_partitions,
     run_to_completion,
     stream_parquet,
 )
@@ -48,7 +50,8 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return run_to_completion(counts, output_mode="update")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        return run_to_completion(counts, output_mode="update")
 
 
 @query(
@@ -133,7 +136,8 @@ def q_streaming_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
-    return run_to_completion(agg, output_mode="update")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        return run_to_completion(agg, output_mode="update")
 
 
 @query(
@@ -163,7 +167,8 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value")
     )
-    return run_to_completion(agg, output_mode="update")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        return run_to_completion(agg, output_mode="update")
 
 
 @query(
@@ -203,7 +208,8 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
-    return run_to_completion(agg, output_mode="complete")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        return run_to_completion(agg, output_mode="complete")
 
 
 @query(
@@ -232,7 +238,8 @@ def q_streaming_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
-    return run_to_completion(agg, output_mode="update")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        return run_to_completion(agg, output_mode="update")
 
 
 @query(
@@ -811,7 +818,8 @@ def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         w1.groupBy(F.window(F.col("w6"), "1 day").alias("wd"), "event_type")
         .agg(F.max("n").alias("max_n"), F.count(F.lit(1)).alias("n_windows"))
     )
-    out = run_to_completion(w2, output_mode="append")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        out = run_to_completion(w2, output_mode="append")
     return out.select(
         F.col("wd.start").alias("day_start"), "event_type", "max_n", "n_windows"
     )
@@ -865,7 +873,8 @@ def q_streaming_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias("value_micro"),
     )
-    return run_to_completion(agg, output_mode="update")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        return run_to_completion(agg, output_mode="update")
 
 
 @query(
@@ -911,7 +920,8 @@ def q_streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("value_micro").desc(), F.col("event_type").asc())
         .limit(3)
     )
-    return run_to_completion(agg, output_mode="complete")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        return run_to_completion(agg, output_mode="complete")
 
 
 @query(
@@ -941,7 +951,8 @@ def q_streaming_dedup_within_watermark(
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("survivors"))
     )
-    return run_to_completion(deduped, output_mode="update")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        return run_to_completion(deduped, output_mode="update")
 
 
 from min_flink_spark.queries.analytics_q import SKETCH_QUANTILES_ORACLE
@@ -973,7 +984,8 @@ def q_streaming_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         F.col("vm"),
     )
-    final = run_to_completion(sk, output_mode="update")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        final = run_to_completion(sk, output_mode="update")
     return sketch_quantiles(final, ["event_type"], [50, 90, 99])
 
 
@@ -1049,7 +1061,8 @@ def q_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = stream_parquet(spark, f"{sf_dir}/documents.parquet", DOCS_SCHEMA)
     tok_s = s.select(F.explode(tokens(F.col("text"))).alias("term"))
-    emitted = run_to_completion(count_min_sketch(tok_s, "term"), output_mode="update")
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        emitted = run_to_completion(count_min_sketch(tok_s, "term"), output_mode="update")
     grid = emitted.groupBy("d", "w").agg(F.max("cnt").alias("cnt"))
 
     tok = load_table(spark, sf_dir, "documents").select(
@@ -1104,9 +1117,10 @@ def q_streaming_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
     urgent_s = s.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_orderkey").alias("k")
     )
-    emitted = run_to_completion(
-        bloom_word_frame(urgent_s, "k", m_bits, k_hashes), output_mode="update"
-    )
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        emitted = run_to_completion(
+            bloom_word_frame(urgent_s, "k", m_bits, k_hashes), output_mode="update"
+        )
     # bits only turn ON: a second bit_or collapses cumulative per-word
     # emissions to the final mask at any batch count
     words = emitted.groupBy("_word").agg(F.bit_or("_mask").alias("_mask")).collect()
@@ -1137,12 +1151,13 @@ def q_streaming_bitmap_segment_ops(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     s = stream_parquet(spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA)
-    emitted = run_to_completion(
-        bitmap_index(
-            s.select("event_type", "user_id"), "event_type", "user_id"
-        ),
-        output_mode="update",
-    )
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        emitted = run_to_completion(
+            bitmap_index(
+                s.select("event_type", "user_id"), "event_type", "user_id"
+            ),
+            output_mode="update",
+        )
     index = merge_bitmap_indexes(emitted)
     return bitmap_pair_ops(index, "event_type")
 
@@ -1338,10 +1353,11 @@ def q_streaming_cms_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFra
     keyed = s.select(
         F.window("ts", "1 day").getField("start").alias("day"), "event_type"
     )
-    emitted = run_to_completion(
-        count_min_sketch(keyed, "event_type", depth=4, width=128, keys=["day"]),
-        output_mode="update",
-    )
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        emitted = run_to_completion(
+            count_min_sketch(keyed, "event_type", depth=4, width=128, keys=["day"]),
+            output_mode="update",
+        )
     # cumulative per-cell counts: MAX = the cell's final value
     grids = emitted.groupBy("day", "d", "w").agg(F.max("cnt").alias("cnt"))
     merged = (
@@ -1394,9 +1410,10 @@ def q_streaming_bitmap_windowed_retention(
     keyed = s.select(
         F.window("ts", "1 day").getField("start").alias("day"), "user_id"
     ).filter(F.col("day") < hi)
-    emitted = run_to_completion(
-        bitmap_index(keyed, "day", "user_id"), output_mode="update"
-    )
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        emitted = run_to_completion(
+            bitmap_index(keyed, "day", "user_id"), output_mode="update"
+        )
     # bits only turn ON: bit_or collapses cumulative emissions AND
     # merges the relabeled days in one pass
     seg = emitted.withColumn(
@@ -1641,10 +1658,11 @@ def q_streaming_sketch_quantiles_windowed(
         "event_type",
         F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
     )
-    emitted = run_to_completion(
-        log_histogram_sketch(keyed, ["day", "event_type"], F.col("vm")),
-        output_mode="update",
-    )
+    with shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        emitted = run_to_completion(
+            log_histogram_sketch(keyed, ["day", "event_type"], F.col("vm")),
+            output_mode="update",
+        )
     # cumulative per-bin counts: MAX = the bin's final value
     daily = emitted.groupBy("day", "event_type", "bin").agg(
         F.max("cnt").alias("cnt")

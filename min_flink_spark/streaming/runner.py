@@ -27,6 +27,21 @@ from pyspark.sql.types import StructType
 
 from contextlib import contextmanager
 
+# Default state width for bounded streaming replays whose state is
+# SUMMARY-sized (sketches, window panes, per-key counters over test-SF
+# key counts): every shuffle partition costs a state-store instance +
+# commit + an Arrow round trip PER MICRO-BATCH, so at small state the
+# session's scan-parallelism default (32) is pure overhead — measured
+# r14 on the streaming bitmap build: 0.84 s at 8 partitions vs 1.3-1.7 s
+# at 32, steady-state. Parameterised (not a local[32] constant): on a
+# cluster replaying volumes where per-key state is data-proportional
+# (billions of dedup keys), set SPARK_GRAFT_STREAM_STATE_PARTITIONS to
+# size partitions at ~100-500 MB of state each — the knob scales the
+# same code, nothing in the queries changes.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
 
 @contextmanager
 def shuffle_partitions(spark: SparkSession, n: int):
