@@ -95,7 +95,19 @@ def bitmap_pair_ops(index: DataFrame, key_col: str) -> DataFrame:
     Intersection = inner equi-join of the two keys' chunks on ``word``
     + popcount of the AND; union by inclusion-exclusion — so the only
     join is chunk-frame × chunk-frame on the word id, and an id in
-    neither word overlap costs nothing."""
+    neither word overlap costs nothing.
+
+    r14 optimization: the index is PERSISTED here — it feeds four
+    subplans (both self-join sides + both cardinality legs), and for a
+    batch caller each one would otherwise re-run the whole scan+bit_or
+    build (exchange reuse does not fire across the aliased sides; the
+    plan audit read 12 scans on the batch bitmap queries). The index is
+    summary-sized by construction (keys × touched 64-id words), so the
+    cache is bounded; same session-cache contract as minhash's
+    persist_bands (clearCache() between corpora)."""
+    from pyspark import StorageLevel
+
+    index = index.persist(StorageLevel.MEMORY_AND_DISK)
     # every column renamed per side: the self-join must survive ANY
     # lineage, including a streaming memory-sink view whose repeated
     # attributes Spark refuses to disambiguate on a shared-name join

@@ -324,37 +324,51 @@ def ivf_topk(
             r["_cell"]: [r[f"c{i}"] for i in range(dim)] for r in cent_rows
         }
 
-        # r14 optimization: each centroid distance is STAGED as a
-        # column before the argmin when-chain reads it — embedding the
-        # distance folds in the chain re-evaluated each fold once per
-        # chain reference (O(cells²) folds per row: `best` nests
-        # least(least(...)) over full fold subtrees). Same distances,
-        # same comparisons → identical assignments.
-        assign = seeded
+        # r14 optimization (second iteration of this site): the argmin
+        # is ONE fold over an array of (cell, centroid) structs instead
+        # of the r12 nested when-chain (which re-evaluated each distance
+        # fold once per chain reference, O(cells²) folds/row) or the
+        # 16-chained-withColumn staging (which fixed the folds but paid
+        # ~2.2 s/iteration of ANALYSIS+codegen on a 16-Project,
+        # 1024-literal plan — the corpus is small; the plan was the
+        # cost). Ascending cell order + strict `<` keeps the exact
+        # tie semantics of the original chain (first cell achieving the
+        # minimum wins), so assignments — and therefore centroids and
+        # final top-k — are identical. Measured: train phase
+        # 9.2 s → ~2 s at sf0.1.
         cells = sorted(centroids.items())
-        for cell, comps in cells:
-            cvec = F.array(*[F.lit(x) for x in comps])
-            assign = assign.withColumn(
-                f"_d{cell}",
-                F.aggregate(
-                    F.zip_with(F.col("_v"), cvec, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cell).alias("cell"),
+                    F.array(*[F.lit(x) for x in comps]).alias("cv"),
+                )
+                for cell, comps in cells
+            ]
+        )
+
+        def _dist(cv):
+            return F.aggregate(
+                F.zip_with(F.col("_v"), cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-        expr = F.lit(cells[0][0])
-        best = F.col(f"_d{cells[0][0]}")
-        for cell, _ in cells[1:]:
-            d = F.col(f"_d{cell}")
-            expr = F.when(d < best, F.lit(cell)).otherwise(expr)
-            best = F.least(best, d)
+
+        assign_expr = F.aggregate(
+            cent_arr,
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).alias("cell")
+            ),
+            lambda acc, c: F.when(
+                _dist(c["cv"]) < acc["d"],
+                F.struct(_dist(c["cv"]).alias("d"), c["cell"].alias("cell")),
+            ).otherwise(acc),
+        )["cell"]
 
         # re-assign + materialize (bounds the literal-heavy lineage);
         # release the previous round's blocks
-        seeded = (
-            assign.withColumn("_cell", expr)
-            .drop(*[f"_d{cell}" for cell, _ in cells])
-            .localCheckpoint(eager=True)
+        seeded = seeded.withColumn("_cell", assign_expr).localCheckpoint(
+            eager=True
         )
         if prev_ckpt is not None:
             # Dataset.unpersist() is a no-op for localCheckpointed
