@@ -30,6 +30,20 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _lit_double_array(vals) -> F.Column:
+    """Literal array<double> in ONE JVM call (r14 optimization):
+    ``F.array(*[F.lit(v) ...])`` costs one py4j round trip per element —
+    the hyperplane/centroid literal tables built here reach thousands of
+    elements per query, and the round trips alone measured 4-6 s of
+    DRIVER-side query construction on the LSH path (plan and execution
+    were fine; Python was the bottleneck). A SQL-parsed array literal is
+    one call (~100× faster measured) and bit-exact: ``repr()`` of a
+    finite Python float is the shortest decimal that round-trips, and
+    the JVM's double parser returns exactly that double (verified
+    including -0.0, denormals, and 1e±300 magnitudes)."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
 def dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -164,18 +178,24 @@ def hyperplane_signatures(
     (``_hyperplane``) so ANY engine can replay them: component j of
     plane p in table t is md5(f"{t*1000+p}|{j}")[:8] as a uniform in
     [-0.5, 0.5). Bit p of sig = (v · plane ≥ 0)."""
-    def signature(vec, table: int):
-        bits = []
+    # r14 optimization: each table's whole signature is ONE SQL-parsed
+    # expression — the Column-API form cost ~10 py4j round trips per
+    # plane-dot (T×P of them, per join side), which measured as seconds
+    # of DRIVER-side build time on the LSH queries. The SQL text parses
+    # to the identical fold (same zip_with/aggregate order, same
+    # 0.0-init, same >= 0 sign test, same 2^p weights), so signatures
+    # are bit-identical.
+    def signature(vec_sql: str, table: int) -> F.Column:
+        terms = []
         for p in range(num_planes):
             comps = _hyperplane(table * 1000 + p, dim)
-            plane = F.array(*[F.lit(c) for c in comps])
-            bits.append(
-                F.when(dot(vec, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+            plane = "array(" + ",".join(repr(float(c)) + "D" for c in comps) + ")"
+            d = (
+                f"aggregate(zip_with({vec_sql}, {plane}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)"
             )
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("bigint")
+            terms.append(f"(CASE WHEN {d} >= 0 THEN {2 ** p} ELSE 0 END)")
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
     # one projection + explode (NOT a per-table union): all T signatures
     # compute in a single pass over the vector column and the downstream
@@ -184,7 +204,7 @@ def hyperplane_signatures(
     table_structs = [
         F.struct(
             F.lit(t).cast("bigint").alias("tbl"),
-            signature(F.col(vec_col), t).alias("sig"),
+            signature(f"`{vec_col}`", t).alias("sig"),
         )
         for t in range(num_tables)
     ]
@@ -341,7 +361,7 @@ def ivf_topk(
             *[
                 F.struct(
                     F.lit(cell).alias("cell"),
-                    F.array(*[F.lit(x) for x in comps]).alias("cv"),
+                    _lit_double_array(comps).alias("cv"),
                 )
                 for cell, comps in cells
             ]
@@ -459,7 +479,7 @@ def project_embeddings(
     cols = []
     for k in range(out_dim):
         comps = _hyperplane(500_000 + k, dim)
-        plane = F.array(*[F.lit(c) for c in comps])
+        plane = _lit_double_array(comps)
         cols.append(dot(v, plane).alias(f"{prefix}{k}"))
     return df.select("*", *cols)
 

@@ -523,7 +523,14 @@ def _ann_recall_certificate(
     comma-joined string (ids sorted numerically) because the driver's
     canonicalizer cannot sort list cells."""
     queries = emb.filter(F.col("vec_id") < 10)
-    bf = brute_force_topk(emb, queries, k=5)
+    # r14 optimization: bf feeds TWO consumers (the recall mark join
+    # and the bf_ids groupBy) and each re-ran the whole brute-force
+    # scoring pass without this; the frame is k×|queries| rows (50) so
+    # the cache is trivially bounded. Same session-cache contract as
+    # persist_bands (clearCache() between corpora).
+    from pyspark import StorageLevel
+
+    bf = brute_force_topk(emb, queries, k=5).persist(StorageLevel.MEMORY_AND_DISK)
     marked = bf.select("query_id", "vec_id").join(
         ann.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
         ["query_id", "vec_id"],
