@@ -90,6 +90,14 @@ def dedup_substrings(
     anti-join + per-doc rebuild. Never all-pairs, never a driver
     collect.
     """
+    # NB (r14 optimization round, measured NEGATIVE): the token table
+    # feeds three consumers and the shingle table two, so persisting
+    # them looks like the jaccard/banded-signature win — but measured
+    # at sf0.1 it is SLOWER (7.5 s vs 5.1 s): the shingle table is
+    # data×k-sized and its cache write costs more than the re-explode
+    # (the recompute-vs-materialize knob lands the other way than
+    # ngram_jaccard_pairs', whose persisted table is pre-capped and
+    # narrower). Left unpersisted deliberately.
     toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     # 1-based shingle start positions; sequence() DESCENDS when end <
     # start, so short docs need the explicit empty-array guard

@@ -979,12 +979,25 @@ def label_prototypes(
 
     Plan: ONE hash aggregation with map-side combine over ``dim``
     column expressions — no explode (which would multiply rows ×dim
-    before the shuffle), no Python. Output is labels-sized (tiny)."""
-    v = _as_double(F.col(vec_col))
+    before the shuffle), no Python.  Output is labels-sized (tiny).
+
+    r14 optimization (two parts): each component is
+    ``v[j] cast to double`` — the old ``_as_double(v)[j]`` extracted
+    from a TRANSFORM expression, and the lambda-bearing
+    cast-the-whole-array subtree re-ran once per component column
+    (O(dim²) casts per row; lambda exprIds defeat CSE) — and the ``dim``
+    aggregate columns are SQL-parsed (one py4j call each instead of ~6;
+    the Column-API build measured ~2.3 s of pure driver time on the
+    confusion-census query). cast(extract) ≡ extract(transform-cast)
+    element-wise and the parsed trees are the same expressions, so the
+    sums are identical."""
     return corpus.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.round(v[j] * 1_000_000).cast("bigint")).alias(f"p{j}")
+            F.expr(
+                f"sum(CAST(round(CAST(`{vec_col}`[{j}] AS DOUBLE) * 1000000)"
+                f" AS BIGINT)) AS p{j}"
+            )
             for j in range(dim)
         ],
     )
@@ -1014,19 +1027,28 @@ def nearest_prototype(
     the argmin — no window over the corpus, no data-sized shuffle
     beyond the id-keyed aggregation. Returns ``(id, predicted_label)``.
     """
-    v = _as_double(F.col(vec_col))
-    vm = corpus.select(
-        F.col(id_col),
+    # r14 optimization: per-element cast instead of extracting from a
+    # transform-cast array (same O(dim²) fix as label_prototypes), and
+    # the projection + distance chain are SQL-parsed — one py4j call
+    # for the whole vm select and one for the 64-term sum, instead of
+    # hundreds (driver build time, not execution, was the cost). The
+    # parsed trees are the same expressions in the same left-to-right
+    # fold order, so distances replay bit-identical.
+    vm = corpus.selectExpr(
+        f"`{id_col}`",
         *[
-            F.round(v[j] * 1_000_000).cast("bigint").alias(f"v{j}")
+            f"CAST(round(CAST(`{vec_col}`[{j}] AS DOUBLE) * 1000000)"
+            f" AS BIGINT) AS v{j}"
             for j in range(dim)
         ],
     )
-    terms = None
-    for j in range(dim):
-        diff = F.col(f"v{j}") - F.col(f"p{j}") / F.col("n")
-        t = diff * diff  # x*x, not pow(x,2): IEEE-identical in SQL replay
-        terms = t if terms is None else terms + t
+    # x*x, not pow(x,2): IEEE-identical in SQL replay; the duplicated
+    # diff subtree is a plain expression, so codegen CSE merges it
+    terms = F.expr(
+        " + ".join(
+            f"((v{j} - p{j} / n) * (v{j} - p{j} / n))" for j in range(dim)
+        )
+    )
     scored = vm.join(F.broadcast(protos)).select(
         F.col(id_col), F.col("label"), terms.alias("_d")
     )
