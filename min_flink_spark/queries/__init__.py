@@ -24,81 +24,90 @@ from min_flink_spark.queries import windows  # noqa: F401
 # the ledger (python tools/rotation_ledger.py --write) ONLY when
 # rearranging this list.
 #
-# ROUND-14 PREFIX (positions 1-50), executing the r13 verdict item 1
-# (the written r14 rotation: the 16 r8 leftovers + the first r9 rows)
-# with r14's own changed queries jumping ahead (changed always first):
-#   1-6   changed in r14:
-#         (a) exact_percentile_grid / value_percentiles /
-#         median_and_central_tendency / winsorized_values — all four
-#         route through operators/pipeline.exact_percentiles, which
-#         gained (verdict r13 item 3 + ADVICE r13 medium): a
-#         localCheckpoint PIN of the distributed path's slice frame
-#         (its _pid/_lrk fed TWO plan subtrees whose agreement
-#         silently depended on ReuseExchange firing — sample-based
-#         range boundaries re-evaluated per physical instance could
-#         mismatch), a single-task loud guard on the windowed form
-#         (max_single_task_rows, mirroring FOLD_MAX_GROUP_ROWS), a
-#         tie-caveat guard on distributed range slices, and
-#         expected_max_group_rows auto-selection. Values at gate
-#         scale invariant; plans gain the guard projections (+ the
-#         grid's LogicalRDD).
-#         (b) keyed_sum_first_record — the fold guard now counts
-#         TOTAL buffered rows, count(1), not count(field): collect_
-#         list buffers a struct for EVERY row (struct() is never
-#         null), so a null-heavy group could exceed the memory bound
-#         without tripping the old guard (ADVICE r13).
-#         (c) bpe_tokenized_lengths — backing handled via the public
-#         add_backing helper instead of a private-list append
-#         (ADVICE r13; Python-side only, plan unchanged — promoted
-#         conservatively since the ledger hash moved).
-#   7-22  the 16 remaining r8-evidence rows (null_semantics_sampler …
-#         zorder_key_events — alphabetical, mechanically sorted by
-#         (last driver round, name); this retires r8 from the
-#         staleness histogram),
-#   23-50 the first 28 of the 40 r9-evidence rows (ann_ivf_topk …
-#         streaming_bloom_filter_join; streaming_cep_absence opens
-#         the r15 tail at position 51).
+# ROUND-14 PREFIX, FINAL (re-sorted at the end of the r14 OPTIMIZATION
+# phase; changed always first):
+#   1-44  changed in r14 — the 6 build-phase changes (percentile
+#         auto-select/guards/pin: exact_percentile_grid,
+#         value_percentiles, median_and_central_tendency,
+#         winsorized_values; fold-guard row counting:
+#         keyed_sum_first_record; backing-API: bpe_tokenized_lengths)
+#         plus the 38 optimization-phase changes (OPTIMIZATION_r14.md:
+#         tokenize-once text family, ANN/similarity construction and
+#         O(dim²) fixes, simhash/jaccard/bitmap materialization,
+#         16 streaming queries on the parameterised state width).
+#         Every value is oracle-identical by construction AND was
+#         strict-checked at sf0.01 during the round; the gate rows
+#         re-prove it at the driver.
+#   45-50 the 6 stalest rows (r8 evidence: null_semantics_sampler …
+#         streaming_interval_join).
 #
-# ROUND-15 ROTATION NOTE (positions 51+ are already in promotion
-# order — mechanically: everything outside the r14 head sorted by
-# (last driver round, name)): the 12 r9 leftovers at 51-62
-# (streaming_cep_absence … zscore_standardized_values), then the r10,
-# r11, r12, and r13 blocks.  Promote 51-onward next round — r15's 50
-# slots take the 12 r9 rows and the first ~38 of the r10 block; any
-# query changed during round 15 jumps ahead of everything (changed
+# ROUND-15 ROTATION NOTE: positions 51+ are already in promotion order
+# (mechanically: everything outside the prefix sorted by (last driver
+# round, name)) — the 10 remaining r8 rows open the tail, then the r9
+# block.  r15's slots take those plus whatever r15 changes (changed
 # always first).
 # The guardrail test enforces this shape — re-sorting this list IS
 # the rotation.
 _PRIORITY = [
-    # ---- 1-6: changed in r14 (see note above) ----
+    # ---- 1-44: changed in round 14 (build + optimization phases) ----
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "bitmap_keyed_windowed_ops",
+    "bitmap_segment_ops",
+    "bitmap_windowed_retention",
     "bpe_tokenized_lengths",
+    "chunk_retrieval_topk",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "embedding_near_dup_pairs",
+    "embedding_normalize_project",
+    "embedding_quantize_int8",
+    "er_candidate_features",
     "exact_percentile_grid",
     "keyed_sum_first_record",
+    "language_id",
+    "levenshtein_rerank",
     "median_and_central_tendency",
+    "ngram_jaccard_pairs",
+    "prototype_label_agreement",
+    "quality_filter_flags",
+    "repetition_signals",
+    "semantic_dedup_survivors",
+    "simhash_hamming_pairs",
+    "streaming_bitmap_segment_ops",
+    "streaming_bitmap_windowed_retention",
+    "streaming_bloom_filter_join",
+    "streaming_chained_windows",
+    "streaming_cms_counts",
+    "streaming_cms_windowed_counts",
+    "streaming_complete_topk",
+    "streaming_csv_source_counts",
+    "streaming_dedup_within_watermark",
+    "streaming_session_window",
+    "streaming_sketch_quantiles",
+    "streaming_sketch_quantiles_windowed",
+    "streaming_sliding_window",
+    "streaming_static_join",
+    "streaming_tumbling_window",
+    "streaming_wordcount",
+    "text_stats",
     "value_percentiles",
     "winsorized_values",
-    # ---- 7-22: the 16 remaining r8-evidence rows (this retires r8
-    #      from the staleness histogram) ----
+    # ---- 45+: unchanged, by (last driver round, name) — the gate
+    #      takes the first 6 (r8 evidence), the rest is the r15 tail ----
     "null_semantics_sampler",
     "part_value_concentration",
     "per_domain_cap",
     "positional_tokens",
     "promo_revenue_share",
     "streaming_interval_join",
-    "streaming_session_window",
-    "streaming_sliding_window",
-    "streaming_tumbling_window",
-    "streaming_wordcount",
     "tumbling_window_daily",
     "url_domain_filter",
     "weighted_sample_topk",
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
-    # ---- 23-50: first 28 of the 40 r9-evidence rows (gate ends at
-    #      50; streaming_cep_absence opens the r15 tail at 51) ----
-    "ann_ivf_topk",
-    "ann_lsh_topk",
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",
     "bloom_bigm_prefilter_join",
@@ -107,7 +116,6 @@ _PRIORITY = [
     "coarse_to_fine_topk",
     "correlated_subquery_big_orders",
     "cube_order_status_priority",
-    "dedup_clusters",
     "dedup_exact",
     "dedup_minhash_lsh",
     "deterministic_sample",
@@ -120,12 +128,9 @@ _PRIORITY = [
     "recency_decay_weights",
     "recursive_event_chains",
     "returned_item_customers",
-    "semantic_dedup_survivors",
     "set_ops_all_multiset",
     "sketch_quantiles_windowed",
     "skew_report",
-    "streaming_bloom_filter_join",
-    # ---- 51-62: last 12 r9 rows (r15 opens here — see note) ----
     "streaming_cep_absence",
     "streaming_cep_followed_by",
     "streaming_connect_coprocess",
@@ -138,26 +143,20 @@ _PRIORITY = [
     "variant_json_stats",
     "vocab_oov_rate",
     "zscore_standardized_values",
-    # ---- r10 rows ----
     "cheapest_supplier_per_type",
     "concentrated_suppliers",
-    "embedding_near_dup_pairs",
-    "embedding_quantize_int8",
     "flatmap_wordcount",
     "full_outer_join_balances",
     "heavy_hitter_terms",
     "keyed_max_by_record",
     "keyed_min_by_record_last",
     "keyed_min_first_record",
-    "language_id",
-    "levenshtein_rerank",
     "map_filter_project",
     "market_share",
     "media_byte_stats",
     "mg_weighted_top_customers",
     "mg_windowed_top_events",
     "model_quality_scores",
-    "ngram_jaccard_pairs",
     "pivot_event_counts",
     "pricing_summary",
     "product_profit_by_nation_year",
@@ -172,16 +171,12 @@ _PRIORITY = [
     "simhash_docs",
     "sketch_quantiles_key_rollup",
     "stratified_sample",
-    "streaming_sketch_quantiles_windowed",
-    "streaming_static_join",
     "supplier_part_counts",
-    "text_stats",
     "top100_orders_global",
     "top3_orders_per_priority",
     "top_supplier_revenue",
     "union_rebalance",
     "unpivot_lineitem_metrics",
-    # ---- r11 rows ----
     "bigram_lm_surprisal",
     "bucketed_cobucket_join_stats",
     "char_entropy_quality",
@@ -193,7 +188,6 @@ _PRIORITY = [
     "copurchase_pmi_top",
     "count_window_sliding",
     "dp_noisy_counts",
-    "er_candidate_features",
     "event_transition_probs",
     "forecast_revenue_change",
     "funnel_time_to_convert",
@@ -215,8 +209,6 @@ _PRIORITY = [
     "snapshot_diff_statuses",
     "split_leakage_report",
     "streaming_cep_times",
-    "streaming_chained_windows",
-    "streaming_csv_source_counts",
     "streaming_pysource_counts",
     "streaming_side_outputs",
     "temporal_table_join",
@@ -224,13 +216,9 @@ _PRIORITY = [
     "video_mp4_stats",
     "volume_shipping",
     "weekly_active_growth",
-    # ---- r12 rows (minus the 3 promoted to the r14 head) ----
     "array_function_sampler",
     "audio_wav_stats",
     "bfs_reach_copurchase",
-    "bitmap_keyed_windowed_ops",
-    "bitmap_segment_ops",
-    "bitmap_windowed_retention",
     "cms_keyed_windowed_counts",
     "cms_term_frequencies",
     "cms_windowed_counts",
@@ -239,11 +227,9 @@ _PRIORITY = [
     "cross_join_status_grid",
     "csv_corrupt_record_quarantine",
     "datetime_function_sampler",
-    "dedup_keep_best",
     "disjunctive_predicate_revenue",
     "domain_mix_sample",
     "either_tagged_union",
-    "embedding_normalize_project",
     "epoch_shuffle_index",
     "explode_outer_tokens",
     "global_sort_expensive_orders",
@@ -258,11 +244,7 @@ _PRIORITY = [
     "mg_keyed_windowed_top_events",
     "paragraph_dedup",
     "streaming_bitmap_keyed_windowed_ops",
-    "streaming_bitmap_segment_ops",
-    "streaming_bitmap_windowed_retention",
-    "streaming_cms_counts",
     "streaming_cms_keyed_windowed_counts",
-    "streaming_cms_windowed_counts",
     "streaming_kmv_distinct",
     "streaming_kmv_keyed_windowed_distinct",
     "streaming_kmv_windowed_distinct",
@@ -271,12 +253,9 @@ _PRIORITY = [
     "streaming_mg_windowed_top_events",
     "trend_slope_by_type",
     "window_rank_lag",
-    # ---- r13 rows (minus the 3 promoted; alphabetical) ----
-    "ann_pq_topk",
     "approx_aggregates",
     "bigram_top_pairs",
     "bpe_merge_training",
-    "chunk_retrieval_topk",
     "conversation_assembly",
     "count_window_blocks",
     "custom_pysource_events",
@@ -298,25 +277,18 @@ _PRIORITY = [
     "minmax_normalized_values",
     "nested_field_sum_first_record",
     "pii_redaction",
-    "prototype_label_agreement",
-    "quality_filter_flags",
     "range_join_price_bands",
-    "repetition_signals",
     "resample_1h_forward_fill",
     "salted_skew_aggregation",
     "salted_skew_join",
     "sequence_packing",
     "session_window_4h",
     "session_window_dynamic_gap",
-    "simhash_hamming_pairs",
     "sketch_quantiles_merged",
     "sliding_window_1d_6h",
     "small_quantity_revenue",
-    "streaming_complete_topk",
     "streaming_dedup",
-    "streaming_dedup_within_watermark",
     "streaming_event_time_timer",
-    "streaming_sketch_quantiles",
     "tfidf_top_terms",
     "waiting_supplier_counts",
 ]
