@@ -263,6 +263,14 @@ def main() -> None:
         "excluded (plans exist only inside a running StreamingQuery; their",
         "shapes are covered by the streaming tests).",
         "",
+        "Counting note (r14): these are STATIC node counts over the",
+        "pre-execution plan tree. A persisted frame's build subtree",
+        "appears nested under every InMemoryRelation consumer, so the",
+        "r14 materialization fixes (bitmap index, banded signatures,",
+        "jaccard shingles) RAISE the static scan/shuffle counts here",
+        "while execution reads the cache once — the executed scan",
+        "counts and walls are in OPTIMIZATION_r14.md / plans/r14/.",
+        "",
         "| query | scans | reused | shuffles | bcast | codegen | cross | 1-part | pushdown | flags |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
