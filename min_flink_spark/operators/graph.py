@@ -22,10 +22,31 @@ never the data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from min_flink_spark.core.ckpt import attach_backing, unpersist_checkpoint
+
+
+def _materialize_with_metric(df: DataFrame, metric: Column) -> tuple[DataFrame, int]:
+    """Materialize one iteration's state AND return a scalar probe in a
+    SINGLE Spark job (r15, guide §1.2 — the iterative families paid a
+    separate 2-job AQE count per round just to decide loop exit).
+
+    ``localCheckpoint(eager=False)`` marks the plan's RDD; the noop
+    write (guide §1.4) is the one job that computes every partition —
+    persisting the blocks and truncating lineage as a side effect —
+    while an ``observe`` node riding the same plan collects ``metric``
+    without any shuffle. Returns the checkpointed frame (lineage = one
+    LogicalRDD, releasable via ``unpersist_checkpoint``) and the metric
+    value (0 when the frame is empty — SQL aggregates yield NULL there).
+    """
+    ck = df.localCheckpoint(eager=False)
+    obs = Observation()
+    ck.observe(obs, metric.alias("m")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return ck, int(obs.get["m"] or 0)
 
 
 def connected_components(
@@ -60,18 +81,33 @@ def connected_components(
     )
     converged = False
     prev_ckpt: DataFrame | None = None
+    # the self-vote union leg needs a typed NULL for its _old twin
+    comp_type = dict(labels.dtypes)["component"]
     for _ in range(max_iter):
-        neighbor_min = (
+        # One vote stream: every neighbor's label PLUS the node's own
+        # (r15 restructure, guide §2.4 — the self label used to arrive
+        # via a separate labels⟕neighbor_min join, a third join per
+        # round; the union leg folds it into the same aggregation).
+        # min(component) over the stream = least(own, min-neighbor),
+        # exactly the old two-step value; _old rides the self leg
+        # (one non-null per node) so the convergence probe needs no
+        # extra alignment join.
+        votes = (
             sym.join(labels, sym["v"] == labels["node"])
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
+            .select(
+                F.col("u").alias("node"),
+                "component",
+                F.lit(None).cast(comp_type).alias("_old"),
+            )
+            .unionByName(
+                labels.select(
+                    "node", "component", F.col("component").alias("_old")
+                )
+            )
         )
-        stepped = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("nbr_component", F.col("component"))
-            ).alias("component"),
-            F.col("component").alias("_old"),
+        stepped = votes.groupBy("node").agg(
+            F.min("component").alias("component"),
+            F.max("_old").alias("_old"),
         )
         # Pointer jumping (path halving): component ← label[component].
         # Every label IS a node id, so its own current label exists in
@@ -90,18 +126,22 @@ def connected_components(
                 "_old",
             )
         )
-        # Materialize FIRST (truncates the exponentially growing lineage
-        # of iterative plans), then derive both the convergence flag and
-        # the next labels from the checkpointed frame — one execution
-        # per round, not two. Free the superseded round's blocks so the
-        # loop holds at most two label copies, not max_iter.
-        updated = updated.localCheckpoint(eager=True)
+        # Materialize + convergence probe in ONE job (r15): the noop
+        # write computes and persists every partition (truncating the
+        # exponentially growing iterative lineage) while the observe
+        # metric counts changed labels in-flight — the old pattern paid
+        # an eager-checkpoint job plus a separate 2-job AQE count per
+        # round. Free the superseded round's blocks so the loop holds
+        # at most two label copies, not max_iter.
+        updated, changed = _materialize_with_metric(
+            updated,
+            F.sum((F.col("component") != F.col("_old")).cast("long")),
+        )
         if prev_ckpt is not None:
             # DataFrame.unpersist() is a no-op for localCheckpointed
             # frames on Spark 4.1.2 — free the checkpoint RDD directly
             unpersist_checkpoint(prev_ckpt)
         prev_ckpt = updated
-        changed = updated.filter(F.col("component") != F.col("_old")).limit(1).count()
         labels = updated.drop("_old")
         if changed == 0:
             converged = True
@@ -383,30 +423,37 @@ def triangle_counts(
                 "xyk",
             )
             kmask = F.lit((1 << k_bits) - 1)
-            roles = (
-                tri.select(F.col("srck").bitwiseAND(mask).alias("node"))
-                .unionByName(
-                    tri.select(
-                        F.shiftright(F.col("xyk"), k_bits)
-                        .bitwiseAND(mask)
-                        .alias("node")
+            # ONE pass over the closed wedges (r15): the old 3-leg
+            # union re-executed the 40M-wedge closure JOIN once per
+            # corner — ReuseExchange dedupes the exchanges feeding the
+            # join but not the join probe itself, so the plan's hottest
+            # operator ran 3×. explode(array(...)) emits all three
+            # corners map-side in a single execution; the multiset of
+            # (node) rows — and therefore the counts — is identical.
+            # Measured 5.0 → 2.7 s warm at sf0.1 (matched A/B).
+            roles = tri.select(
+                F.explode(
+                    F.array(
+                        F.col("srck").bitwiseAND(mask),
+                        F.shiftright(F.col("xyk"), k_bits).bitwiseAND(mask),
+                        F.col("xyk").bitwiseAND(kmask).bitwiseAND(mask),
                     )
-                )
-                .unionByName(
-                    tri.select(
-                        F.col("xyk").bitwiseAND(kmask).bitwiseAND(mask).alias("node")
-                    )
-                )
+                ).alias("node")
             )
         else:
             closing = o.select(
                 F.col("srck").alias("xk"), F.col("dstk").alias("yk")
             )
             tri = wedges.join(closing.hint("SHUFFLE_HASH"), ["xk", "yk"])
-            roles = (
-                tri.select(F.col("srck").bitwiseAND(mask).alias("node"))
-                .unionByName(tri.select(F.col("xk").bitwiseAND(mask).alias("node")))
-                .unionByName(tri.select(F.col("yk").bitwiseAND(mask).alias("node")))
+            # single-pass corner emission — see the explode note above
+            roles = tri.select(
+                F.explode(
+                    F.array(
+                        F.col("srck").bitwiseAND(mask),
+                        F.col("xk").bitwiseAND(mask),
+                        F.col("yk").bitwiseAND(mask),
+                    )
+                ).alias("node")
             )
         out = roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
         # pairs / (probed) deg / o back the lazy result — expose the
@@ -429,10 +476,9 @@ def triangle_counts(
     tri = wedges.join(closing.hint("SHUFFLE_HASH"), ["x", "y"]).select(
         "src", "x", "y"
     )
-    roles = (
-        tri.select(F.col("src").alias("node"))
-        .unionByName(tri.select(F.col("x").alias("node")))
-        .unionByName(tri.select(F.col("y").alias("node")))
+    # single-pass corner emission — see the explode note in the packed path
+    roles = tri.select(
+        F.explode(F.array(F.col("src"), F.col("x"), F.col("y"))).alias("node")
     )
     out = roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
     return attach_backing(out, pairs, deg, o)
@@ -481,14 +527,20 @@ def bfs_hops(
             .join(visited, node_col, "left_anti")
             .withColumn("hops", F.lit(h))
         )
-        nxt = visited.unionByName(discovered).localCheckpoint(eager=True)
+        # materialize the round + count the new frontier in ONE job
+        # (r15, see _materialize_with_metric — was an eager-checkpoint
+        # job plus a separate 2-job empty-frontier count per hop)
+        nxt, frontier_n = _materialize_with_metric(
+            visited.unionByName(discovered),
+            F.sum((F.col("hops") == h).cast("long")),
+        )
         if prev_v is not None:
             # targeted release: Dataset.unpersist() would be a no-op here
             unpersist_checkpoint(prev_v)
         prev_v = nxt
         frontier = nxt.filter(F.col("hops") == h)
         visited = nxt
-        if frontier.limit(1).count() == 0:
+        if frontier_n == 0:
             break
     return visited
 

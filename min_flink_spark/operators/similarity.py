@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from min_flink_spark.core.ckpt import unpersist_checkpoint
+from min_flink_spark.core.ckpt import attach_backing, unpersist_checkpoint
 
 
 def _as_double(col):
@@ -331,32 +331,29 @@ def ivf_topk(
         return _empty_topk(corpus, id_col, query_id_col)
     dim = len(first[0])
 
-    # deterministic init: average of each hash bucket
-    seeded = c.withColumn("_cell", hash_bucket(F.col(id_col), num_centroids))
-    prev_ckpt = None
-    for _ in range(kmeans_iters):
-        cent_rows = (
-            seeded.groupBy("_cell")
-            .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
-            .collect()
-        )
-        centroids = {
-            r["_cell"]: [r[f"c{i}"] for i in range(dim)] for r in cent_rows
-        }
+    # r15 Lloyd restructure (VERDICT r14 item 3, guide §1.2): one
+    # aggregation JOB per iteration instead of two (centroid agg +
+    # eager re-assignment checkpoint). The cell assignment is a pure
+    # function of (_v, centroid literals) — it never needs the previous
+    # iteration's materialized _cell column — so each iteration folds
+    # assign-by-current-centroids INTO the grouping key of the next
+    # centroid aggregation, over a corpus frame checkpointed exactly
+    # once. The centroid sequence is bit-identical: iteration i's agg
+    # groups by the same assignment values the old code materialized,
+    # over the same partitioning (the shared corpus checkpoint), and
+    # the argmin fold keeps the r14 tie semantics (ascending cell order
+    # + strict `<`). Measured: 8 jobs → 5 for the train phase, no
+    # per-iteration cache write of the corpus-sized seeded frame.
+    c = c.localCheckpoint(eager=True)
+    avg_aggs = [F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)]
 
-        # r14 optimization (second iteration of this site): the argmin
-        # is ONE fold over an array of (cell, centroid) structs instead
-        # of the r12 nested when-chain (which re-evaluated each distance
-        # fold once per chain reference, O(cells²) folds/row) or the
-        # 16-chained-withColumn staging (which fixed the folds but paid
-        # ~2.2 s/iteration of ANALYSIS+codegen on a 16-Project,
-        # 1024-literal plan — the corpus is small; the plan was the
-        # cost). Ascending cell order + strict `<` keeps the exact
-        # tie semantics of the original chain (first cell achieving the
-        # minimum wins), so assignments — and therefore centroids and
-        # final top-k — are identical. Measured: train phase
-        # 9.2 s → ~2 s at sf0.1.
-        cells = sorted(centroids.items())
+    def _assign_expr(cents: dict) -> F.Column:
+        # ONE fold over (cell, centroid) structs (r14): the r12 nested
+        # when-chain re-evaluated each distance fold once per chain
+        # reference (O(cells²) folds/row); the 16-chained-withColumn
+        # staging fixed the folds but paid ~2.2 s/iteration of
+        # ANALYSIS+codegen on a 16-Project, 1024-literal plan.
+        cells = sorted(cents.items())
         cent_arr = F.array(
             *[
                 F.struct(
@@ -374,7 +371,7 @@ def ivf_topk(
                 lambda acc, x: acc + x,
             )
 
-        assign_expr = F.aggregate(
+        return F.aggregate(
             cent_arr,
             F.struct(
                 F.lit(float("inf")).alias("d"), F.lit(-1).alias("cell")
@@ -385,16 +382,20 @@ def ivf_topk(
             ).otherwise(acc),
         )["cell"]
 
-        # re-assign + materialize (bounds the literal-heavy lineage);
-        # release the previous round's blocks
-        seeded = seeded.withColumn("_cell", assign_expr).localCheckpoint(
-            eager=True
-        )
-        if prev_ckpt is not None:
-            # Dataset.unpersist() is a no-op for localCheckpointed
-            # frames — release the checkpoint RDD itself
-            unpersist_checkpoint(prev_ckpt)
-        prev_ckpt = seeded
+    # deterministic init: average of each hash bucket
+    assign_col = hash_bucket(F.col(id_col), num_centroids)
+    centroids: dict = {}
+    for _ in range(kmeans_iters):
+        cent_rows = c.groupBy(assign_col.alias("_cell")).agg(*avg_aggs).collect()
+        centroids = {
+            r["_cell"]: [r[f"c{i}"] for i in range(dim)] for r in cent_rows
+        }
+        assign_col = _assign_expr(centroids)
+
+    # final corpus assignment (lazy — evaluated once by the probe join
+    # below; `centroids` holds the last aggregated table, matching the
+    # old loop's post-round state exactly)
+    seeded = c.withColumn("_cell", assign_col)
 
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
@@ -428,11 +429,15 @@ def ivf_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
-    return (
+    out = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+    # the lazy result reads the corpus checkpoint — hand the caller the
+    # release handle (the old loop's final seeded checkpoint leaked with
+    # no handle at all)
+    return attach_backing(out, c)
 
 
 def l2_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str | None = None) -> DataFrame:

@@ -15,12 +15,27 @@ Usage::
 Output: one JSON object {query: min_sec} sorted descending, plus a
 ranked table on stderr. This is a diagnostic for the optimization
 checklist, not a driver artifact — bench.py stays the contract.
+
+r15 isolation fixes (VERDICT r14 items 5 + 6):
+
+- ``spark.catalog.clearCache()`` runs between timed queries, so no
+  number rides another query's session cache (the r14 sweep timed
+  dedup_clusters at 6.3 s because ngram_jaccard_pairs had already
+  populated the shingle persist; cold it is ~3× that). Pass
+  ``--keep-cache`` for the old warm-session behavior.
+- the copurchase bucketed warehouse table is DROPPED once at startup
+  (clean-warehouse discipline), and the artifact records it, so graph
+  numbers are reproducible instead of depending on whether a prior
+  session left the table behind. Pass ``--keep-warehouse`` to measure
+  the warm-table path.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -42,13 +57,37 @@ def _arg(flag: str, default: str) -> str:
 def main() -> None:
     reps = int(_arg("--reps", "2"))
     out_path = _arg("--out", "")
+    keep_cache = "--keep-cache" in sys.argv
+    if keep_cache:
+        sys.argv.remove("--keep-cache")
+    keep_wh = "--keep-warehouse" in sys.argv
+    if keep_wh:
+        sys.argv.remove("--keep-warehouse")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = sys.argv[2:] or list(QUERIES)
 
     spark = get_spark(app_name="opt-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
+    warehouse_cleaned = False
+    if not keep_wh:
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        stale = glob.glob(os.path.join(wh, "mfs_copurchase_*"))
+        for d in stale:
+            shutil.rmtree(d, ignore_errors=True)
+        for t in spark.catalog.listTables():
+            if t.name.startswith("mfs_copurchase_"):
+                spark.sql(f"DROP TABLE {t.name}")
+        warehouse_cleaned = True
+        if stale:
+            print(f"dropped stale warehouse tables: {len(stale)}", file=sys.stderr)
+
     def run(name: str, d: str) -> float:
+        if not keep_cache:
+            # each query pays its own persists — no riding another
+            # query's session cache (the timed region still includes
+            # any within-query cache builds, as a cold driver run would)
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
@@ -74,6 +113,8 @@ def main() -> None:
     total = sum(best.values())
     print(f"{total:8.3f}  TOTAL ({len(best)} queries)", file=sys.stderr)
     payload = {"sf_dir": sf_dir, "reps": reps, "total_sec": round(total, 3),
+               "clear_cache_between_queries": not keep_cache,
+               "warehouse_cleaned_at_start": warehouse_cleaned,
                "queries": {k: round(v, 3) for k, v in ranked.items()}}
     print(json.dumps(payload))
     if out_path:

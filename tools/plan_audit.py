@@ -187,6 +187,53 @@ EXPECTED_SINGLE_PARTITION = {
 }
 
 
+def _dedupe_cached_subtrees(plan: str) -> str:
+    """Drop REPEATED prints of the same InMemoryRelation build subtree
+    (r15, VERDICT r14 item 7). Spark's plan text nests a cached frame's
+    entire build plan under EVERY InMemoryTableScan consumer, so after
+    the r14 materialization fixes the static scan/shuffle counts read
+    N× what actually executes (the cache is built once). Keeping only
+    the FIRST print of each identical InMemoryRelation block makes the
+    static counts track executed scans again. Identity = the block's
+    text with tree-art/indentation stripped (the same relation object
+    prints with the same expression ids, only its indent varies by
+    consumer position)."""
+    import re
+
+    lines = plan.splitlines()
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    art = re.compile(r"^[ :|+-]*")
+    # position-dependent noise inside otherwise-identical blocks:
+    # whole-stage-codegen stage numbers and plan ids differ per consumer
+    noise = re.compile(r"\*\(\d+\)|plan_id=\d+")
+
+    def indent(s: str) -> int:
+        return art.match(s).end()
+
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            ind = indent(line)
+            j = i + 1
+            while j < len(lines) and (
+                indent(lines[j]) > ind or not lines[j].strip()
+            ):
+                j += 1
+            key = "\n".join(noise.sub("*", art.sub("", x)) for x in lines[i:j])
+            if key in seen:
+                i = j
+                continue
+            seen.add(key)
+            out.extend(lines[i:j])
+            i = j
+            continue
+        out.append(line)
+        i += 1
+    return "\n".join(out)
+
+
 def audit(spark, sf_dir: str, queries=None):
     rows = []
     for name, fn in (QUERIES if queries is None else queries).items():
@@ -209,6 +256,7 @@ def audit(spark, sf_dir: str, queries=None):
         except Exception as e:  # pragma: no cover - diagnostic path
             rows.append((name, None, f"PLAN ERROR: {e}"))
             continue
+        plan = _dedupe_cached_subtrees(plan)
         n_bcast = plan.count("BroadcastExchange")
         n_reused = plan.count("ReusedExchange")
         stats = {
@@ -263,13 +311,11 @@ def main() -> None:
         "excluded (plans exist only inside a running StreamingQuery; their",
         "shapes are covered by the streaming tests).",
         "",
-        "Counting note (r14): these are STATIC node counts over the",
-        "pre-execution plan tree. A persisted frame's build subtree",
-        "appears nested under every InMemoryRelation consumer, so the",
-        "r14 materialization fixes (bitmap index, banded signatures,",
-        "jaccard shingles) RAISE the static scan/shuffle counts here",
-        "while execution reads the cache once — the executed scan",
-        "counts and walls are in OPTIMIZATION_r14.md / plans/r14/.",
+        "Counting note (r15): static node counts over the executed plan",
+        "tree, with repeated prints of the SAME InMemoryRelation build",
+        "subtree counted ONCE (the cache is built once at runtime; the",
+        "r14 counts had inflated with every cache consumer — VERDICT",
+        "r14 item 7). Executed walls are in OPTIMIZATION_r15.md.",
         "",
         "| query | scans | reused | shuffles | bcast | codegen | cross | 1-part | pushdown | flags |",
         "|---|---|---|---|---|---|---|---|---|---|",
