@@ -342,17 +342,27 @@ def triangle_counts(
         # the degree frame feeds two joins (and, absent hints, the
         # width probe) — materialize it once so all consumers see one
         # computation of the degree agg
-        deg = deg.localCheckpoint(eager=True)
         if hinted:
+            deg = deg.localCheckpoint(eager=True)
             # caller-supplied width hint: no driver-side probe job
             # (validated above — never silently ignored)
             deg_bound, id_bound = int(max_deg), int(max_id)
         else:
-            # bounded-metadata probe (3 scalars): choose the packing
-            # width, or refuse it when deg/id can't share 62 bits
-            mx = deg.agg(F.max("deg"), F.max("node"), F.min("node")).collect()[0]
-            if mx[0] is not None and mx[2] >= 0:
-                deg_bound, id_bound = int(mx[0]), int(mx[1])
+            # bounded-metadata probe (3 scalars), fused into the degree
+            # frame's materialization job (r15): the observe metrics
+            # ride the checkpointing noop write, so the probe no longer
+            # costs its own 2-job AQE aggregate
+            deg = deg.localCheckpoint(eager=False)
+            obs = Observation()
+            deg.observe(
+                obs,
+                F.max("deg").alias("md"),
+                F.max("node").alias("mxn"),
+                F.min("node").alias("mnn"),
+            ).write.format("noop").mode("overwrite").save()
+            mx = obs.get
+            if mx["md"] is not None and mx["mnn"] >= 0:
+                deg_bound, id_bound = int(mx["md"]), int(mx["mxn"])
     if deg_bound is not None:
         need = id_bound.bit_length() + deg_bound.bit_length()
         if need <= 62:
@@ -648,8 +658,6 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     prev = labels
-    from pyspark.sql.window import Window
-
     for _ in range(rounds):
         votes = (
             edges.join(labels, edges[src] == labels["node"])
@@ -657,13 +665,17 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("_n"))
         )
-        w = Window.partitionBy("node").orderBy(
-            F.col("_n").desc(), F.col("label").asc()
-        )
-        winners = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", F.col("label").alias("_new"))
+        # argmax as a sort-free min_by aggregation (r15, guide §1.2):
+        # the r14 row_number window sorted every node's vote partition
+        # just to pick one row; min over (−count, label) selects the
+        # SAME winner — most votes, ties to the smallest label — with
+        # a hash aggregate and map-side partial combine instead of a
+        # sort. Works for any orderable label type (only the count is
+        # negated).
+        winners = votes.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("_n")).alias("_nn"), F.col("label"))
+            ).alias("_new")
         )
         # no-vote nodes (directed input) keep their current label —
         # without this carry they would silently vanish from round 2 on

@@ -24,90 +24,48 @@ from min_flink_spark.queries import windows  # noqa: F401
 # the ledger (python tools/rotation_ledger.py --write) ONLY when
 # rearranging this list.
 #
-# ROUND-14 PREFIX, FINAL (re-sorted at the end of the r14 OPTIMIZATION
-# phase; changed always first):
-#   1-44  changed in r14 — the 6 build-phase changes (percentile
-#         auto-select/guards/pin: exact_percentile_grid,
-#         value_percentiles, median_and_central_tendency,
-#         winsorized_values; fold-guard row counting:
-#         keyed_sum_first_record; backing-API: bpe_tokenized_lengths)
-#         plus the 38 optimization-phase changes (OPTIMIZATION_r14.md:
-#         tokenize-once text family, ANN/similarity construction and
-#         O(dim²) fixes, simhash/jaccard/bitmap materialization,
-#         16 streaming queries on the parameterised state width).
-#         Every value is oracle-identical by construction AND was
-#         strict-checked at sf0.01 during the round; the gate rows
-#         re-prove it at the driver.
-#   45-50 the 6 stalest rows (r8 evidence: null_semantics_sampler …
-#         streaming_interval_join).
-#
-# ROUND-15 ROTATION NOTE: positions 51+ are already in promotion order
-# (mechanically: everything outside the prefix sorted by (last driver
-# round, name)) — the 10 remaining r8 rows open the tail, then the r9
-# block.  r15's slots take those plus whatever r15 changes (changed
-# always first).
+# ROUND-15 PREFIX (re-sorted at the end of the r15 OPTIMIZATION phase;
+# changed always first):
+#   1-9   changed in r15 (OPTIMIZATION_r15.md): the CC round
+#         restructure + fused convergence probes (dedup_clusters,
+#         dedup_keep_best, semantic_dedup_survivors,
+#         bfs_reach_copurchase), the triangle explode-corners fix +
+#         fused width probe (triangle_counts_copurchase), the LPA
+#         min_by argmax (lpa_communities_copurchase), the IVF Lloyd
+#         one-job-per-iteration restructure (ann_ivf_topk), and the
+#         no-data-microbatch skip (streaming_interval_join,
+#         streaming_dedup). Every value is oracle-identical by
+#         construction AND was strict-checked at sf0.001/sf0.01 during
+#         the round; the gate rows re-prove it at the driver.
+#   10-15 the 6 remaining r8-evidence rows (tumbling_window_daily …
+#         zorder_key_events) — the staleness floor moves to r9.
+#   16-49 the r9 block in promotion order.
+#   50    the first r10 row (cheapest_supplier_per_type).
+# Positions 51+ remain mechanically sorted by (last driver round,
+# name), so the r10 block opens the tail for r16.
 # The guardrail test enforces this shape — re-sorting this list IS
 # the rotation.
 _PRIORITY = [
-    # ---- 1-44: changed in round 14 (build + optimization phases) ----
+    # ---- 1-9: changed in round 15 (optimization phase; CC/BFS/LPA/
+    # triangle/IVF operator rewrites + the streaming no-data-batch skip;
+    # every one strict-checked at sf0.001/sf0.01 during the round) ----
     "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "bitmap_keyed_windowed_ops",
-    "bitmap_segment_ops",
-    "bitmap_windowed_retention",
-    "bpe_tokenized_lengths",
-    "chunk_retrieval_topk",
+    "bfs_reach_copurchase",
     "dedup_clusters",
     "dedup_keep_best",
-    "embedding_near_dup_pairs",
-    "embedding_normalize_project",
-    "embedding_quantize_int8",
-    "er_candidate_features",
-    "exact_percentile_grid",
-    "keyed_sum_first_record",
-    "language_id",
-    "levenshtein_rerank",
-    "median_and_central_tendency",
-    "ngram_jaccard_pairs",
-    "prototype_label_agreement",
-    "quality_filter_flags",
-    "repetition_signals",
+    "lpa_communities_copurchase",
     "semantic_dedup_survivors",
-    "simhash_hamming_pairs",
-    "streaming_bitmap_segment_ops",
-    "streaming_bitmap_windowed_retention",
-    "streaming_bloom_filter_join",
-    "streaming_chained_windows",
-    "streaming_cms_counts",
-    "streaming_cms_windowed_counts",
-    "streaming_complete_topk",
-    "streaming_csv_source_counts",
-    "streaming_dedup_within_watermark",
-    "streaming_session_window",
-    "streaming_sketch_quantiles",
-    "streaming_sketch_quantiles_windowed",
-    "streaming_sliding_window",
-    "streaming_static_join",
-    "streaming_tumbling_window",
-    "streaming_wordcount",
-    "text_stats",
-    "value_percentiles",
-    "winsorized_values",
-    # ---- 45+: unchanged, by (last driver round, name) — the gate
-    #      takes the first 6 (r8 evidence), the rest is the r15 tail ----
-    "null_semantics_sampler",
-    "part_value_concentration",
-    "per_domain_cap",
-    "positional_tokens",
-    "promo_revenue_share",
+    "streaming_dedup",
     "streaming_interval_join",
+    "triangle_counts_copurchase",
+    # ---- 10-15: the 6 remaining r8-evidence rows ----
     "tumbling_window_daily",
     "url_domain_filter",
     "weighted_sample_topk",
     "window_distribution_funcs",
     "window_range_frame_1h",
     "zorder_key_events",
+    # ---- 16-49: the r9 block (promotion order) ----
     "anti_join_no_urgent_customers",
     "asof_join_click_to_signup",
     "bloom_bigm_prefilter_join",
@@ -122,7 +80,6 @@ _PRIORITY = [
     "distinct_user_event_types",
     "doc_fingerprint",
     "embedding_cosine_topk",
-    "lpa_communities_copurchase",
     "mg_heavy_hitters",
     "pagerank_copurchase",
     "recency_decay_weights",
@@ -143,6 +100,8 @@ _PRIORITY = [
     "variant_json_stats",
     "vocab_oov_rate",
     "zscore_standardized_values",
+    # ---- 50+: r10 onwards by (last driver round, name); the r14-
+    # checked rows are freshest and sit at the back ----
     "cheapest_supplier_per_type",
     "concentrated_suppliers",
     "flatmap_wordcount",
@@ -212,13 +171,11 @@ _PRIORITY = [
     "streaming_pysource_counts",
     "streaming_side_outputs",
     "temporal_table_join",
-    "triangle_counts_copurchase",
     "video_mp4_stats",
     "volume_shipping",
     "weekly_active_growth",
     "array_function_sampler",
     "audio_wav_stats",
-    "bfs_reach_copurchase",
     "cms_keyed_windowed_counts",
     "cms_term_frequencies",
     "cms_windowed_counts",
@@ -287,10 +244,54 @@ _PRIORITY = [
     "sketch_quantiles_merged",
     "sliding_window_1d_6h",
     "small_quantity_revenue",
-    "streaming_dedup",
     "streaming_event_time_timer",
     "tfidf_top_terms",
     "waiting_supplier_counts",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "bitmap_keyed_windowed_ops",
+    "bitmap_segment_ops",
+    "bitmap_windowed_retention",
+    "bpe_tokenized_lengths",
+    "chunk_retrieval_topk",
+    "embedding_near_dup_pairs",
+    "embedding_normalize_project",
+    "embedding_quantize_int8",
+    "er_candidate_features",
+    "exact_percentile_grid",
+    "keyed_sum_first_record",
+    "language_id",
+    "levenshtein_rerank",
+    "median_and_central_tendency",
+    "ngram_jaccard_pairs",
+    "null_semantics_sampler",
+    "part_value_concentration",
+    "per_domain_cap",
+    "positional_tokens",
+    "promo_revenue_share",
+    "prototype_label_agreement",
+    "quality_filter_flags",
+    "repetition_signals",
+    "simhash_hamming_pairs",
+    "streaming_bitmap_segment_ops",
+    "streaming_bitmap_windowed_retention",
+    "streaming_bloom_filter_join",
+    "streaming_chained_windows",
+    "streaming_cms_counts",
+    "streaming_cms_windowed_counts",
+    "streaming_complete_topk",
+    "streaming_csv_source_counts",
+    "streaming_dedup_within_watermark",
+    "streaming_session_window",
+    "streaming_sketch_quantiles",
+    "streaming_sketch_quantiles_windowed",
+    "streaming_sliding_window",
+    "streaming_static_join",
+    "streaming_tumbling_window",
+    "streaming_wordcount",
+    "text_stats",
+    "value_percentiles",
+    "winsorized_values",
 ]
 
 
